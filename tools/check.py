@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each query output parquet, runs the oracle SQL in DuckDB over the
+same sf tables and compares (columns sorted by name, rows sorted by all
+columns, exact value match).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for q, sql in sorted(oracle.items()):
+    try:
+        got = con.sql(f"SELECT * FROM '{out_dir}/{q}/*.parquet'").df()
+        want = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {q}: exec error: {e}")
+        fails += 1
+        continue
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {q}: columns {list(got.columns)} != {list(want.columns)}")
+        fails += 1
+        continue
+    if len(got) != len(want):
+        print(f"FAIL {q}: rows {len(got)} != {len(want)}")
+        fails += 1
+        continue
+    g = got.sort_values(by=list(got.columns), ignore_index=True)
+    w = want.sort_values(by=list(want.columns), ignore_index=True)
+    mismatch = []
+    for c in g.columns:
+        a, b = g[c], w[c]
+        try:
+            eq = (a == b) | (a.isna() & b.isna())
+        except Exception:
+            eq = a.astype(str) == b.astype(str)
+        if not eq.all():
+            i = (~eq).idxmax()
+            mismatch.append(f"{c}[row{i}]: {a[i]!r} != {b[i]!r} (dtype {a.dtype}/{b.dtype})")
+    if mismatch:
+        print(f"FAIL {q}: " + "; ".join(mismatch[:3]))
+        fails += 1
+    else:
+        print(f"ok   {q} ({len(got)} rows)")
+print(f"\n{len(oracle) - fails}/{len(oracle)} passed")
+sys.exit(1 if fails else 0)
