@@ -1,0 +1,307 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2B — the reference pipeline's data-processing semantics,
+  * re-expressed as distributed Spark operators.
+  *
+  * The reference runs these per-document on one node; here each is a
+  * declarative plan over arbitrarily many rows:
+  *
+  *  - value parsing / unit normalization  (double_verifier.py:104,168)
+  *  - merged-cell fill-down               (merge_detector.py:303,371)
+  *  - double verification with tolerance  (double_verifier.py:79,412)
+  *  - conflict severity                   (double_verifier.py:511)
+  *  - confidence scoring                  (double_verifier.py:601)
+  *  - review queue                        (review_adapter.py:81)
+  *  - batch stats                         (batch_export.py:34)
+  *  - header detection                    (extractor_v03.py:244)
+  *  - cell cleaning                       (extractor_v03.py:288)
+  *
+  * All scalar logic is native Catalyst functions (codegen'd) — no
+  * UDFs; confidence penalties are summed in DECIMAL so the oracle
+  * hash matches regardless of aggregation order.
+  */
+object EtlOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def d2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val one = lit(1).cast(DecimalType(3, 2))
+
+  // --- etl_parse_values: "123.45 mv" → (123.45, "mV") ---------------
+  // Mirrors NumericComparator._extract_number (strip non-numeric
+  // chars, parse float) and UnitComparator.normalize (alias → canon).
+  private val unitAliases = Seq("mv", "millivolt", "V", "volt", "ua", "uA", "ohm", "khz")
+
+  /** alias → canonical unit, as a lower-case when-chain (codegen'd). */
+  private def normalizeUnit(u: Column): Column = {
+    val l = lower(trim(u))
+    when(l.isin("mv", "millivolt"), "mV")
+      .when(l.isin("v", "volt", "volts"), "V")
+      .when(l.isin("ua", "microamp", "micro-amp"), "µA")
+      .when(l.isin("ma", "milliamp", "milli-amp"), "mA")
+      .when(l.isin("ohm", "ohms", "r"), "Ω")
+      .when(l.isin("khz", "kilohertz"), "kHz")
+      .when(l.isin("mhz", "megahertz"), "MHz")
+      .otherwise(trim(u))
+  }
+
+  /** Extract the numeric part of a cell: keep digits . - + e E. */
+  private def extractNumber(c: Column): Column =
+    regexp_replace(trim(c), "[^0-9.eE+-]", "").cast("double")
+
+  val etlParseValues: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    val unit = element_at(
+      array(unitAliases.map(lit): _*), (pmod(col("p_partkey"), lit(8)) + 1).cast("int"))
+    p.select(col("p_partkey"),
+        concat(col("p_retailprice").cast("string"), lit(" "), unit).as("cell"))
+      .select(col("p_partkey"),
+        extractNumber(col("cell")).as("parsed_value"),
+        normalizeUnit(regexp_replace(col("cell"), "[0-9.eE+-]", "")).as("unit_norm"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val etlParseValuesSql: String =
+    """WITH cells AS (
+      |  SELECT p_partkey,
+      |    CAST(p_retailprice AS VARCHAR) || ' ' ||
+      |      (['mv','millivolt','V','volt','ua','uA','ohm','khz'])[(p_partkey % 8) + 1] AS cell
+      |  FROM part)
+      |SELECT p_partkey,
+      |  CAST(regexp_replace(trim(cell), '[^0-9.eE+-]', '', 'g') AS DOUBLE) AS parsed_value,
+      |  CASE lower(trim(regexp_replace(cell, '[0-9.eE+-]', '', 'g')))
+      |    WHEN 'mv' THEN 'mV' WHEN 'millivolt' THEN 'mV'
+      |    WHEN 'v' THEN 'V' WHEN 'volt' THEN 'V' WHEN 'volts' THEN 'V'
+      |    WHEN 'ua' THEN 'µA' WHEN 'ma' THEN 'mA'
+      |    WHEN 'ohm' THEN 'Ω' WHEN 'ohms' THEN 'Ω' WHEN 'r' THEN 'Ω'
+      |    WHEN 'khz' THEN 'kHz' WHEN 'mhz' THEN 'MHz'
+      |    ELSE trim(regexp_replace(cell, '[0-9.eE+-]', '', 'g')) END AS unit_norm
+      |FROM cells ORDER BY p_partkey""".stripMargin
+
+  // --- etl_fill_down: merged-cell category propagation --------------
+  // merge_detector.resolve_merges fills a value down until the next
+  // non-empty cell; here: last non-null over an ordered partition.
+  val etlFillDown: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("value_gapped",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      .withColumn("value_filled", last(col("value_gapped"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value_gapped"), col("value_filled"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val etlFillDownSql: String =
+    """SELECT event_id, user_id, ts,
+      |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_gapped,
+      |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+      |FROM events ORDER BY user_id, ts, event_id""".stripMargin
+
+  // --- etl_double_verify: two runs, tolerance compare, severity -----
+  // Primary "extraction" = orders.o_totalprice; secondary = the charge
+  // recomputed from lineitem. NumericComparator: match iff
+  // |a-b|/max(|a|,|b|) <= 0.01; severity thresholds per
+  // _assess_severity (>10% high, >5% medium, else low).
+  private def relDiff(a: Column, b: Column): Column =
+    abs(a - b) / greatest(abs(a), abs(b))
+
+  val etlDoubleVerify: Q = (s, d) => {
+    val charge = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(d2(col("l_extendedprice")) * (one - col("l_discount").cast(DecimalType(4, 2)))
+        * (one + col("l_tax").cast(DecimalType(4, 2)))).cast("double").as("secondary_value"))
+    val rd = relDiff(col("primary_value"), col("secondary_value"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice").as("primary_value"))
+      .join(charge, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("primary_value"), col("secondary_value"),
+        rd.as("rel_diff"),
+        when(rd <= 0.01, "verified").otherwise("conflict").as("status"),
+        when(rd > 0.1, "high").when(rd > 0.05, "medium").otherwise("low").as("severity"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val doubleVerifySqlBody =
+    """SELECT o_orderkey, o_totalprice AS primary_value, secondary_value,
+      |  abs(o_totalprice - secondary_value) / greatest(abs(o_totalprice), abs(secondary_value)) AS rel_diff,
+      |  CASE WHEN abs(o_totalprice - secondary_value) / greatest(abs(o_totalprice), abs(secondary_value)) <= 0.01
+      |       THEN 'verified' ELSE 'conflict' END AS status,
+      |  CASE WHEN abs(o_totalprice - secondary_value) / greatest(abs(o_totalprice), abs(secondary_value)) > 0.1 THEN 'high'
+      |       WHEN abs(o_totalprice - secondary_value) / greatest(abs(o_totalprice), abs(secondary_value)) > 0.05 THEN 'medium'
+      |       ELSE 'low' END AS severity
+      |FROM orders JOIN (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |         * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS secondary_value
+      |  FROM lineitem GROUP BY l_orderkey) li ON o_orderkey = l_orderkey""".stripMargin
+
+  val etlDoubleVerifySql: String = doubleVerifySqlBody + "\nORDER BY o_orderkey"
+
+  // --- etl_confidence: per-customer confidence score ----------------
+  // _calculate_confidence: 1.0 minus per-conflict severity penalty
+  // (low .02 / medium .05 / high .10), halved when resolved; clamped
+  // to [0,1]. Penalties summed in DECIMAL for engine parity.
+  val etlConfidence: Q = (s, d) => {
+    val verified = etlDoubleVerify(s, d)
+    val penalty = when(col("status") === "conflict",
+        when(col("severity") === "high", lit(BigDecimal("0.050")))
+          .when(col("severity") === "medium", lit(BigDecimal("0.025")))
+          .otherwise(lit(BigDecimal("0.010"))))
+      .otherwise(lit(BigDecimal("0.000"))).cast(DecimalType(6, 3))
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(verified, Seq("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_checks"),
+        sum(when(col("status") === "conflict", 1L).otherwise(0L)).as("n_conflicts"),
+        greatest(lit(0.0), least(lit(1.0),
+          (one - sum(penalty)).cast("double"))).as("confidence"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val etlConfidenceSql: String =
+    s"""WITH v AS ($doubleVerifySqlBody)
+      |SELECT o_custkey,
+      |  COUNT(*) AS n_checks,
+      |  CAST(SUM(CASE WHEN status = 'conflict' THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts,
+      |  greatest(0.0, least(1.0, CAST(CAST(1 AS DECIMAL(3,2)) - SUM(CAST(
+      |    CASE WHEN status = 'conflict' THEN
+      |      CASE severity WHEN 'high' THEN 0.050 WHEN 'medium' THEN 0.025 ELSE 0.010 END
+      |    ELSE 0.000 END AS DECIMAL(6,3))) AS DOUBLE))) AS confidence
+      |FROM orders o JOIN v USING (o_orderkey)
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // --- etl_review_queue: conflicts ranked worst-first ---------------
+  // review_adapter: needs_review when confidence below threshold;
+  // queue ordered by how bad the disagreement is.
+  val etlReviewQueue: Q = (s, d) => {
+    val w = Window.orderBy(col("rel_diff").desc, col("o_orderkey"))
+    etlDoubleVerify(s, d)
+      .filter(col("status") === "conflict")
+      .withColumn("priority", row_number().over(w).cast("long"))
+      .select(col("priority"), col("o_orderkey"), col("rel_diff"), col("severity"))
+      .orderBy(col("priority"))
+  }
+
+  val etlReviewQueueSql: String =
+    s"""WITH v AS ($doubleVerifySqlBody)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rel_diff DESC, o_orderkey) AS BIGINT) AS priority,
+      |  o_orderkey, rel_diff, severity
+      |FROM v WHERE status = 'conflict' ORDER BY priority""".stripMargin
+
+  // --- etl_batch_stats: BatchResult rollup per source ---------------
+  val etlBatchStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("skipped"),
+        sum(when(col("lang") === "en" && col("n_chars") >= 200, 1L).otherwise(0L)).as("success"),
+        sum(when(col("lang") === "en" && col("n_chars") < 200, 1L).otherwise(0L)).as("failed"))
+      .withColumn("success_rate", col("success").cast("double") / col("total"))
+      .orderBy(col("source"))
+
+  val etlBatchStatsSql: String =
+    """SELECT source, COUNT(*) AS total,
+      |  CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS skipped,
+      |  CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS success,
+      |  CAST(SUM(CASE WHEN lang = 'en' AND n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+      |  CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 200 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS success_rate
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // --- etl_header_detect: _detect_headers classification ------------
+  private val headerTerms = Seq(
+    "Parameter", "param.", "Symbol", "Test Condition", "conditions",
+    "min.", "Min", "Typical", "typ", "MAX", "Max.", "units", "Unit",
+    "description", "Desc")
+
+  private def classifyHeader(c: Column): Column = {
+    val l = lower(trim(c))
+    when(l.rlike("param"), "Parameter")
+      .when(l.rlike("symbol"), "Symbol")
+      .when(l.rlike("test.*cond|condition"), "Test_Conditions")
+      .when(l.rlike("^min"), "Min")
+      .when(l.rlike("^typ"), "Typ")
+      .when(l.rlike("^max"), "Max")
+      .when(l.rlike("unit"), "Unit")
+      .when(l.rlike("desc"), "Description")
+      .otherwise(trim(c))
+  }
+
+  val etlHeaderDetect: Q = (s, d) => {
+    import s.implicits._
+    val docTokens = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val headerish = headerTerms.toDF("token")
+    docTokens.union(headerish)
+      .distinct()
+      .select(col("token"), classifyHeader(col("token")).as("header_class"))
+      .orderBy(col("token"))
+  }
+
+  val etlHeaderDetectSql: String = {
+    val values = headerTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH toks AS (
+      |  SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents
+      |  UNION SELECT * FROM (VALUES $values) h(token))
+      |SELECT token,
+      |  CASE WHEN regexp_matches(lower(trim(token)), 'param') THEN 'Parameter'
+      |       WHEN regexp_matches(lower(trim(token)), 'symbol') THEN 'Symbol'
+      |       WHEN regexp_matches(lower(trim(token)), 'test.*cond|condition') THEN 'Test_Conditions'
+      |       WHEN regexp_matches(lower(trim(token)), '^min') THEN 'Min'
+      |       WHEN regexp_matches(lower(trim(token)), '^typ') THEN 'Typ'
+      |       WHEN regexp_matches(lower(trim(token)), '^max') THEN 'Max'
+      |       WHEN regexp_matches(lower(trim(token)), 'unit') THEN 'Unit'
+      |       WHEN regexp_matches(lower(trim(token)), 'desc') THEN 'Description'
+      |       ELSE trim(token) END AS header_class
+      |FROM toks ORDER BY token""".stripMargin
+  }
+
+  // --- etl_clean_cells: whitespace collapse roundtrip ---------------
+  // _clean_cell = " ".join(s.split()); applied to a messied copy it
+  // must reproduce the original.
+  val etlCleanCells: Q = (s, d) => {
+    val messy = concat(lit("  "), regexp_replace(col("text"), " ", "   "), lit(" \t"))
+    val cleaned = trim(regexp_replace(messy, "\\s+", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(cleaned).cast("long").as("clean_len"),
+        (cleaned === col("text")).as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val etlCleanCellsSql: String =
+    """SELECT doc_id,
+      |  length(trim(regexp_replace('  ' || regexp_replace(text, ' ', '   ', 'g') || ' ' || chr(9), '\s+', ' ', 'g'))) AS clean_len,
+      |  trim(regexp_replace('  ' || regexp_replace(text, ' ', '   ', 'g') || ' ' || chr(9), '\s+', ' ', 'g')) = text AS roundtrip_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "etl_parse_values" -> etlParseValues,
+    "etl_fill_down" -> etlFillDown,
+    "etl_double_verify" -> etlDoubleVerify,
+    "etl_confidence" -> etlConfidence,
+    "etl_review_queue" -> etlReviewQueue,
+    "etl_batch_stats" -> etlBatchStats,
+    "etl_header_detect" -> etlHeaderDetect,
+    "etl_clean_cells" -> etlCleanCells)
+
+  val oracles: Map[String, String] = Map(
+    "etl_parse_values" -> etlParseValuesSql,
+    "etl_fill_down" -> etlFillDownSql,
+    "etl_double_verify" -> etlDoubleVerifySql,
+    "etl_confidence" -> etlConfidenceSql,
+    "etl_review_queue" -> etlReviewQueueSql,
+    "etl_batch_stats" -> etlBatchStatsSql,
+    "etl_header_detect" -> etlHeaderDetectSql,
+    "etl_clean_cells" -> etlCleanCellsSql)
+}
