@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Expr
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2C similarity search over `embeddings`.
+  *
+  * ann_bruteforce is the exact baseline: broadcast the (small) query
+  * set against the corpus — a map-only scan, no shuffle of the big
+  * side; per-partition top-k then global top-k via the rank window
+  * over (query_id), which shuffles only #queries × k rows.
+  *
+  * ann_lsh is the scale path: hyperplane buckets prune the corpus to
+  * the query's bucket before exact re-ranking (recall < 1 by design).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TOPK = 10
+  private val NQUERIES = 5
+
+  private def queriesDf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  // --- ann_bruteforce: exact cosine top-k per query ------------------
+  val annBruteforce: Q = (s, d) => {
+    val corpus = Tables.embeddings(s, d)
+    val scored = corpus.crossJoin(broadcast(queriesDf(s, d)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Expr.dotProduct(col("qvec"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOPK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // --- ann_lsh: hyperplane-bucketed approximate top-k ----------------
+  val annLsh: Q = (s, d) => {
+    val planes = Dedup.hyperplanes(8, 64)
+    val corpus = Tables.embeddings(s, d)
+      .withColumn("bucket", Dedup.bucketOf(col("embedding"), planes))
+    val qs = queriesDf(s, d)
+      .withColumn("qbucket", Dedup.bucketOf(col("qvec"), planes))
+    val scored = corpus.join(broadcast(qs),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Expr.dotProduct(col("qvec"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOPK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ann_bruteforce" -> annBruteforce,
+    "ann_lsh" -> annLsh)
+
+  /** Rows-only: DuckDB list_cosine_similarity interpolates differently
+    * at the last ulp; exactness is covered by SimilaritySpec instead.
+    */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Expr
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2C text analysis over `documents` — language-ID, quality scoring,
+  * token counting, fingerprinting. All per-row logic is native
+  * functions (codegen'd) or our single-pass custom expressions, so the
+  * plans stay embarrassingly parallel: no shuffle until the optional
+  * final ORDER BY, which the correctness gate needs but a 100 TB
+  * pipeline would drop.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  // --- text_tokens: whitespace + BPE-ish regex counting -------------
+  private val bpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  val textTokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit(bpePattern)).cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val textTokensSql: String =
+    s"""SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '$bpePattern')) AS BIGINT) AS bpe_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- text_quality: length / punct / stopword ratios ----------------
+  private val stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+
+  val textQuality: Q = (s, d) => {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val stopHits = size(filter(t, x => x.isin(stopwords: _*))).cast("double")
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
+    val len = length(col("text")).cast("double")
+    val lenScore = least(lit(1.0), len / 500.0)
+    val punctRatio = punct / len
+    val stopRatio = stopHits / nTok
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        punctRatio.as("punct_ratio"),
+        stopRatio.as("stopword_ratio"),
+        (lenScore * 0.4 + (lit(1.0) - punctRatio) * 0.3 + stopRatio * 0.3).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String = {
+    val sw = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) AS punct_ratio,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> list_contains($sw, x))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS stopword_ratio,
+      |  least(1.0, CAST(length(text) AS DOUBLE) / 500.0) * 0.4
+      |    + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)) * 0.3
+      |    + (CAST(len(list_filter(string_split(text, ' '), x -> list_contains($sw, x))) AS DOUBLE)
+      |       / len(string_split(text, ' '))) * 0.3 AS quality_score
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // --- text_langid: stopword-profile argmax heuristic ----------------
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "las", "y", "que"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une", "du"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu", "den"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和"))
+
+  val textLangid: Q = (s, d) => {
+    val t = toks(col("text"))
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(t, array(words.map(lit): _*))).cast("long")
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, sc)) =>
+      when(acc.isNull && sc === best, lang).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id") +: col("lang").as("lang_actual") +:
+        scores.map { case (l, sc) => sc.as(s"score_$l") } :+ pred.as("lang_pred"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val textLangidSql: String = {
+    def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scoreExprs = langProfiles.map { case (l, ws) =>
+      s"CAST(len(list_intersect(string_split(text, ' '), ${arr(ws)})) AS BIGINT) AS score_$l"
+    }.mkString(",\n  ")
+    // same first-wins argmax chain as the Spark plan
+    val caseChain = langProfiles.map { case (l, _) =>
+      s"WHEN score_$l = best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+      |  SELECT doc_id, lang AS lang_actual,
+      |  $scoreExprs
+      |  FROM documents),
+      |withbest AS (
+      |  SELECT *, greatest(score_en, score_es, score_fr, score_de, score_zh) AS best FROM scored)
+      |SELECT doc_id, lang_actual, score_en, score_es, score_fr, score_de, score_zh,
+      |  CASE $caseChain END AS lang_pred
+      |FROM withbest ORDER BY doc_id""".stripMargin
+  }
+
+  // --- text_fingerprint: rolling hash + simhash (custom exprs) -------
+  val textFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Expr.rollingHash(toks(col("text"))).as("fingerprint"),
+        Expr.simhash64(toks(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint)
+
+  /** text_fingerprint is hash-function-specific → rows-only check. */
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql)
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2E streaming surface.
+  *
+  * The transform functions are stream/batch agnostic — they take any
+  * events-shaped DataFrame. StreamingSpec drives them through
+  * MemoryStream; `stream_sessionize` registers the batch-equivalent
+  * (window-function) sessionization in the oracle gate so session
+  * semantics are DuckDB-checked.
+  */
+object Streaming {
+  type Q = (SparkSession, String) => DataFrame
+
+  val SessionGapMicros: Long = 30L * 60 * 1000 * 1000 // 30 min
+
+  /** Tumbling-window counts with watermark — the canonical streaming
+    * agg. On a batch frame the watermark is a no-op.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Streaming dedup on event_id within the watermark. */
+  def streamDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // --- stateful sessionization (flatMapGroupsWithState) --------------
+  case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class Session(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+
+  /** Gap-based session assembly for one user; emits closed sessions.
+    * Works under OutputMode.Append on a stream with event-time timeout.
+    */
+  def sessionizeFn(userId: Long, evs: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+    var cur = state.getOption
+    val out = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      cur match {
+        case Some(st) if e.tsMicros - st.last <= SessionGapMicros =>
+          cur = Some(st.copy(last = e.tsMicros, n = st.n + 1))
+        case Some(st) =>
+          out += Session(userId, st.start, st.last, st.n.toLong)
+          cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+        case None =>
+          cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+      }
+    }
+    cur.foreach(state.update)
+    if (state.hasTimedOut) {
+      cur.foreach(st => out += Session(userId, st.start, st.last, st.n.toLong))
+      state.remove()
+    }
+    out.result().iterator
+  }
+
+  /** Batch-declarative sessionization (same 30-min-gap semantics as the
+    * stateful streaming version) — lag + cumulative-sum session ids.
+    * This form is DuckDB-checkable.
+    */
+  val streamSessionize: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts"))
+    val prev = lag(us, 1).over(w)
+    Tables.events(s, d)
+      .withColumn("new_session",
+        when(prev.isNull || (us - prev) > SessionGapMicros, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val streamSessionizeSql: String =
+    s"""WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapMicros
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, Q] = Map("stream_sessionize" -> streamSessionize)
+  val oracles: Map[String, String] = Map("stream_sessionize" -> streamSessionizeSql)
+}

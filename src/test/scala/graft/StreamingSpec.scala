@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streaming
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def microsOf(h: Int, m: Int): Long =
+    (h * 3600L + m * 60L) * 1000000L
+
+  test("windowedCounts aggregates a memory stream with watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.windowedCounts(df, "1 hour", "2 hours")
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("wc").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "view", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("wc").collect()
+      assert(out.length == 2)
+      val clicks = out.find(_.getAs[String]("event_type") == "click").get
+      assert(clicks.getAs[Long]("n") == 2L)
+      assert(clicks.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("streamDedup drops duplicate event ids within watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "event_id")
+    val q = Streaming.streamDedup(df).writeStream
+      .outputMode(OutputMode.Append()).format("memory").queryName("dd").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 1L),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:02"), 2L))
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer closes sessions on gap") {
+    import Streaming.{Ev, Session, SessionState}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = mem.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(Streaming.sessionizeFn)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess").start()
+    try {
+      // two bursts 2h apart → first session closes when second arrives
+      mem.addData(Ev(7L, 1L, microsOf(10, 0)), Ev(7L, 2L, microsOf(10, 10)))
+      q.processAllAvailable()
+      mem.addData(Ev(7L, 3L, microsOf(12, 30)))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[Session].collect()
+      assert(sessions.length == 1, s"expected 1 closed session, got ${sessions.toSeq}")
+      assert(sessions(0).n_events == 2L)
+      assert(sessions(0).session_start == microsOf(10, 0))
+      assert(sessions(0).session_end == microsOf(10, 10))
+    } finally q.stop()
+  }
+
+  test("batch sessionize matches stateful semantics on sf0.001") {
+    val sessions = Streaming.streamSessionize(spark, sf).collect()
+    assert(sessions.nonEmpty)
+    // session invariant: end - start within session never exceeds total span,
+    // and session ids are 1..n per user
+    val byUser = sessions.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("session_id")).sorted
+      assert(ids.head == 1L && ids.last == ids.length.toLong)
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Expr
+import graft.operators.{MultiModal, TextOps}
+
+class TextAndMultiModalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("text_tokens counts match document n_chars") {
+    val bad = TextOps.textTokens(spark, sf)
+      .filter(col("n_chars_calc") =!= col("n_chars")).count()
+    assert(bad == 0, "length(text) must equal the n_chars column")
+  }
+
+  test("text_quality ratios are within [0,1]") {
+    TextOps.textQuality(spark, sf).collect().foreach { r =>
+      val pr = r.getAs[Double]("punct_ratio")
+      val sr = r.getAs[Double]("stopword_ratio")
+      val qs = r.getAs[Double]("quality_score")
+      assert(pr >= 0 && pr <= 1); assert(sr >= 0 && sr <= 1)
+      assert(qs >= 0 && qs <= 1.0001)
+    }
+  }
+
+  test("text_langid picks the max-scoring profile") {
+    TextOps.textLangid(spark, sf).collect().foreach { r =>
+      val scores = Map(
+        "en" -> r.getAs[Long]("score_en"), "es" -> r.getAs[Long]("score_es"),
+        "fr" -> r.getAs[Long]("score_fr"), "de" -> r.getAs[Long]("score_de"),
+        "zh" -> r.getAs[Long]("score_zh"))
+      val pred = r.getAs[String]("lang_pred")
+      assert(scores(pred) == scores.values.max)
+    }
+  }
+
+  test("rolling hash is order-sensitive; simhash is not sign-degenerate") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((Array("a", "b", "c"), Array("c", "b", "a"))).toDF("x", "y")
+    val r = df.select(
+      Expr.rollingHash(col("x")).as("hx"), Expr.rollingHash(col("y")).as("hy"),
+      Expr.simhash64(col("x")).as("sx"), Expr.simhash64(col("y")).as("sy")).collect()(0)
+    assert(r.getAs[Long]("hx") != r.getAs[Long]("hy"), "rolling hash must depend on order")
+    assert(r.getAs[Long]("sx") == r.getAs[Long]("sy"), "simhash is a bag-of-tokens hash")
+  }
+
+  test("cosine expression matches a hand computation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f))).toDF("a", "b")
+    val c = df.select(Expr.cosineSimilarity(col("a"), col("b")).as("c")).collect()(0).getDouble(0)
+    assert(math.abs(c - 0.5) < 1e-9) // dot=1, |a|=|b|=sqrt(2)
+    val d = df.select(Expr.dotProduct(col("a"), col("b")).as("d")).collect()(0).getDouble(0)
+    assert(d == 1.0)
+  }
+
+  test("mm_pipeline preserves payload size and format tags") {
+    val rows = MultiModal.mmPipeline(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      // utf-8 payload of ascii-ish text: byte length == n_chars for ascii docs
+      assert(r.getAs[Long]("n_bytes") >= docs(r.getAs[Long]("doc_id")) * 1L)
+      assert(Set("png", "jpeg", "wav").contains(r.getAs[String]("fmt")))
+      assert(r.getAs[Double]("feat_norm") >= 0.0)
+    }
+  }
+}
