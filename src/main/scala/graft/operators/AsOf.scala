@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-event) join — an operator Spark lacks natively.
+  *
+  * Implemented by composition (preference (a) of the builder rules):
+  * tag both sides, union, and carry the right side's columns forward
+  * with a `last(_, ignoreNulls)` running window ordered by
+  * (time, side-tag). One shuffle on the join key, no per-key loops, no
+  * range explosion — at 100 TB this is a single sort-shuffle, the same
+  * cost as a sort-merge join, and never materializes candidate pairs
+  * the way a range-join rewrite would.
+  */
+object AsOf {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** left asof-join right: for each left row, the latest right row
+    * with `right.timeCol <= left.timeCol` and equal keys. Right value
+    * columns come back `right_`-prefixed (null when no match yet).
+    *
+    * @param tieBreak right-side column ordering the "latest" choice
+    *                 among equal timestamps (must be set for
+    *                 deterministic output).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+      tieBreak: String, rightValueCols: Seq[String]): DataFrame = {
+    val sideTag = "__asof_side"
+    val carried = rightValueCols :+ timeCol
+    val rightTagged = right.select(
+      (Seq(col(keyCol), col(timeCol), lit(0).as(sideTag), lit(null).cast("long").as("__tb")) ++
+        carried.map(c => col(c).as(s"right_$c")) ++
+        left.columns.filterNot(c => c == keyCol || c == timeCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val leftTagged = left.select(
+      (Seq(col(keyCol), col(timeCol), lit(1).as(sideTag), col(tieBreak).cast("long").as("__tb")) ++
+        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"right_$c")) ++
+        left.columns.filterNot(c => c == keyCol || c == timeCol).map(col)): _*)
+    // right rows sort before left rows at the same timestamp → a match
+    // at exactly left.time is included (<= semantics, DuckDB ASOF).
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(sideTag), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = carried.foldLeft(rightTagged.unionByName(leftTagged)) { (df, c) =>
+      df.withColumn(s"right_$c", last(col(s"right_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col(sideTag) === 1).drop(sideTag, "__tb")
+  }
+
+  /** q_asof_join: each purchase event joined to the user's most recent
+    * click at-or-before it.
+    */
+  val qAsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value").as("click_value"))
+    asofJoin(purchases, clicks, "user_id", "ts", "event_id",
+        Seq("click_id", "click_value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("right_ts").as("click_ts"), col("right_click_id").as("click_id"),
+        col("right_click_value").as("click_value"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT p.event_id, p.user_id, p.ts, p.value,
+      |  c.ts AS click_ts, c.click_id, c.click_value
+      |FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id, value AS click_value
+      |                FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map("q_asof_join" -> qAsofJoin)
+  val oracles: Map[String, String] = Map("q_asof_join" -> qAsofJoinSql)
+}
