@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Expr
+import graft.plans.TopK
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -27,17 +28,27 @@ object Similarity {
       .filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
 
+  /** Rank the ≤ k retained rows per query (tiny input — the heavy
+    * reduction already happened in TopKPerGroupExec).
+    */
+  private def ranked(topk: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    topk.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --- ann_bruteforce: exact cosine top-k per query ------------------
+  // Scoring is a map-only broadcast pass; the custom TopKPerGroup
+  // operator (graft.plans) reduces to k rows per query with bounded
+  // heaps — no full sort, shuffle carries ≤ k·partitions rows.
   val annBruteforce: Q = (s, d) => {
     val corpus = Tables.embeddings(s, d)
     val scored = corpus.crossJoin(broadcast(queriesDf(s, d)))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Expr.dotProduct(col("qvec"), col("embedding")).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TOPK)
-      .orderBy(col("query_id"), col("rank"))
+    ranked(TopK.topKPerGroup(scored, Seq("query_id"),
+      Seq(("cosine", true), ("vec_id", false)), TOPK))
   }
 
   // --- ann_lsh: hyperplane-bucketed approximate top-k ----------------
@@ -51,10 +62,8 @@ object Similarity {
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Expr.dotProduct(col("qvec"), col("embedding")).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TOPK)
-      .orderBy(col("query_id"), col("rank"))
+    ranked(TopK.topKPerGroup(scored, Seq("query_id"),
+      Seq(("cosine", true), ("vec_id", false)), TOPK))
   }
 
   val queries: Map[String, Q] = Map(
