@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.StringType
+
+/** Static per-row kernels invoked from generated code (a top-level
+  * object gets Java static forwarders, so `Kernels.dotProduct(...)`
+  * is directly callable from Janino-compiled code). Keeping the loops
+  * here lets the expressions participate in whole-stage codegen
+  * instead of falling back to interpreted eval.
+  */
+object Kernels {
+
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a.getFloat(i) * b.getFloat(i); i += 1 }
+    dot
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i); val y = b.getFloat(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  def minhash(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = XxHash64Function.hash(s, StringType, 42L)
+        val h2 = XxHash64Function.hash(s, StringType, 1099511628211L) | 1L
+        var j = 0
+        var h = h1
+        while (j < k) {
+          if (h < mins(j)) mins(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  def rollingHash(arr: ArrayData): Long = {
+    var acc = 1469598103934665603L // FNV offset basis
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = if (arr.isNullAt(i)) 0L
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      acc = acc * 1099511628211L + h
+      i += 1
+    }
+    acc
+  }
+}

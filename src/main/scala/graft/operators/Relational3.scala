@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Third coverage batch: sliding event-time windows, banded range
+  * join, null-handling battery, and the reference's entity-extraction
+  * regexes (extractor_v03.py:427,441) as distributed operators.
+  */
+object Relational3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def d2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // --- q_sliding_window: 1h windows sliding 30min --------------------
+  // Spark's window() assigns each event to 2 overlapping windows; the
+  // oracle reproduces the epoch-aligned starts by unnesting both.
+  val qSlidingWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(d2(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  val qSlidingWindowSql: String =
+    """SELECT wstart, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT unnest([
+      |      make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+      |      make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000)]) AS wstart,
+      |    event_type, value
+      |  FROM events) t
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- q_range_join: banded time-range self join ---------------------
+  // Pairs of events of the same user within (0, 1min]. The Spark plan
+  // is the scale-correct banded range join: bucket time into
+  // slide-sized bins, explode the probe side into the two candidate
+  // bins, equi-join on (user, bin), then apply the exact range filter
+  // — shuffle keys stay equi, no CartesianProduct, no range explosion.
+  val qRangeJoin: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("unix_micros(ts) div 60000000").as("bin"))
+    val probe = e.select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+        col("event_id").as("a_id"),
+        explode(array(col("bin"), col("bin") + 1)).as("jbin"))
+    probe.join(e,
+        col("a_user") === col("user_id") && col("jbin") === col("bin") &&
+          col("ts") > col("a_ts") &&
+          col("ts") <= col("a_ts") + expr("INTERVAL 1 MINUTE"))
+      .groupBy(col("a_user").as("user_id_out"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("user_id_out").as("user_id"), col("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT a.user_id, COUNT(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
+  // --- q_null_handling: coalesce/nullif battery ----------------------
+  val qNullHandling: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("recovered")).as("type_or_recovered"),
+        when(col("value") > 100, col("value")).otherwise(lit(null)).as("big_value"),
+        coalesce(when(col("value") > 100, col("value")), lit(-1.0)).as("big_or_default"),
+        isnull(nullif(col("event_type"), lit("click"))).as("is_click"))
+      .orderBy(col("event_id"))
+
+  val qNullHandlingSql: String =
+    """SELECT event_id,
+      |  coalesce(nullif(event_type, 'error'), 'recovered') AS type_or_recovered,
+      |  CASE WHEN value > 100 THEN value ELSE NULL END AS big_value,
+      |  coalesce(CASE WHEN value > 100 THEN value END, -1.0) AS big_or_default,
+      |  nullif(event_type, 'click') IS NULL AS is_click
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // --- etl_extract_mpn: the reference's entity extraction ------------
+  // extractor_v03._extract_mpn tries LMR/TPS/LM prefixes in order;
+  // _extract_manufacturer keyword-matches. Applied over synthetic page
+  // text built from part rows so every branch is exercised.
+  val etlExtractMpn: Q = (s, d) => {
+    val page = concat(
+      element_at(array(lit("datasheet LMR"), lit("spec TPS"), lit("ref LM"), lit("misc X")),
+        (pmod(col("p_partkey"), lit(4)) + 1).cast("int")),
+      col("p_partkey").cast("string"), lit("A "),
+      element_at(array(lit("by Texas Instruments"), lit("by Analog Devices"),
+        lit("by onsemi"), lit("no vendor")),
+        (pmod(col("p_partkey"), lit(4)) + 1).cast("int")))
+    val mpn = coalesce(
+      nullif(regexp_extract(page, "LMR[0-9]+[A-Z]*", 0), lit("")),
+      nullif(regexp_extract(page, "TPS[0-9]+[A-Z]*", 0), lit("")),
+      nullif(regexp_extract(page, "LM[0-9]+[A-Z]*", 0), lit("")),
+      lit("Unknown"))
+    val mfr = when(lower(page).contains("texas instruments"), "Texas Instruments")
+      .when(lower(page).contains("analog devices"), "Analog Devices")
+      .when(lower(page).contains("onsemi"), "onsemi")
+      .otherwise("Unknown")
+    Tables.part(s, d)
+      .select(col("p_partkey"), mpn.as("mpn"), mfr.as("manufacturer"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val etlExtractMpnSql: String =
+    """WITH pages AS (
+      |  SELECT p_partkey,
+      |    (['datasheet LMR', 'spec TPS', 'ref LM', 'misc X'])[(p_partkey % 4) + 1]
+      |      || CAST(p_partkey AS VARCHAR) || 'A '
+      |      || (['by Texas Instruments', 'by Analog Devices', 'by onsemi', 'no vendor'])[(p_partkey % 4) + 1]
+      |    AS page
+      |  FROM part)
+      |SELECT p_partkey,
+      |  coalesce(
+      |    nullif(regexp_extract(page, 'LMR[0-9]+[A-Z]*', 0), ''),
+      |    nullif(regexp_extract(page, 'TPS[0-9]+[A-Z]*', 0), ''),
+      |    nullif(regexp_extract(page, 'LM[0-9]+[A-Z]*', 0), ''),
+      |    'Unknown') AS mpn,
+      |  CASE WHEN lower(page) LIKE '%texas instruments%' THEN 'Texas Instruments'
+      |       WHEN lower(page) LIKE '%analog devices%' THEN 'Analog Devices'
+      |       WHEN lower(page) LIKE '%onsemi%' THEN 'onsemi'
+      |       ELSE 'Unknown' END AS manufacturer
+      |FROM pages ORDER BY p_partkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_sliding_window" -> qSlidingWindow,
+    "q_range_join" -> qRangeJoin,
+    "q_null_handling" -> qNullHandling,
+    "etl_extract_mpn" -> etlExtractMpn)
+
+  val oracles: Map[String, String] = Map(
+    "q_sliding_window" -> qSlidingWindowSql,
+    "q_range_join" -> qRangeJoinSql,
+    "q_null_handling" -> qNullHandlingSql,
+    "etl_extract_mpn" -> etlExtractMpnSql)
+}
