@@ -66,9 +66,43 @@ object Similarity {
       Seq(("cosine", true), ("vec_id", false)), TOPK))
   }
 
+  // --- ann_ivf: inverted-file index with deterministic centroids -----
+  // Coarse quantizer = the first NCENT corpus vectors (deterministic
+  // seeds — a k-means refinement would train them, the search path is
+  // identical). Corpus vectors are assigned to their nearest centroid
+  // (one TopKPerGroup pass, k=1); queries probe the NPROBE nearest
+  // cells and re-rank exactly within the union of those cells. At
+  // scale the assignment is a write-once index; per-query work drops
+  // from |corpus| to |corpus|·NPROBE/NCENT.
+  private val NCENT = 16
+  private val NPROBE = 2
+
+  val annIvf: Q = (s, d) => {
+    val corpus = Tables.embeddings(s, d)
+    val cents = corpus.filter(col("vec_id") < NCENT)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    def assign(df: DataFrame, idCol: String, vecCol: String, probes: Int): DataFrame =
+      TopK.topKPerGroup(
+        df.crossJoin(broadcast(cents))
+          .select(col(idCol), col(vecCol),
+            col("cent_id"), Expr.dotProduct(col(vecCol), col("cvec")).as("cdist")),
+        Seq(idCol), Seq(("cdist", true), ("cent_id", false)), probes)
+    val indexed = assign(corpus, "vec_id", "embedding", 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val probes = assign(queriesDf(s, d), "query_id", "qvec", NPROBE)
+      .select(col("query_id"), col("qvec"), col("cent_id"))
+    val scored = indexed.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Expr.dotProduct(col("qvec"), col("embedding")).as("cosine"))
+    ranked(TopK.topKPerGroup(scored, Seq("query_id"),
+      Seq(("cosine", true), ("vec_id", false)), TOPK))
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> annBruteforce,
-    "ann_lsh" -> annLsh)
+    "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf)
 
   /** Rows-only: DuckDB list_cosine_similarity interpolates differently
     * at the last ulp; exactness is covered by SimilaritySpec instead.

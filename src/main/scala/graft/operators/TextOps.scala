@@ -123,15 +123,70 @@ object TextOps {
         Expr.simhash64(toks(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
 
+  // --- pipe_clean_corpus: the end-to-end training-data clean ---------
+  // quality filter → language filter → exact dedup, composed from the
+  // operators above in one declarative plan (what a 100 TB corpus
+  // clean actually runs): no intermediate materialization, one
+  // aggregation shuffle at the dedup.
+  val pipeCleanCorpus: Q = (s, d) => {
+    val t = toks(col("text"))
+    val stopHits = size(filter(t, x => x.isin(stopwords: _*))).cast("double")
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(t, array(words.map(lit): _*))).cast("long")
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, sc)) =>
+      when(acc.isNull && sc === best, lang).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("stop_ratio", stopHits / col("n_tokens"))
+      .filter(col("n_tokens") >= 30 && col("stop_ratio") > 0)
+      .filter(pred === "en")
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .groupBy(md5(col("norm")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"),
+        min(col("n_tokens")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pipeCleanCorpusSql: String = {
+    val sw = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scoreExprs = langProfiles.map { case (l, ws) =>
+      s"CAST(len(list_intersect(string_split(text, ' '), ${arr(ws)})) AS BIGINT) AS score_$l"
+    }.mkString(",\n    ")
+    val caseChain = langProfiles.map { case (l, _) => s"WHEN score_$l = best THEN '$l'" }.mkString(" ")
+    s"""WITH scored AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> list_contains($sw, x))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stop_ratio,
+      |    $scoreExprs
+      |  FROM documents),
+      |flagged AS (
+      |  SELECT *, greatest(score_en, score_es, score_fr, score_de, score_zh) AS best FROM scored),
+      |kept AS (
+      |  SELECT doc_id, text, n_tokens FROM flagged
+      |  WHERE n_tokens >= 30 AND stop_ratio > 0 AND (CASE $caseChain END) = 'en')
+      |SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens, COUNT(*) AS n_dups
+      |FROM kept
+      |GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
-    "text_fingerprint" -> textFingerprint)
+    "text_fingerprint" -> textFingerprint,
+    "pipe_clean_corpus" -> pipeCleanCorpus)
 
   /** text_fingerprint is hash-function-specific → rows-only check. */
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
-    "text_langid" -> textLangidSql)
+    "text_langid" -> textLangidSql,
+    "pipe_clean_corpus" -> pipeCleanCorpusSql)
 }

@@ -61,6 +61,19 @@ object Sources {
   def exportJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Bucketed managed table: pre-shuffled on the join/agg key so
+    * downstream equi-joins between tables bucketed the same way run
+    * with NO exchange — the 100 TB co-location strategy for repeated
+    * fact-fact joins.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int,
+      sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** Flatten a struct column into top-level columns (CSV-compatible
     * rows, reference flatten_params).
     */

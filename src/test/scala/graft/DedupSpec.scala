@@ -82,6 +82,16 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_ivf achieves reasonable recall vs bruteforce") {
+    val exact = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(ivf.size == exact.size, "ivf must fill k slots per query")
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.2, s"ivf recall $recall suspiciously low for nprobe=2/16 cells")
+  }
+
   test("ann_lsh results are a subset of bruteforce candidate space with correct scores") {
     val exact = Similarity.annBruteforce(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cosine")).toMap

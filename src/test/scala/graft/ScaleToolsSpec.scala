@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+import graft.sources.Sources
+
+class ScaleToolsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("saltedJoin result equals plain join") {
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey")).count()
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", 8).count()
+    assert(salted == plain)
+  }
+
+  test("saltedJoin shuffles on (key, salt)") {
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    // disable broadcast so the hash-partitioned path shows
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Skew.saltedJoin(li, o, "l_orderkey", 8).queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), s"salt column missing from shuffle:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("topKeys finds the heaviest key") {
+    val top = Skew.topKeys(Tables.lineitem(spark, sf), "l_suppkey", 1).collect()(0)
+    val counts = Tables.lineitem(spark, sf).groupBy("l_suppkey").count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(top.getAs[Long]("count") == counts.max)
+  }
+
+  test("bucketed tables join without an exchange") {
+    // warehouse dir is a static conf; the default ./spark-warehouse is
+    // used and the tables are dropped below
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Sources.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 4)
+      Sources.writeBucketed(
+        Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", "o_orderkey", 4)
+      val j = spark.table("lineitem_b").join(spark.table("orders_b"), Seq("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(j.count() == Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
