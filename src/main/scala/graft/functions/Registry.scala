@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Registers the custom expressions for `spark.sql(...)` users:
+  * `SELECT simhash64(tokens), cosine_similarity(a, b) ...`.
+  * Idempotent — `createOrReplaceTempFunction` per session.
+  */
+object Registry {
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      es => Expr.CosineSimilarity(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => Expr.DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => Expr.SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hamming64",
+      es => Expr.HammingDistance64(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash",
+      es => Expr.RollingHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => {
+        val k = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => other.eval(null).asInstanceOf[Int]
+        }
+        Expr.MinHashSignature(es.head, k)
+      }, "scala_udf")
+  }
+}

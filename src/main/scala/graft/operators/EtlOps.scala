@@ -285,7 +285,50 @@ object EtlOps {
       |  trim(regexp_replace('  ' || regexp_replace(text, ' ', '   ', 'g') || ' ' || chr(9), '\s+', ' ', 'g')) = text AS roundtrip_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- etl_merge_fragments: cross-page table fragment merging --------
+  // merge_detector/enhance_table_extraction: a table spanning pages
+  // appears as consecutive fragments with the same header row; merge
+  // runs of equal header signatures into one logical table. Model:
+  // documents ordered within source are "pages"; header signature =
+  // first two tokens. Same lag + cumulative-sum pattern as
+  // sessionization, keyed on signature change — one window shuffle.
+  val etlMergeFragments: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val sig = concat_ws(" ", slice(split(col("text"), " "), 1, 2))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("header_sig", sig)
+      .withColumn("new_table",
+        when(lag(col("header_sig"), 1).over(w).isNull ||
+          lag(col("header_sig"), 1).over(w) =!= col("header_sig"), 1L).otherwise(0L))
+      .withColumn("table_seq", sum(col("new_table")).over(cum))
+      .groupBy(col("source"), col("table_seq"))
+      .agg(count(lit(1)).as("n_fragments"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        min(col("header_sig")).as("header_sig"))
+      .orderBy(col("source"), col("table_seq"))
+  }
+
+  val etlMergeFragmentsSql: String =
+    """WITH sig AS (
+      |  SELECT source, doc_id,
+      |    array_to_string(string_split(text, ' ')[1:2], ' ') AS header_sig
+      |  FROM documents),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(header_sig) OVER w IS NULL
+      |                 OR lag(header_sig) OVER w <> header_sig THEN 1 ELSE 0 END AS new_table
+      |  FROM sig WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+      |seqd AS (
+      |  SELECT *, SUM(new_table) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS table_seq
+      |  FROM flagged)
+      |SELECT source, CAST(table_seq AS BIGINT) AS table_seq, COUNT(*) AS n_fragments,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc, min(header_sig) AS header_sig
+      |FROM seqd GROUP BY source, table_seq ORDER BY source, table_seq""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "etl_merge_fragments" -> etlMergeFragments,
     "etl_parse_values" -> etlParseValues,
     "etl_fill_down" -> etlFillDown,
     "etl_double_verify" -> etlDoubleVerify,
@@ -296,6 +339,7 @@ object EtlOps {
     "etl_clean_cells" -> etlCleanCells)
 
   val oracles: Map[String, String] = Map(
+    "etl_merge_fragments" -> etlMergeFragmentsSql,
     "etl_parse_values" -> etlParseValuesSql,
     "etl_fill_down" -> etlFillDownSql,
     "etl_double_verify" -> etlDoubleVerifySql,

@@ -128,7 +128,21 @@ object Relational3 {
       |       ELSE 'Unknown' END AS manufacturer
       |FROM pages ORDER BY p_partkey""".stripMargin
 
+  // --- q_approx: sketch aggregates (HLL + quantile sketch) -----------
+  // The constant-memory path for 100 TB cardinality/quantile questions
+  // (exact counterparts: q_distinct, q_percentiles). Deterministic for
+  // a given input, but engine-specific → rows-only gate + spec bounds.
+  val qApprox: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_med_price"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, Q] = Map(
+    "q_approx" -> qApprox,
     "q_sliding_window" -> qSlidingWindow,
     "q_range_join" -> qRangeJoin,
     "q_null_handling" -> qNullHandling,

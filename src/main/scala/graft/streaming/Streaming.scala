@@ -34,6 +34,18 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase joined to clicks of
+    * the same user within the preceding hour. Watermarks bound the
+    * join state on both sides — without them a stream-stream join
+    * buffers forever.
+    */
+  def streamStreamJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("p_ts", "2 hours")
+    val c = clicks.withWatermark("c_ts", "2 hours")
+    p.join(c,
+      expr("""p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"""))
+  }
+
   // --- stateful sessionization (flatMapGroupsWithState) --------------
   case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
   case class SessionState(start: Long, last: Long, n: Int)

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Registry
+import graft.operators.Relational3
+
+class Relational3Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_approx sketches land within tolerance of exact") {
+    Relational3.qApprox(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"HLL error too large: $approx vs $exact")
+    }
+  }
+
+  test("custom functions are callable from SQL after registration") {
+    Registry.registerAll(spark)
+    val row = spark.sql(
+      """SELECT simhash64(split('a b c', ' ')) AS s,
+        |  hamming64(7L, 1L) AS h,
+        |  dot_product(array(cast(1.0 as float), cast(2.0 as float)),
+        |              array(cast(3.0 as float), cast(4.0 as float))) AS d,
+        |  size(minhash_signature(split('a b c', ' '), 16)) AS m
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Int]("h") == 2)
+    assert(row.getAs[Double]("d") == 11.0)
+    assert(row.getAs[Int]("m") == 16)
+  }
+
+  test("range join bins never miss pairs at bin boundaries") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two events 59.9s apart straddling a 60s bin boundary
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:59"), 1L, 0.0),
+      (1L, ts("2024-01-01 10:01:58"), 2L, 0.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("rj").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Relational3.qRangeJoin(spark, dir).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n_pairs") == 1L,
+      s"boundary pair missed: ${out.mkString}")
+  }
+}

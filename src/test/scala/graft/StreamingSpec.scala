@@ -79,6 +79,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with recent clicks") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pm = MemoryStream[(java.sql.Timestamp, Long)]
+    val cm = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = Streaming.streamStreamJoin(
+        pm.toDF().toDF("p_ts", "p_user"), cm.toDF().toDF("c_ts", "c_user"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj").start()
+    try {
+      val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+      cm.addData((ts("2024-01-01 09:30:00"), 1L), (ts("2024-01-01 07:00:00"), 1L))
+      pm.addData((ts("2024-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+      // only the 09:30 click is within the hour before the purchase
+      assert(rows.length == 1)
+      assert(rows(0).getAs[java.sql.Timestamp]("c_ts") == ts("2024-01-01 09:30:00"))
+    } finally q.stop()
+  }
+
   test("batch sessionize matches stateful semantics on sf0.001") {
     val sessions = Streaming.streamSessionize(spark, sf).collect()
     assert(sessions.nonEmpty)
