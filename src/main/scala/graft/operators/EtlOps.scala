@@ -327,7 +327,33 @@ object EtlOps {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc, min(header_sig) AS header_sig
       |FROM seqd GROUP BY source, table_seq ORDER BY source, table_seq""".stripMargin
 
+  // --- etl_field_verify: the faithful field-level verifier -----------
+  // Two synthetic extraction runs built from part: the "rule" run
+  // perturbs every 5th value by ~3% and rewrites units to an alias.
+  // FieldVerify reproduces the reference's comparator chain exactly
+  // (RefVectorsSpec runs the reference's own test vectors against it).
+  val etlFieldVerify: Q = (s, d) => {
+    def longForm(perturbed: Boolean) = {
+      val p = Tables.part(s, d)
+      val value =
+        if (!perturbed) col("p_retailprice").cast("string")
+        else when(pmod(col("p_partkey"), lit(5)) === 0,
+            (col("p_retailprice") * 1.03).cast("string"))
+          .otherwise(col("p_retailprice").cast("string"))
+      val unit = if (!perturbed) lit("mV") else lit("millivolt")
+      p.select(col("p_partkey").as("doc"), col("p_brand").as("param"),
+          value.as("v"), unit.as("u"))
+        .select(col("doc"), col("param"),
+          explode(map(lit("Value"), col("v"), lit("Unit"), col("u"))).as(Seq("field", "value")))
+    }
+    FieldVerify.verifySummary(
+        FieldVerify.fieldConflicts(longForm(false), longForm(true), Seq("doc")),
+        Seq("doc"))
+      .orderBy(col("doc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_field_verify" -> etlFieldVerify,
     "etl_merge_fragments" -> etlMergeFragments,
     "etl_parse_values" -> etlParseValues,
     "etl_fill_down" -> etlFillDown,
