@@ -19,7 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional subset filter: SPARK_GRAFT_QUERIES=q1_agg,dedup_minhash
+    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) => qs.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       try {

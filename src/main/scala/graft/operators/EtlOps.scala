@@ -352,7 +352,62 @@ object EtlOps {
       .orderBy(col("doc"))
   }
 
+  // --- etl_param_pivot: review_adapter parameter grouping ------------
+  // review_adapter.py:101 _group_parameters: flat keys foo_min /
+  // foo_typ / foo_max / foo_unit regroup into per-parameter entries,
+  // with the unit copied onto each min/typ/max entry. One left join on
+  // (doc, unit-key); flat params built deterministically from part.
+  val etlParamPivot: Q = (s, d) => {
+    val flat = Tables.part(s, d).select(col("p_partkey").as("doc"),
+        explode(map(
+          lit("vin_min"), col("p_size").cast("string"),
+          lit("vin_typ"), (col("p_size") + 2).cast("string"),
+          lit("vin_max"), (col("p_size") * 2).cast("string"),
+          lit("vin_unit"), lit("V"),
+          lit("iout_max"), col("p_retailprice").cast("string")
+        )).as(Seq("key", "value")))
+    val valueRows = flat
+      .filter(col("key").endsWith("_min") || col("key").endsWith("_typ") ||
+        col("key").endsWith("_max"))
+      .select(col("doc"), col("key").as("param"),
+        concat(expr("substring(key, 1, length(key) - 4)"), lit("_unit")).as("unit_key"),
+        col("value"))
+    val unitRows = flat.filter(col("key").endsWith("_unit"))
+      .select(col("doc"), col("key").as("unit_key"), col("value").as("unit"))
+    val grouped = valueRows
+      .join(unitRows, Seq("doc", "unit_key"), "left")
+      .select(col("doc"), col("param"), col("value"), col("unit"))
+    val bare = unitRows.select(col("doc"),
+      expr("substring(unit_key, 1, length(unit_key) - 5)").as("param"),
+      lit(null).cast("string").as("value"), col("unit"))
+    grouped.unionByName(bare).orderBy(col("doc"), col("param"))
+  }
+
+  val etlParamPivotSql: String =
+    """WITH flat AS (
+      |  SELECT p_partkey AS doc, kv.key, kv.value FROM part,
+      |  UNNEST(map_entries(MAP {
+      |    'vin_min': CAST(p_size AS VARCHAR),
+      |    'vin_typ': CAST(p_size + 2 AS VARCHAR),
+      |    'vin_max': CAST(p_size * 2 AS VARCHAR),
+      |    'vin_unit': 'V',
+      |    'iout_max': CAST(p_retailprice AS VARCHAR)})) AS t(kv)),
+      |vals AS (
+      |  SELECT doc, key AS param,
+      |    substring(key, 1, length(key) - 4) || '_unit' AS unit_key, value
+      |  FROM flat WHERE key LIKE '%\_min' ESCAPE '\' OR key LIKE '%\_typ' ESCAPE '\' OR key LIKE '%\_max' ESCAPE '\'),
+      |units AS (
+      |  SELECT doc, key AS unit_key, value AS unit FROM flat WHERE key LIKE '%\_unit' ESCAPE '\')
+      |SELECT doc, param, value, unit FROM (
+      |  SELECT v.doc, v.param, v.value, u.unit
+      |  FROM vals v LEFT JOIN units u ON v.doc = u.doc AND v.unit_key = u.unit_key
+      |  UNION ALL
+      |  SELECT doc, substring(unit_key, 1, length(unit_key) - 5) AS param, NULL AS value, unit
+      |  FROM units) z
+      |ORDER BY doc, param""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "etl_param_pivot" -> etlParamPivot,
     "etl_field_verify" -> etlFieldVerify,
     "etl_merge_fragments" -> etlMergeFragments,
     "etl_parse_values" -> etlParseValues,
@@ -365,6 +420,7 @@ object EtlOps {
     "etl_clean_cells" -> etlCleanCells)
 
   val oracles: Map[String, String] = Map(
+    "etl_param_pivot" -> etlParamPivotSql,
     "etl_merge_fragments" -> etlMergeFragmentsSql,
     "etl_parse_values" -> etlParseValuesSql,
     "etl_fill_down" -> etlFillDownSql,

@@ -64,6 +64,15 @@ class DedupSpec extends AnyFunSuite {
     assert(ham <= 16, s"hamming $ham too large for 1% token change")
   }
 
+  test("clusterPairs assigns min-id labels across chains") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("dedup_embedding pairs are ordered by cosine desc") {
     val rows = Dedup.dedupEmbedding(spark, sf).collect()
     assert(rows.nonEmpty)
