@@ -141,7 +141,51 @@ object Relational3 {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_med_price"))
       .orderBy(col("l_returnflag"))
 
+  // --- q_outer_join: full outer with null-side aggregation -----------
+  val qOuterJoin: Q = (s, d) => {
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+    Tables.customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        col("c_custkey").isNull.as("customer_missing"))
+      .orderBy(col("custkey"))
+  }
+
+  val qOuterJoinSql: String =
+    """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+      |  coalesce(n_big, 0) AS n_big,
+      |  c_custkey IS NULL AS customer_missing
+      |FROM customer
+      |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+      |                 WHERE o_totalprice > 400000 GROUP BY o_custkey) b
+      |  ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  // --- q_set_ops: INTERSECT / EXCEPT ---------------------------------
+  val qSetOps: Q = (s, d) => {
+    val buyers = Tables.orders(s, d).select(col("o_custkey").as("custkey")).distinct()
+    val rich = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    val both = buyers.intersect(rich).withColumn("set_op", lit("intersect"))
+    val richNoOrders = rich.except(buyers).withColumn("set_op", lit("except"))
+    both.unionByName(richNoOrders).orderBy(col("set_op"), col("custkey"))
+  }
+
+  val qSetOpsSql: String =
+    """SELECT custkey, 'intersect' AS set_op FROM
+      |  (SELECT DISTINCT o_custkey AS custkey FROM orders
+      |   INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |UNION ALL
+      |SELECT custkey, 'except' AS set_op FROM
+      |  (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      |   EXCEPT SELECT DISTINCT o_custkey FROM orders)
+      |ORDER BY set_op, custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_outer_join" -> qOuterJoin,
+    "q_set_ops" -> qSetOps,
     "q_approx" -> qApprox,
     "q_sliding_window" -> qSlidingWindow,
     "q_range_join" -> qRangeJoin,
@@ -149,6 +193,8 @@ object Relational3 {
     "etl_extract_mpn" -> etlExtractMpn)
 
   val oracles: Map[String, String] = Map(
+    "q_outer_join" -> qOuterJoinSql,
+    "q_set_ops" -> qSetOpsSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_range_join" -> qRangeJoinSql,
     "q_null_handling" -> qNullHandlingSql,
