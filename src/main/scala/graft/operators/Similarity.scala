@@ -52,12 +52,20 @@ object Similarity {
   }
 
   // --- ann_lsh: hyperplane-bucketed approximate top-k ----------------
+  // Multiprobe: each query also probes the 8 buckets at hamming
+  // distance 1 from its own (flip one hyperplane sign) — the standard
+  // recall fix for vectors that fall near a hyperplane, at 9x the
+  // probed cells but still |corpus|/2^planes work per probe.
+  private val PLANES = 8
+
   val annLsh: Q = (s, d) => {
-    val planes = Dedup.hyperplanes(8, 64)
+    val planes = Dedup.hyperplanes(PLANES, 64)
     val corpus = Tables.embeddings(s, d)
       .withColumn("bucket", Dedup.bucketOf(col("embedding"), planes))
+    val qbucket = Dedup.bucketOf(col("qvec"), planes)
+    val probes = array((lit(0L) +: (0 until PLANES).map(i => lit(1L << i))): _*)
     val qs = queriesDf(s, d)
-      .withColumn("qbucket", Dedup.bucketOf(col("qvec"), planes))
+      .withColumn("qbucket", explode(transform(probes, flip => qbucket.bitwiseXOR(flip))))
     val scored = corpus.join(broadcast(qs),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

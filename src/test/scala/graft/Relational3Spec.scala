@@ -31,6 +31,15 @@ class Relational3Spec extends AnyFunSuite {
     assert(row.getAs[Int]("m") == 16)
   }
 
+  test("SqlFrontend exposes tables + custom functions to pure SQL") {
+    SqlFrontend.register(spark, sf)
+    val row = spark.sql(
+      """SELECT count(*) AS n,
+        |  (SELECT simhash64(split(min(text), ' ')) FROM documents) AS fp
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin).collect()(0)
+    assert(row.getAs[Long]("n") > 0)
+  }
+
   test("range join bins never miss pairs at bin boundaries") {
     val spark2 = spark
     import spark2.implicits._
