@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, EtlOps, MultiModal, Relational, Relational2, Relational3, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, EtlOps, MultiModal, RegionOps, Relational, Relational2, Relational3, Similarity, TextOps}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++ AsOf.queries ++
       EtlOps.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ MultiModal.queries ++
-      Streaming.queries
+      RegionOps.queries ++ Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +24,5 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ AsOf.oracles ++
       EtlOps.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ MultiModal.oracles ++
-      Streaming.oracles
+      RegionOps.oracles ++ Streaming.oracles
 }

@@ -70,6 +70,26 @@ object Kernels {
     out
   }
 
+  /** Sign-bit bucket of `vec` against `planes` (row-major
+    * nPlanes × dim floats) — one pass over the vector per plane set,
+    * replacing nPlanes separate dot-product expressions.
+    */
+  def hyperplaneBucket(vec: ArrayData, planes: Array[Float], dim: Int): Long = {
+    val nPlanes = planes.length / dim
+    val n = math.min(vec.numElements(), dim)
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      val off = p * dim
+      var i = 0
+      while (i < n) { dot += vec.getFloat(i) * planes(off + i); i += 1 }
+      if (dot > 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   def rollingHash(arr: ArrayData): Long = {
     var acc = 1469598103934665603L // FNV offset basis
     var i = 0

@@ -104,6 +104,25 @@ object Expr {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Hyperplane-LSH bucket id: sign bits of the vector against a fixed
+    * plane matrix, fused into one pass (vs nPlanes dot-product
+    * expressions re-reading the array).
+    */
+  case class HyperplaneBucket(child: Expression, planes: Array[Float], dim: Int)
+      extends UnaryExpression {
+    require(planes.length % dim == 0 && planes.length / dim <= 63,
+      s"planes length ${planes.length} not a ≤63 multiple of dim $dim")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hyperplane_bucket"
+    override def nullSafeEval(v: Any): Any =
+      Kernels.hyperplaneBucket(v.asInstanceOf[ArrayData], planes, dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planes, "float[]")
+      defineCodeGen(ctx, ev, a => s"$K.hyperplaneBucket($a, $ref, $dim)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // --- Column-API wrappers -------------------------------------------
   private def c(e: Expression): Column = GraftBridge.column(e)
   private def e(col: Column): Expression = GraftBridge.expression(col)
@@ -114,4 +133,8 @@ object Expr {
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def hamming64(a: Column, b: Column): Column = c(HammingDistance64(e(a), e(b)))
   def rollingHash(tokens: Column): Column = c(RollingHash(e(tokens)))
+  def hyperplaneBucket(vec: Column, planes: Array[Array[Float]]): Column = {
+    val dim = planes.head.length
+    c(HyperplaneBucket(e(vec), planes.flatten, dim))
+  }
 }

@@ -148,11 +148,11 @@ object Dedup {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
-  /** Bucket id = sign bits of the vector against each hyperplane. */
+  /** Bucket id = sign bits of the vector against each hyperplane
+    * (fused single-pass expression).
+    */
   private[operators] def bucketOf(vec: Column, planes: Array[Array[Float]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(Expr.dotProduct(vec, typedlit(p)) > 0.0, 1L << i).otherwise(0L)
-    }.reduce(_ + _)
+    Expr.hyperplaneBucket(vec, planes)
 
   val dedupEmbedding: Q = (s, d) => {
     val planes = hyperplanes(8, 64)
