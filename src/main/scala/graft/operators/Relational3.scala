@@ -183,7 +183,43 @@ object Relational3 {
       |   EXCEPT SELECT DISTINCT o_custkey FROM orders)
       |ORDER BY set_op, custkey""".stripMargin
 
+  // --- q_weighted_avg: custom typed Aggregator (udaf path) -----------
+  // Discount-weighted average price per return flag through
+  // graft.functions.WeightedAvg — exact decimal partials, double
+  // division at finish, matching the plain-SQL oracle bit-for-bit.
+  val qWeightedAvg: Q = (s, d) => {
+    val wavg = udaf(graft.functions.WeightedAvg)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(wavg(
+        col("l_extendedprice").cast(DecimalType(18, 2)),
+        col("l_quantity").cast(DecimalType(18, 2))).as("wavg_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qWeightedAvgSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --- q_explode: token frequencies via lateral explode ---------------
+  val qExplode: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  val qExplodeSql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_weighted_avg" -> qWeightedAvg,
+    "q_explode" -> qExplode,
     "q_outer_join" -> qOuterJoin,
     "q_set_ops" -> qSetOps,
     "q_approx" -> qApprox,
@@ -193,6 +229,8 @@ object Relational3 {
     "etl_extract_mpn" -> etlExtractMpn)
 
   val oracles: Map[String, String] = Map(
+    "q_weighted_avg" -> qWeightedAvgSql,
+    "q_explode" -> qExplodeSql,
     "q_outer_join" -> qOuterJoinSql,
     "q_set_ops" -> qSetOpsSql,
     "q_sliding_window" -> qSlidingWindowSql,
