@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, EtlOps, MultiModal, RegionOps, Relational, Relational2, Relational3, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, EtlOps, MultiModal, RegionOps, Relational, Relational2, Relational3, Relational4, Similarity, TextOps}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Relational2.queries ++ Relational3.queries ++ AsOf.queries ++
+    Relational.queries ++ Relational2.queries ++ Relational3.queries ++
+      Relational4.queries ++ AsOf.queries ++
       EtlOps.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ MultiModal.queries ++
       RegionOps.queries ++ Streaming.queries
@@ -21,7 +22,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ AsOf.oracles ++
+    Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
+      Relational4.oracles ++ AsOf.oracles ++
       EtlOps.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ MultiModal.oracles ++
       RegionOps.oracles ++ Streaming.oracles
