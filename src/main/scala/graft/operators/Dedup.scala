@@ -66,7 +66,10 @@ object Dedup {
 
   // --- dedup_minhash: LSH candidate pairs + signature similarity -----
   val dedupMinhash: Q = (s, d) => {
-    val sigs = signatures(s, d).cache()
+    // cache, not checkpoint: CacheManager matches the canonicalized
+    // plan, so repeated executions in a session (and the multiple
+    // reads within this query) reuse one materialization
+    val sigs = signatures(s, d).select(col("doc_id"), col("sig")).cache()
     val b = banded(sigs)
     val pairs = b.as("x").join(b.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
