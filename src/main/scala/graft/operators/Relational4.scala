@@ -115,13 +115,37 @@ object Relational4 {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // --- q_correlated: correlated scalar subquery ----------------------
+  // Customers whose account balance exceeds their own average order
+  // value — a per-row correlated aggregate, which Catalyst decorrelates
+  // into a join (no per-row re-execution at scale).
+  val qCorrelated: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_cust_corr")
+    Tables.orders(s, d).createOrReplaceTempView("graft_ord_corr")
+    s.sql(
+      """SELECT c_custkey, c_acctbal
+        |FROM graft_cust_corr
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) / 50
+        |                   FROM graft_ord_corr WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val qCorrelatedSql: String =
+    """SELECT c_custkey, c_acctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) / 50
+      |                   FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_correlated" -> qCorrelated,
     "q_math_funcs" -> qMathFuncs,
     "q_datetime_funcs" -> qDatetimeFuncs,
     "q_conditional_agg" -> qConditionalAgg,
     "q_grouping_sets" -> qGroupingSets)
 
   val oracles: Map[String, String] = Map(
+    "q_correlated" -> qCorrelatedSql,
     "q_math_funcs" -> qMathFuncsSql,
     "q_datetime_funcs" -> qDatetimeFuncsSql,
     "q_conditional_agg" -> qConditionalAggSql,
