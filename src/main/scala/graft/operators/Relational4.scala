@@ -24,8 +24,14 @@ object Relational4 {
         floor(col("o_totalprice") / 1000).cast("long").as("floor_k"),
         signum(col("o_totalprice") - 250000).as("sign_diff"),
         pmod(col("o_orderkey"), lit(97)).as("mod97"),
-        round(log(col("o_totalprice")), 9).as("ln_price"),
-        round(pow(col("o_totalprice"), 0.5) - sqrt(col("o_totalprice")), 9).as("pow_check"))
+        // Transcendentals can differ by 1 ulp between JVM and libm, and
+        // Spark round() (HALF_UP) vs DuckDB round() (HALF_EVEN) diverge on
+        // exact .5 boundaries. Use the identical IEEE-exact formula
+        // floor(x*1e6 + 0.5)/1e6 on BOTH sides: multiply/add/floor/divide
+        // are bit-deterministic, and the result can never be -0.0.
+        (floor(log(col("o_totalprice")) * 1e6 + 0.5) / 1e6).as("ln_price"),
+        (floor((pow(col("o_totalprice"), 0.5) - sqrt(col("o_totalprice"))) * 1e6 + 0.5) / 1e6)
+          .as("pow_check"))
       .orderBy(col("o_orderkey"))
 
   val qMathFuncsSql: String =
@@ -36,8 +42,8 @@ object Relational4 {
       |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS floor_k,
       |  CAST(sign(o_totalprice - 250000) AS DOUBLE) AS sign_diff,
       |  o_orderkey % 97 AS mod97,
-      |  CAST(round(ln(o_totalprice), 9) AS DOUBLE) AS ln_price,
-      |  CAST(round(pow(o_totalprice, 0.5) - sqrt(o_totalprice), 9) AS DOUBLE) AS pow_check
+      |  floor(ln(o_totalprice) * 1e6 + 0.5) / 1e6 AS ln_price,
+      |  floor((pow(o_totalprice, 0.5) - sqrt(o_totalprice)) * 1e6 + 0.5) / 1e6 AS pow_check
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   // --- q_datetime_funcs -----------------------------------------------
@@ -69,6 +75,12 @@ object Relational4 {
       |FROM events ORDER BY event_id""".stripMargin
 
   // --- q_conditional_agg ----------------------------------------------
+  // Exact cents * 1e9 headroom keeps orderkeys unique up to 1e9 rows
+  // (sf ≈ 167) without overflowing Long (max cents ~5.6e7 → key ~5.6e16).
+  private val centsKey: Column =
+    (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long") *
+      1000000000L + col("o_orderkey")
+
   val qConditionalAgg: Q = (s, d) =>
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
@@ -76,13 +88,14 @@ object Relational4 {
         count_if(col("o_totalprice") > 300000).as("n_big"),
         bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
         bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
-        // exact integer composite (price-cents, orderkey) → deterministic ties
-        max_by(col("o_orderkey"),
-          round(col("o_totalprice") * 100).cast("long") * 10000000L + col("o_orderkey"))
-          .as("max_price_key"),
-        min_by(col("o_orderkey"),
-          round(col("o_totalprice") * 100).cast("long") * 10000000L + col("o_orderkey"))
-          .as("min_price_key"))
+        // Exact-integer composite key (price-cents, orderkey). The cents
+        // come from a double→DECIMAL(18,2) cast, never round(double*100):
+        // price*100 in FP can land exactly on an n+0.5 boundary where
+        // Spark HALF_UP and DuckDB HALF_EVEN disagree, but a half-cent
+        // (k/1000, 5 last digit) is never binary-representable, so the
+        // decimal cast rounds identically in both engines.
+        max_by(col("o_orderkey"), centsKey).as("max_price_key"),
+        min_by(col("o_orderkey"), centsKey).as("min_price_key"))
       .orderBy(col("o_orderstatus"))
 
   val qConditionalAggSql: String =
@@ -90,8 +103,8 @@ object Relational4 {
       |  count_if(o_totalprice > 300000) AS n_big,
       |  bool_and(o_totalprice > 1000) AS all_over_1k,
       |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
-      |  max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS max_price_key,
-      |  min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS min_price_key
+      |  max_by(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000000 + o_orderkey) AS max_price_key,
+      |  min_by(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000000 + o_orderkey) AS min_price_key
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // --- q_grouping_sets (SQL surface + GROUPING()) ---------------------
