@@ -63,9 +63,11 @@ object Pipeline {
     */
   def reviewQueue(summary: DataFrame, keys: Seq[String],
       cfg: Config = Config()): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("confidence").asc +: keys.map(col(_).asc): _*)
-    summary.filter(col("confidence") < cfg.confidenceThreshold || col("status") === "needs_review")
-      .withColumn("priority", row_number().over(w).cast("long"))
+    val flagged = summary.filter(
+      col("confidence") < cfg.confidenceThreshold || col("status") === "needs_review")
+    // Range-partitioned two-phase rank: no single-partition window even
+    // when a bad batch floods the queue.
+    operators.Rank.globalRowNumber(
+      flagged, col("confidence").asc +: keys.map(col(_).asc), "priority")
   }
 }

@@ -183,10 +183,11 @@ object EtlOps {
   // review_adapter: needs_review when confidence below threshold;
   // queue ordered by how bad the disagreement is.
   val etlReviewQueue: Q = (s, d) => {
-    val w = Window.orderBy(col("rel_diff").desc, col("o_orderkey"))
-    etlDoubleVerify(s, d)
-      .filter(col("status") === "conflict")
-      .withColumn("priority", row_number().over(w).cast("long"))
+    // Scalable global rank (range-partition + two-phase row_number) —
+    // the queue is big precisely when a batch goes bad, so no
+    // single-partition Window here.
+    val conflicts = etlDoubleVerify(s, d).filter(col("status") === "conflict")
+    Rank.globalRowNumber(conflicts, Seq(col("rel_diff").desc, col("o_orderkey")), "priority")
       .select(col("priority"), col("o_orderkey"), col("rel_diff"), col("severity"))
       .orderBy(col("priority"))
   }

@@ -80,8 +80,10 @@ object Relational {
     val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1997-06-01"))
     val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1997-06-01"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    // orders/customer scale with SF — no broadcast hints; AQE picks the
+    // join strategy from the runtime sizes of the filtered sides.
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(discPrice()).cast("double").as("revenue"))
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
@@ -104,8 +106,8 @@ object Relational {
     val ord = Tables.orders(s, d)
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, d)),
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))

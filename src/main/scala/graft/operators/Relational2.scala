@@ -26,8 +26,9 @@ object Relational2 {
     val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      // supplier/customer scale linearly with SF — leave the strategy to AQE
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -52,7 +53,7 @@ object Relational2 {
   val q10Returns: Q = (s, d) =>
     Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(sum(discPrice()).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
@@ -68,7 +69,7 @@ object Relational2 {
   // --- TPC-H Q14-style: promo revenue share ---------------------------
   val q14Promo: Q = (s, d) =>
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .agg((sum(when(col("p_type") === "PROMO", discPrice())
           .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") * 100.0 /
         sum(discPrice()).cast("double")).as("promo_revenue_pct"))
@@ -87,7 +88,7 @@ object Relational2 {
       .filter(col("sum_qty") > 250)
     Tables.orders(s, d)
       .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
