@@ -22,32 +22,43 @@ object AsOf {
     * with `right.timeCol <= left.timeCol` and equal keys. Right value
     * columns come back `right_`-prefixed (null when no match yet).
     *
-    * @param tieBreak right-side column ordering the "latest" choice
-    *                 among equal timestamps (must be set for
-    *                 deterministic output).
+    * All carried right columns travel in ONE struct filled by a single
+    * `last(_, ignoreNulls)` window, so the chosen match is atomic — a
+    * right row with a NULL value column can never yield a result mixing
+    * columns from different right rows.
+    *
+    * @param tieBreak RIGHT-side column; among right rows with equal
+    *                 (key, time) the one with the greatest tieBreak
+    *                 wins (deterministic "latest" choice).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
       tieBreak: String, rightValueCols: Seq[String]): DataFrame = {
     val sideTag = "__asof_side"
     val carried = rightValueCols :+ timeCol
+    val leftOwn = left.columns.filterNot(c => c == keyCol || c == timeCol)
     val rightTagged = right.select(
-      (Seq(col(keyCol), col(timeCol), lit(0).as(sideTag), lit(null).cast("long").as("__tb")) ++
-        carried.map(c => col(c).as(s"right_$c")) ++
-        left.columns.filterNot(c => c == keyCol || c == timeCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+      (Seq(col(keyCol), col(timeCol), lit(0).as(sideTag),
+        col(tieBreak).cast("long").as("__tb"),
+        struct(carried.map(c => col(c).as(s"right_$c")): _*).as("__match")) ++
+        leftOwn.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val matchType = rightTagged.schema("__match").dataType
     val leftTagged = left.select(
-      (Seq(col(keyCol), col(timeCol), lit(1).as(sideTag), col(tieBreak).cast("long").as("__tb")) ++
-        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"right_$c")) ++
-        left.columns.filterNot(c => c == keyCol || c == timeCol).map(col)): _*)
+      (Seq(col(keyCol), col(timeCol), lit(1).as(sideTag),
+        lit(null).cast("long").as("__tb"),
+        lit(null).cast(matchType).as("__match")) ++
+        leftOwn.map(col)): _*)
     // right rows sort before left rows at the same timestamp → a match
-    // at exactly left.time is included (<= semantics, DuckDB ASOF).
+    // at exactly left.time is included (<= semantics, DuckDB ASOF);
+    // among tied right rows the greatest __tb sorts last and wins the
+    // running `last`.
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col(sideTag), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carried.foldLeft(rightTagged.unionByName(leftTagged)) { (df, c) =>
-      df.withColumn(s"right_$c", last(col(s"right_$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(sideTag) === 1).drop(sideTag, "__tb")
+    rightTagged.unionByName(leftTagged)
+      .withColumn("__match", last(col("__match"), ignoreNulls = true).over(w))
+      .filter(col(sideTag) === 1)
+      .select((Seq(col(keyCol), col(timeCol)) ++ leftOwn.map(col) ++
+        carried.map(c => col(s"__match.right_$c").as(s"right_$c"))): _*)
   }
 
   /** q_asof_join: each purchase event joined to the user's most recent
@@ -59,7 +70,7 @@ object AsOf {
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value").as("click_value"))
-    asofJoin(purchases, clicks, "user_id", "ts", "event_id",
+    asofJoin(purchases, clicks, "user_id", "ts", "click_id",
         Seq("click_id", "click_value"))
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         col("right_ts").as("click_ts"), col("right_click_id").as("click_id"),

@@ -17,6 +17,28 @@ import org.apache.spark.sql.functions._
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Caches created by dedup operators. CacheManager keys on the
+    * canonicalized plan, so repeated invocations over the same tables
+    * reuse one entry (no storage growth); this registry lets a session
+    * release them all once the dedup pass is over.
+    */
+  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def cached(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    liveCaches.add(c)
+    c
+  }
+
+  /** Unpersist every cache the dedup operators created. Call after the
+    * consuming action (or at session teardown) to return executor
+    * storage; safe to call repeatedly.
+    */
+  def releaseCaches(blocking: Boolean = false): Unit = {
+    var d = liveCaches.poll()
+    while (d != null) { d.unpersist(blocking); d = liveCaches.poll() }
+  }
+
   /** Reference-style normalization before exact dedup: lowercase,
     * collapse whitespace (extractor_v03.py:288).
     */
@@ -69,7 +91,7 @@ object Dedup {
     // cache, not checkpoint: CacheManager matches the canonicalized
     // plan, so repeated executions in a session (and the multiple
     // reads within this query) reuse one materialization
-    val sigs = signatures(s, d).select(col("doc_id"), col("sig")).cache()
+    val sigs = cached(signatures(s, d).select(col("doc_id"), col("sig")))
     val b = banded(sigs)
     val pairs = b.as("x").join(b.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -110,8 +132,8 @@ object Dedup {
   val dedupSimhash: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), Expr.simhash64(toks(col("text"))).as("sim"))
-    val groups = docs.groupBy(col("sim"))
-      .agg(collect_list(col("doc_id")).as("ids")).cache()
+    val groups = cached(docs.groupBy(col("sim"))
+      .agg(collect_list(col("doc_id")).as("ids")))
     val chunked = groups.select(col("sim"),
         posexplode(array((0 until CHUNKS).map(ch =>
           shiftrightunsigned(col("sim"), ch * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -145,6 +167,20 @@ object Dedup {
   }
 
   // --- dedup_embedding: hyperplane-bucketed cosine near-dups ---------
+  /** Embedding dimension of the `embeddings` table (TESTDATA.md). */
+  private[graft] val EMB_DIM = 64
+
+  /** Plane count ∝ log2(n / target bucket size), floor 8: expected
+    * bucket population stays ≈ TARGET_BUCKET at any corpus size, so
+    * within-bucket self-join work is bounded instead of O(n²/2^8).
+    */
+  private val TARGET_BUCKET = 256L
+  private val MAX_BUCKET = 2048L
+
+  private[graft] def planesFor(n: Long): Int =
+    math.max(8, math.ceil(
+      math.log(math.max(1.0, n.toDouble / TARGET_BUCKET)) / math.log(2.0)).toInt)
+
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
   private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Float]] = {
     val rnd = new java.util.Random(seed)
@@ -157,13 +193,31 @@ object Dedup {
   private[operators] def bucketOf(vec: Column, planes: Array[Array[Float]]): Column =
     Expr.hyperplaneBucket(vec, planes)
 
+  /** Bucket assignment with a hard size cap: buckets that still exceed
+    * MAX_BUCKET (skewed data defeating the base planes) are sub-split
+    * by an independent plane table, bounding the worst-case self-join
+    * to MAX_BUCKET²-ish work per bucket. One level of splitting — the
+    * recall loss of a split (cross-sub pairs dropped) is the standard
+    * LSH cap tradeoff and only affects pathological buckets.
+    */
+  private[graft] def cappedBuckets(e: DataFrame, vecCol: String, n: Long): DataFrame = {
+    val base = hyperplanes(planesFor(n), EMB_DIM)
+    val extra = hyperplanes(8, EMB_DIM, seed = 13L)
+    val b = e.withColumn("bucket", bucketOf(col(vecCol), base))
+    val sizes = b.groupBy(col("bucket")).agg(count(lit(1)).as("__bsz"))
+    b.join(sizes, "bucket")
+      .withColumn("sub",
+        when(col("__bsz") > MAX_BUCKET, bucketOf(col(vecCol), extra)).otherwise(lit(0L)))
+      .drop("__bsz")
+  }
+
   val dedupEmbedding: Q = (s, d) => {
-    val planes = hyperplanes(8, 64)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        bucketOf(col("embedding"), planes).as("bucket"))
+    val corpus = Tables.embeddings(s, d)
+    val e = cappedBuckets(
+      corpus.select(col("vec_id"), col("embedding")), "embedding", corpus.count())
     e.as("x").join(e.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        col("x.bucket") === col("y.bucket") && col("x.sub") === col("y.sub") &&
+          col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         Expr.dotProduct(col("x.embedding"), col("y.embedding")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))

