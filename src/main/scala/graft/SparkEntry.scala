@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, EtlOps, Inference, MultiModal, RegionOps, Relational, Relational2, Relational3, Relational4, Similarity, TableAssembly, TextOps}
+import graft.operators.{AsOf, Dedup, DiagramOps, EtlOps, Inference, MultiModal, RegionOps, Relational, Relational2, Relational3, Relational4, Similarity, TableAssembly, TextOps}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -17,7 +17,7 @@ object SparkEntry {
       Relational4.queries ++ AsOf.queries ++
       EtlOps.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ MultiModal.queries ++
-      Inference.queries ++ TableAssembly.queries ++
+      Inference.queries ++ TableAssembly.queries ++ DiagramOps.queries ++
       RegionOps.queries ++ Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,6 +27,6 @@ object SparkEntry {
       Relational4.oracles ++ AsOf.oracles ++
       EtlOps.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ MultiModal.oracles ++
-      Inference.oracles ++ TableAssembly.oracles ++
+      Inference.oracles ++ TableAssembly.oracles ++ DiagramOps.oracles ++
       RegionOps.oracles ++ Streaming.oracles
 }

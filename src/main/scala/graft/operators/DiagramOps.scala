@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-structured diagram extraction output — re-expresses the
+  * reference's ExtractedDiagram model (interfaces.py:86: nodes/edges
+  * topology per diagram) and DiagramExtractor._detect_diagram_type
+  * (extractor_v03.py:307 DIAGRAM_PATTERNS, first match wins).
+  *
+  * The topology lives in two long-form frames — nodes(diagram_id,
+  * node_id, label) and edges(diagram_id, src, dst) — and every query
+  * over it is an equi-join keyed on diagram_id, so the quadratic work
+  * is bounded per diagram and the shuffle key is the diagram: the same
+  * bucket-local discipline as the dedup operators. Reachability is
+  * bounded-hop (explicit join per hop), not an unbounded fixpoint —
+  * the right shape for "is OUT fed from VIN"-style datasheet checks.
+  */
+object DiagramOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DIAGRAM_PATTERNS in reference order (first match wins). */
+  private val diagramPatterns = Seq(
+    "block\\s*diagram" -> "block_diagram",
+    "functional\\s*diagram" -> "block_diagram",
+    "typical\\s*application" -> "typical_app",
+    "application\\s*circuit" -> "typical_app",
+    "pin\\s*configuration" -> "pinout",
+    "package" -> "pinout")
+
+  /** _detect_diagram_type: first matching pattern, else NULL. */
+  def detectDiagramType(pageText: Column): Column = {
+    val l = lower(pageText)
+    diagramPatterns.foldRight(lit(null).cast("string"): Column) {
+      case ((pat, dtype), elseCol) => when(l.rlike(pat), dtype).otherwise(elseCol)
+    }
+  }
+
+  /** Per-diagram topology stats over generic nodes/edges frames:
+    * node/edge counts, max fan-out, nodes reachable from node 0 within
+    * 2 hops, and power-rail node count. One aggregation per stat, one
+    * join per hop, all keyed on diagram_id.
+    */
+  def topologyStats(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val nN = nodes.groupBy(col("diagram_id")).agg(
+      count(lit(1)).as("n_nodes"),
+      sum(when(col("label").isin("VIN", "GND"), 1L).otherwise(0L)).as("n_power"))
+    val nE = edges.groupBy(col("diagram_id")).agg(count(lit(1)).as("n_edges"))
+    val fan = edges.groupBy(col("diagram_id"), col("src")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("diagram_id")).agg(max(col("deg")).as("max_fanout"))
+    val hop1 = edges.filter(col("src") === 0).select(col("diagram_id"), col("dst"))
+    val hop2 = hop1.as("h").join(edges.as("e"),
+        col("h.diagram_id") === col("e.diagram_id") && col("h.dst") === col("e.src"))
+      .select(col("h.diagram_id").as("diagram_id"), col("e.dst").as("dst"))
+    val reach = hop1.unionByName(hop2).filter(col("dst") =!= 0).distinct()
+      .groupBy(col("diagram_id")).agg(count(lit(1)).as("n_reach2"))
+    nN.join(nE, "diagram_id").join(fan, "diagram_id")
+      .join(reach, Seq("diagram_id"), "left")
+      .na.fill(0L, Seq("n_reach2"))
+  }
+
+  private val nodeLabels =
+    Seq("VIN", "GND", "EN", "SW", "FB", "OUT", "COMP", "BST")
+
+  /** diagram_topology: synthetic per-document diagrams (deterministic
+    * caption injection → type detection, chain + shortcut edges) run
+    * through topologyStats. Fully mirrored in DuckDB.
+    */
+  val diagramTopology: Q = (s, d) => {
+    val caption = element_at(
+      array(Seq("block diagram", "functional diagram", "typical application",
+        "application circuit", "pin configuration", "package").map(lit): _*),
+      (pmod(col("doc_id"), lit(6)) + 1).cast("int"))
+    val diag = Tables.documents(s, d)
+      .withColumn("page_text",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(caption, lit(" "), col("text"))).otherwise(col("text")))
+      .withColumn("dtype", detectDiagramType(col("page_text")))
+      .filter(col("dtype").isNotNull)
+      .withColumn("n", (pmod(col("doc_id"), lit(5)) + 3).cast("int"))
+      .select(concat(lit("diag_p"), col("doc_id")).as("diagram_id"),
+        col("doc_id"), col("dtype"), col("n"))
+    val nodes = diag.select(col("diagram_id"), col("doc_id"),
+        explode(sequence(lit(0), col("n") - 1)).as("node_id"))
+      .withColumn("label", element_at(
+        array(nodeLabels.map(lit): _*),
+        (pmod(col("doc_id") + col("node_id"), lit(8)) + 1).cast("int")))
+      .select(col("diagram_id"), col("node_id"), col("label"))
+    val chain = diag.select(col("diagram_id"), col("n"),
+        explode(sequence(lit(0), col("n") - 2)).as("src"))
+      .select(col("diagram_id"), col("src"), (col("src") + 1).as("dst"))
+    val shortcuts = diag.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("diagram_id"), lit(0).as("src"), (col("n") - 1).as("dst"))
+      .unionByName(diag.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("diagram_id"), lit(1).as("src"), (col("n") - 1).as("dst")))
+    val edges = chain.unionByName(shortcuts).distinct()
+    diag.select(col("diagram_id"), col("dtype"))
+      .join(topologyStats(nodes, edges), "diagram_id")
+      .orderBy(col("diagram_id"))
+  }
+
+  val diagramTopologySql: String = {
+    // joined without margin pipes: this is substituted AFTER stripMargin
+    val detCase = diagramPatterns.map { case (pat, t) =>
+      s"WHEN regexp_matches(lower(page_text), '$pat') THEN '$t'"
+    }.mkString("\n         ")
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN ['block diagram','functional diagram','typical application','application circuit','pin configuration','package'][CAST(doc_id % 6 AS INT) + 1] || ' ' || text
+      |         ELSE text END AS page_text
+      |  FROM documents),
+      |diag AS (
+      |  SELECT 'diag_p' || doc_id AS diagram_id, doc_id,
+      |    CASE DETCASE
+      |         ELSE NULL END AS dtype,
+      |    CAST(doc_id % 5 + 3 AS INT) AS n
+      |  FROM base
+      |  WHERE dtype IS NOT NULL),
+      |nodes AS (
+      |  SELECT diagram_id, i AS node_id,
+      |    ['VIN','GND','EN','SW','FB','OUT','COMP','BST'][CAST((doc_id + i) % 8 AS INT) + 1] AS label
+      |  FROM diag, LATERAL unnest(generate_series(0, n - 1)) t(i)),
+      |edges AS (
+      |  SELECT diagram_id, i AS src, i + 1 AS dst
+      |  FROM diag, LATERAL unnest(generate_series(0, n - 2)) t(i)
+      |  UNION
+      |  SELECT diagram_id, 0, n - 1 FROM diag WHERE doc_id % 3 = 0
+      |  UNION
+      |  SELECT diagram_id, 1, n - 1 FROM diag WHERE doc_id % 4 = 0),
+      |hop1 AS (SELECT diagram_id, dst FROM edges WHERE src = 0),
+      |reach AS (
+      |  SELECT diagram_id, COUNT(*) AS n_reach2 FROM (
+      |    SELECT diagram_id, dst FROM hop1
+      |    UNION
+      |    SELECT h.diagram_id, e.dst FROM hop1 h JOIN edges e
+      |      ON h.diagram_id = e.diagram_id AND h.dst = e.src) u
+      |  WHERE dst <> 0 GROUP BY diagram_id)
+      |SELECT d.diagram_id, d.dtype,
+      |  (SELECT COUNT(*) FROM nodes nd WHERE nd.diagram_id = d.diagram_id) AS n_nodes,
+      |  (SELECT CAST(COALESCE(SUM(CASE WHEN label IN ('VIN','GND') THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |     FROM nodes nd WHERE nd.diagram_id = d.diagram_id) AS n_power,
+      |  (SELECT COUNT(*) FROM edges e WHERE e.diagram_id = d.diagram_id) AS n_edges,
+      |  (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM edges e
+      |     WHERE e.diagram_id = d.diagram_id GROUP BY src) f) AS max_fanout,
+      |  COALESCE(r.n_reach2, 0) AS n_reach2
+      |FROM diag d LEFT JOIN reach r ON d.diagram_id = r.diagram_id
+      |ORDER BY d.diagram_id""".stripMargin
+      .replace("DETCASE", detCase)
+  }
+
+  val queries: Map[String, Q] = Map("diagram_topology" -> diagramTopology)
+  val oracles: Map[String, String] = Map("diagram_topology" -> diagramTopologySql)
+}

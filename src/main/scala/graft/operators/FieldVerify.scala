@@ -132,27 +132,52 @@ object FieldVerify {
     val joinCols = keys ++ Seq("param", "field")
     val v = vision.withColumnRenamed("value", "vision_value")
     val r = rule.withColumnRenamed("value", "rule_value")
-    val vv = col("vision_value"); val rv = col("rule_value")
-    val matched = valuesMatch(vv, rv, tolerance)
-    val conflictType = when(containsAny(col("field"), Seq("unit")), "unit")
-      .when(extractNumber(vv).isNotNull, "numeric")
+    // Materialize every expensive shared subexpression exactly once.
+    // Inlining them (the old shape) duplicated the regexp parse ~10x
+    // per row, blew whole-stage codegen past the 64 KB method limit and
+    // dropped the whole comparator stage to interpreted execution.
+    // CollapseProject keeps non-cheap aliases from being re-inlined.
+    val staged = v.join(r, joinCols)
+      .withColumn("__vv", coalesce(col("vision_value"), lit("")))
+      .withColumn("__rv", coalesce(col("rule_value"), lit("")))
+      .withColumn("__vnum", extractNumber(col("__vv")))
+      .withColumn("__rnum", extractNumber(col("__rv")))
+      .withColumn("__unit_eq", normalizeUnit(col("__vv")) === normalizeUnit(col("__rv")))
+      .withColumn("__text_eq", normalizeText(col("__vv")) === normalizeText(col("__rv")))
+      .withColumn("__fieldl", lower(col("field")))
+      .withColumn("__paraml", lower(coalesce(col("param"), lit(""))))
+    val vn = col("__vnum"); val rn = col("__rnum")
+    val numEq = when(vn.isNull || rn.isNull, false)
+      .when(vn === 0.0 && rn === 0.0, true)
+      .otherwise(abs(vn - rn) / greatest(abs(vn), abs(rn)) <= tolerance)
+    val diff = when(vn.isNull || rn.isNull || greatest(abs(vn), abs(rn)) === 0.0, lit(null))
+      .otherwise(abs(vn - rn) / greatest(abs(vn), abs(rn)))
+    val matchedExpr = when(col("__vv") === "" && col("__rv") === "", true)
+      .when(col("__vv") === "" || col("__rv") === "", false)
+      .otherwise(numEq || col("__unit_eq") || col("__text_eq"))
+    def lContainsAny(c: Column, needles: Seq[String]): Column =
+      needles.map(n => c.contains(n.toLowerCase)).reduce(_ || _)
+    val conflictType = when(lContainsAny(col("__fieldl"), Seq("unit")), "unit")
+      .when(vn.isNotNull, "numeric")
       .otherwise("text")
-    val diff = relDiffPct(vv, rv)
     val severity = when(
-        containsAny(col("field"), criticalParams) ||
-          containsAny(coalesce(col("param"), lit("")), criticalParams), "critical")
+        lContainsAny(col("__fieldl"), criticalParams) ||
+          lContainsAny(col("__paraml"), criticalParams), "critical")
       .when(diff.isNotNull && diff > 0.1, "high")
       .when(diff.isNotNull && diff > 0.05, "medium")
       .otherwise("low")
     val resolution = when(conflictType === "unit", "rule_wins").otherwise("vision_wins")
-    v.join(r, joinCols)
-      .select(joinCols.map(col) ++ Seq(vv, rv,
+    val matched = col("__match")
+    staged
+      .withColumn("__match", matchedExpr)
+      .select(joinCols.map(col) ++ Seq(col("vision_value"), col("rule_value"),
         matched.as("is_match"),
         when(!matched, conflictType).as("conflict_type"),
         when(!matched, severity).as("severity"),
         when(!matched, resolution).as("resolution"),
-        when(!matched, when(resolution === "rule_wins", rv).otherwise(vv))
-          .otherwise(vv).as("resolved_value"),
+        when(!matched, when(resolution === "rule_wins", col("rule_value"))
+          .otherwise(col("vision_value")))
+          .otherwise(col("vision_value")).as("resolved_value"),
         diff.as("rel_diff")): _*)
   }
 

@@ -92,6 +92,58 @@ object RegionOps {
       |SELECT page, a_id, b_id, iou, keep_id FROM paired
       |WHERE iou >= 0.3 ORDER BY page, a_id, b_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("etl_region_dedup" -> etlRegionDedup)
+  // --- region_ingest: opaque page bytes → region proposals -----------
+  /** Input record: a rendered page (pdf_renderer.py render_page → PNG
+    * bytes) with its pixel dimensions.
+    */
+  case class PageBlob(page: Long, content: Array[Byte], width: Int, height: Int)
+  /** Output record: one region proposal (interfaces.py:66 Region). */
+  case class RegionProposal(page: Long, region_id: Long,
+      x0: Int, y0: Int, x1: Int, y1: Int, kind: String, confidence: Double)
+
+  private val DETECT_BATCH = 16
+
+  /** STUB region detector (pdf_renderer.py:309 crop_region's upstream:
+    * propose crop boxes on a page image). A real pipeline runs a
+    * layout-detection model per batch of page images; this container
+    * has no vision libs, so proposals are derived deterministically
+    * from the payload bytes — the batching, page-local geometry and
+    * output shape are exactly what the real detector would produce.
+    */
+  private def detectBatchStub(batch: Seq[PageBlob]): Seq[RegionProposal] =
+    batch.flatMap { p =>
+      val nRegions = 1 + (p.content.length % 4)
+      (0 until nRegions).map { i =>
+        val seed = p.content.length * 31 + i * 7
+        val x0 = seed % (p.width / 2)
+        val y0 = (seed / 3) % (p.height / 2)
+        val kind = Seq("table", "figure", "text")(seed % 3)
+        RegionProposal(p.page, p.page * 16 + i, x0, y0,
+          math.min(p.width, x0 + 20 + seed % 40),
+          math.min(p.height, y0 + 12 + seed % 24),
+          kind, 0.5 + (seed % 50) / 100.0)
+      }
+    }
+
+  /** documents → fake page renders → batched region detection. Output
+    * feeds the IoU dedup above (same page/bbox/confidence shape);
+    * rows-only correctness (stub kernel), geometry asserted in
+    * RegionIngestSpec.
+    */
+  val regionIngest: Q = (s, d) => {
+    import s.implicits._
+    val pages = Tables.documents(s, d)
+      .select(col("doc_id").as("page"),
+        col("text").cast("binary").as("content"),
+        lit(612).as("width"), lit(792).as("height")) // US-Letter @72dpi
+      .as[PageBlob]
+    pages.mapPartitions(_.grouped(DETECT_BATCH).flatMap(detectBatchStub))
+      .toDF()
+      .orderBy(col("page"), col("region_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "etl_region_dedup" -> etlRegionDedup,
+    "region_ingest" -> regionIngest)
   val oracles: Map[String, String] = Map("etl_region_dedup" -> etlRegionDedupSql)
 }

@@ -112,16 +112,19 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("dedup caches are reused across runs and released on demand") {
-    // delta-based: other suites may hold their own caches in the shared session
-    def storedRdds = spark.sparkContext.getRDDStorageInfo.length
+    // id-set deltas: other suites may hold their own caches in the
+    // shared session, so only storage ADDED by these runs counts
+    def ids = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
     Dedup.releaseCaches(blocking = true)
-    val baseline = storedRdds
+    val baseline = ids
     Dedup.dedupMinhash(spark, sf).count()
-    val afterFirst = storedRdds
+    val afterFirst = ids
     Dedup.dedupMinhash(spark, sf).count()
-    assert(storedRdds == afterFirst, "repeat run must not grow executor storage")
+    val grown = ids -- afterFirst
+    assert(grown.isEmpty, s"repeat run must not add executor storage, added RDDs $grown")
     Dedup.releaseCaches(blocking = true)
-    assert(storedRdds <= baseline, "releaseCaches must return all dedup storage")
+    val leaked = ids -- baseline
+    assert(leaked.isEmpty, s"releaseCaches must return all dedup storage, leaked RDDs $leaked")
   }
 
   test("ann_lsh results are a subset of bruteforce candidate space with correct scores") {
