@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, DiagramOps, EtlOps, Inference, MultiModal, RegionOps, Relational, Relational2, Relational3, Relational4, Similarity, TableAssembly, TextOps}
+import graft.operators.{AsOf, Dedup, DiagramOps, EtlOps, EtlOps2, Inference, MultiModal, RegionOps, Relational, Relational2, Relational3, Relational4, Similarity, TableAssembly, TextOps}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -15,7 +15,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++ AsOf.queries ++
-      EtlOps.queries ++ TextOps.queries ++
+      EtlOps.queries ++ EtlOps2.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ MultiModal.queries ++
       Inference.queries ++ TableAssembly.queries ++ DiagramOps.queries ++
       RegionOps.queries ++ Streaming.queries
@@ -25,7 +25,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       Relational4.oracles ++ AsOf.oracles ++
-      EtlOps.oracles ++ TextOps.oracles ++
+      EtlOps.oracles ++ EtlOps2.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ MultiModal.oracles ++
       Inference.oracles ++ TableAssembly.oracles ++ DiagramOps.oracles ++
       RegionOps.oracles ++ Streaming.oracles

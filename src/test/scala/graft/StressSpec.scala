@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Scale-behavior checks on the 20×/40× stress corpus. The stress
+  * parquet is generated outside the repo (near-dup document clusters,
+  * 40-copy embedding clusters); tests cancel cleanly when it is
+  * absent so the suite stays green in a fresh checkout.
+  */
+class StressSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val stressDir = "/tmp/stress"
+  private def haveStress = new java.io.File(s"$stressDir/embeddings.parquet").exists()
+
+  test("capped hyperplane buckets stay bounded on the 40x near-dup corpus") {
+    assume(haveStress, "stress corpus not generated")
+    val e = Tables.embeddings(spark, stressDir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    assert(n >= 20000L)
+    val sizes = Dedup.cappedBuckets(e, "embedding", n)
+      .groupBy(col("bucket"), col("sub")).agg(count(lit(1)).as("sz"))
+      .agg(max(col("sz")).as("mx"), count(lit(1)).as("groups")).collect()(0)
+    // hard cap is 2048; near-dup clusters concentrate but must not
+    // recreate an O(n) bucket
+    assert(sizes.getAs[Long]("mx") <= 2048,
+      s"max bucket ${sizes.getAs[Long]("mx")} exceeds cap")
+    assert(sizes.getAs[Long]("groups") >= 64L, "buckets must actually spread")
+  }
+
+  test("dedup_minhash finds the planted duplicate clusters at 20x") {
+    assume(haveStress, "stress corpus not generated")
+    // doc N and N+10000 are near-identical by construction
+    val pairs = Dedup.dedupMinhash(spark, stressDir)
+      .filter(col("est_jaccard") >= 0.8)
+    val planted = pairs
+      .filter(col("doc_b") - col("doc_a") === 10000L).count()
+    assert(planted > 100L, s"only $planted planted near-dup pairs recovered")
+    Dedup.releaseCaches(blocking = true)
+  }
+}
