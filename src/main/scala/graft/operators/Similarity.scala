@@ -167,10 +167,70 @@ object Similarity {
       Seq(("cosine", true), ("vec_id", false)), TOPK))
   }
 
+  // --- ann_ivf_index: the persisted write-once index -----------------
+  // At 100 TB the IVF index is not rebuilt per query: centroids and the
+  // assigned corpus are written once, the corpus PARTITIONED BY cent_id.
+  // A probe then joins the (tiny, broadcast) probe-cell set against the
+  // partitioned corpus — Spark's dynamic partition pruning turns that
+  // into reading ONLY the probed cells' files, the distributed analog
+  // of an inverted-list seek. IndexSpec asserts the pruning is in the
+  // plan, not just hoped for.
+
+  /** Train + assign + persist. Returns (nCent, nProbe) used. */
+  def buildIvfIndex(corpus: DataFrame, path: String): (Int, Int) = {
+    val s = corpus.sparkSession
+    val (nCent, nProbe) = ivfGeometry(corpus.count())
+    val cents = trainCentroids(corpus, nCent)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val trained = s.read.parquet(s"$path/centroids")
+    TopK.topKPerGroup(
+        corpus.crossJoin(broadcast(trained))
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            Expr.dotProduct(col("embedding"), col("cvec")).as("cdist")),
+        Seq("vec_id"), Seq(("cdist", true), ("cent_id", false)), 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/corpus")
+    (nCent, nProbe)
+  }
+
+  /** Top-k over a persisted index: probe cells per query, join against
+    * the cent_id-partitioned corpus (dynamic partition pruning), exact
+    * re-rank inside the probed cells.
+    */
+  def queryIvfIndex(s: SparkSession, path: String, queriesDf: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    val cents = s.read.parquet(s"$path/centroids")
+    val indexed = s.read.parquet(s"$path/corpus")
+    val probes = TopK.topKPerGroup(
+        queriesDf.crossJoin(broadcast(cents))
+          .select(col("query_id"), col("qvec"), col("cent_id"),
+            Expr.dotProduct(col("qvec"), col("cvec")).as("cdist")),
+        Seq("query_id"), Seq(("cdist", true), ("cent_id", false)), nProbe)
+      .select(col("query_id"), col("qvec"), col("cent_id"))
+    val scored = indexed.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Expr.dotProduct(col("qvec"), col("embedding")).as("cosine"))
+    ranked(TopK.topKPerGroup(scored, Seq("query_id"),
+      Seq(("cosine", true), ("vec_id", false)), k))
+  }
+
+  /** Session-memoized index builds (write-once semantics in a query fn). */
+  private val builtIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  val annIvfIndex: Q = (s, d) => {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${d.hashCode.toHexString}"
+    val geom = builtIndexes.computeIfAbsent(path,
+      _ => buildIvfIndex(Tables.embeddings(s, d), path))
+    queryIvfIndex(s, path, queriesDf(s, d), geom._2, TOPK)
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
-    "ann_ivf" -> annIvf)
+    "ann_ivf" -> annIvf,
+    "ann_ivf_index" -> annIvfIndex)
 
   /** Rows-only: DuckDB list_cosine_similarity interpolates differently
     * at the last ulp; exactness is covered by SimilaritySpec instead.
