@@ -249,15 +249,17 @@ object Dedup {
     while (i < maxIter && changed) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      // carry the previous label through the checkpoint: the
+      // convergence check becomes a narrow filter over the cached
+      // partitions instead of an extra join+shuffle per round
       val next = labels.alias("l")
         .join(nbrMin, col("l.id") === col("src"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"))
+          least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"),
+          col("l.label").as("__old"))
         .localCheckpoint(true)
-      changed = next.alias("n")
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels = next
+      changed = next.filter(col("label") =!= col("__old")).limit(1).count() > 0
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
     labels.withColumnRenamed("label", "cluster_id")

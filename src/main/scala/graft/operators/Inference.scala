@@ -92,7 +92,11 @@ object Inference {
     import s.implicits._
     val usage = new Usage(s)
     val typed = requests.select(col("id").cast("long").as("id"), col("prompt")).as[Request]
-    val nParts = math.max(1, typed.rdd.getNumPartitions)
+    // stream-safe: a streaming Dataset has no rdd to count partitions
+    // on, so the budget share falls back to the session's parallelism
+    val nParts = math.max(1,
+      if (requests.isStreaming) s.sparkContext.defaultParallelism
+      else typed.rdd.getNumPartitions)
     val budgetShare = cfg.budgetUsd / nParts
     val out = typed.mapPartitions { it =>
       var localSpend = 0.0

@@ -112,4 +112,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids.head == 1L && ids.last == ids.length.toLong)
     }
   }
+
+  test("inference stage runs incrementally on a stream with retries intact") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val (replies, usage) = graft.operators.Inference.inferenceStage(
+      mem.toDF().toDF("id", "prompt"))
+    val q = replies.writeStream
+      .outputMode(OutputMode.Append()).format("memory").queryName("inf").start()
+    try {
+      mem.addData((1L to 30L).map(i => (i, s"prompt $i")): _*)
+      q.processAllAvailable()
+      mem.addData((31L to 60L).map(i => (i, s"prompt $i")): _*)
+      q.processAllAvailable()
+      val out = spark.table("inf").collect()
+      assert(out.length == 60)
+      assert(out.forall(_.getAs[Boolean]("success")))
+      // ids with id % 7 == 3 fail attempt 0 and must retry inside the batch
+      assert(out.filter(_.getAs[Long]("id") % 7 == 3).forall(_.getAs[Int]("attempts") > 1))
+      assert(usage.calls.value > 60L)
+    } finally q.stop()
+  }
 }
