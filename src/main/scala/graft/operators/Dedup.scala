@@ -17,27 +17,15 @@ import org.apache.spark.sql.functions._
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Caches created by dedup operators. CacheManager keys on the
-    * canonicalized plan, so repeated invocations over the same tables
-    * reuse one entry (no storage growth); this registry lets a session
-    * release them all once the dedup pass is over.
+  /** Operator caches are registered with the session-wide
+    * graft.Caches registry (CacheManager reuses one entry per
+    * canonicalized plan, so repeated runs don't grow storage);
+    * releaseCaches returns the storage when the dedup pass is over.
     */
-  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def cached(df: DataFrame): DataFrame = graft.Caches.cached(df)
 
-  private def cached(df: DataFrame): DataFrame = {
-    val c = df.cache()
-    liveCaches.add(c)
-    c
-  }
-
-  /** Unpersist every cache the dedup operators created. Call after the
-    * consuming action (or at session teardown) to return executor
-    * storage; safe to call repeatedly.
-    */
-  def releaseCaches(blocking: Boolean = false): Unit = {
-    var d = liveCaches.poll()
-    while (d != null) { d.unpersist(blocking); d = liveCaches.poll() }
-  }
+  /** Unpersist every registered operator cache (session-wide). */
+  def releaseCaches(blocking: Boolean = false): Unit = graft.Caches.release(blocking)
 
   /** Reference-style normalization before exact dedup: lowercase,
     * collapse whitespace (extractor_v03.py:288).

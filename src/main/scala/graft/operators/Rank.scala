@@ -29,7 +29,9 @@ object Rank {
   def globalRowNumber(df: DataFrame, sortKeys: Seq[Column], outCol: String): DataFrame = {
     // Range shuffle: partition i holds keys strictly before partition
     // i+1, so per-partition ranks + offsets compose to the global rank.
-    val parted = df.repartitionByRange(sortKeys: _*).cache()
+    // Cached because both the counts branch and the rank branch read
+    // it; registered with graft.Caches for session-level release.
+    val parted = graft.Caches.cached(df.repartitionByRange(sortKeys: _*))
 
     val counts = parted
       .groupBy(spark_partition_id().as("__pid"))

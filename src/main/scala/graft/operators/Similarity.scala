@@ -219,6 +219,13 @@ object Similarity {
   private val builtIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 
+  /** Drop the memoized quantizers/index records. The localCheckpoint
+    * blocks backing dropped centroid frames become unreferenced and
+    * Spark's ContextCleaner reclaims them; persisted index files on
+    * disk are left for the owner to delete.
+    */
+  def clearTrainedState(): Unit = { centCache.clear(); builtIndexes.clear() }
+
   val annIvfIndex: Q = (s, d) => {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${d.hashCode.toHexString}"
     val geom = builtIndexes.computeIfAbsent(path,
