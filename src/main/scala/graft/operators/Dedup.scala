@@ -169,6 +169,15 @@ object Dedup {
     math.max(8, math.ceil(
       math.log(math.max(1.0, n.toDouble / TARGET_BUCKET)) / math.log(2.0)).toInt)
 
+  /** Corpus sizes drive index geometry (planes, cells); they are a
+    * property of the dataset, not of a query, so one count job per
+    * corpus per session.
+    */
+  private val corpusCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def corpusSize(df: DataFrame, key: String): Long =
+    corpusCounts.computeIfAbsent(key, _ => java.lang.Long.valueOf(df.count())).longValue()
+
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
   private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Float]] = {
     val rnd = new java.util.Random(seed)
@@ -202,7 +211,8 @@ object Dedup {
   val dedupEmbedding: Q = (s, d) => {
     val corpus = Tables.embeddings(s, d)
     val e = cappedBuckets(
-      corpus.select(col("vec_id"), col("embedding")), "embedding", corpus.count())
+      corpus.select(col("vec_id"), col("embedding")), "embedding",
+      corpusSize(corpus, s"$d/embeddings"))
     e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.sub") === col("y.sub") &&
           col("x.vec_id") < col("y.vec_id"))

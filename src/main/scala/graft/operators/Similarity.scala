@@ -59,7 +59,8 @@ object Similarity {
   // probe. Plane count grows with the corpus (Dedup.planesFor) so
   // expected bucket size stays bounded at any scale.
   val annLsh: Q = (s, d) => {
-    val nPlanes = Dedup.planesFor(Tables.embeddings(s, d).count())
+    val nPlanes = Dedup.planesFor(
+      Dedup.corpusSize(Tables.embeddings(s, d), s"$d/embeddings"))
     val planes = Dedup.hyperplanes(nPlanes, Dedup.EMB_DIM)
     val corpus = Tables.embeddings(s, d)
       .withColumn("bucket", Dedup.bucketOf(col("embedding"), planes))
@@ -147,7 +148,7 @@ object Similarity {
 
   val annIvf: Q = (s, d) => {
     val corpus = Tables.embeddings(s, d)
-    val (nCent, nProbe) = ivfGeometry(corpus.count())
+    val (nCent, nProbe) = ivfGeometry(Dedup.corpusSize(corpus, s"$d/embeddings"))
     val cents = centCache.computeIfAbsent((d, nCent), _ => trainCentroids(corpus, nCent))
     def assign(df: DataFrame, idCol: String, vecCol: String, probes: Int): DataFrame =
       TopK.topKPerGroup(
