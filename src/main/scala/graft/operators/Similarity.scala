@@ -108,10 +108,17 @@ object Similarity {
     * (so dot-product argmax stays a cosine argmax). localCheckpoint
     * per round keeps the loop's plan constant-size.
     */
-  private[graft] def trainCentroids(corpus: DataFrame, nCent: Int): DataFrame = {
+  private[graft] def trainCentroids(corpus: DataFrame, nCent: Int,
+      corpusN: Long): DataFrame = {
+    // Seeded Bernoulli sample: no sort, no driver-side merge — a
+    // TakeOrdered draw would funnel nPartitions × sampleSize rows
+    // through the driver at cluster scale. The 1.5 factor keeps the
+    // expected draw above the target; the limit trims the overshoot.
+    val target = nCent * SAMPLE_PER_CENT
+    val fraction = math.min(1.0, target.toDouble * 1.5 / math.max(1L, corpusN))
     val sample = corpus
-      .orderBy(hash(col("vec_id")), col("vec_id")) // deterministic pseudo-random draw
-      .limit(nCent * SAMPLE_PER_CENT)
+      .sample(withReplacement = false, fraction, seed = 7L)
+      .limit(target)
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint(true)
     var cents = sample
@@ -148,8 +155,9 @@ object Similarity {
 
   val annIvf: Q = (s, d) => {
     val corpus = Tables.embeddings(s, d)
-    val (nCent, nProbe) = ivfGeometry(Dedup.corpusSize(corpus, s"$d/embeddings"))
-    val cents = centCache.computeIfAbsent((d, nCent), _ => trainCentroids(corpus, nCent))
+    val n = Dedup.corpusSize(corpus, s"$d/embeddings")
+    val (nCent, nProbe) = ivfGeometry(n)
+    val cents = centCache.computeIfAbsent((d, nCent), _ => trainCentroids(corpus, nCent, n))
     def assign(df: DataFrame, idCol: String, vecCol: String, probes: Int): DataFrame =
       TopK.topKPerGroup(
         df.crossJoin(broadcast(cents))
@@ -180,8 +188,9 @@ object Similarity {
   /** Train + assign + persist. Returns (nCent, nProbe) used. */
   def buildIvfIndex(corpus: DataFrame, path: String): (Int, Int) = {
     val s = corpus.sparkSession
-    val (nCent, nProbe) = ivfGeometry(corpus.count())
-    val cents = trainCentroids(corpus, nCent)
+    val n = corpus.count()
+    val (nCent, nProbe) = ivfGeometry(n)
+    val cents = trainCentroids(corpus, nCent, n)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val trained = s.read.parquet(s"$path/centroids")
     TopK.topKPerGroup(
