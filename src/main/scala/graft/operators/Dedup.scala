@@ -61,13 +61,26 @@ object Dedup {
   private val BANDS = 16    // 16 bands × 4 rows
   private val ROWS = K / BANDS
 
+  /** MinHash signatures for any (doc_id, text) frame — works on batch
+    * and streaming inputs (the signature expression is stateless).
+    */
+  def signaturesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sig", Expr.minhashSignature(col("sh"), K))
+      .select(col("doc_id"), col("sig"))
+
+  /** Banded signature index of a corpus — the static side of the
+    * stream-static near-dup gate (Streaming.streamDupCandidates).
+    */
+  def bandedIndex(docs: DataFrame): DataFrame = banded(signaturesOf(docs))
+
   private def signatures(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("sig", Expr.minhashSignature(col("sh"), K))
 
   /** LSH banding: (band_idx, hash of the band's signature slice). */
-  private def banded(sigs: DataFrame): DataFrame =
+  private[graft] def banded(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(BANDS - 1)),
           b => hash(slice(col("sig"), b * ROWS + 1, lit(ROWS))))))

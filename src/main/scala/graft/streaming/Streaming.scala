@@ -46,6 +46,22 @@ object Streaming {
       expr("""p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"""))
   }
 
+  /** Incremental near-dup gate: incoming (doc_id, text) rows — batch
+    * or streaming — are minhashed, LSH-banded and semi-joined against a
+    * STATIC corpus band index (graft.operators.Dedup.bandedIndex).
+    * Emits the doc_ids that collide with the corpus in at least one
+    * band: the candidates a training-data ingest drops or routes to
+    * exact verification. Stream-static joins need no watermark; the
+    * per-doc dropDuplicates keeps state only over flagged ids (bound it
+    * with dropDuplicatesWithinWatermark on an ingest-time column when
+    * the flagged set itself is unbounded).
+    */
+  def streamDupCandidates(newDocs: DataFrame, corpusIndex: DataFrame): DataFrame =
+    graft.operators.Dedup.banded(graft.operators.Dedup.signaturesOf(newDocs))
+      .join(corpusIndex, Seq("band_idx", "band_hash"), "left_semi")
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
+
   // --- stateful sessionization (flatMapGroupsWithState) --------------
   case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
   case class SessionState(start: Long, last: Long, n: Int)
@@ -115,6 +131,27 @@ object Streaming {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("stream_sessionize" -> streamSessionize)
+  /** stream_dup_gate: batch twin of the incremental gate — 100 corpus
+    * copies (must be flagged) + 100 reversed-text novels (must pass)
+    * against the corpus index. Rows-only (custom minhash kernel);
+    * stream behavior asserted in StreamingSpec.
+    */
+  val streamDupGate: Q = (s, d) => {
+    val corpus = Tables.documents(s, d)
+    val head = corpus.filter(col("doc_id") < 100)
+    val incoming = head
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(head.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("novel "), reverse(col("text"))).as("text")))
+    graft.operators.Dedup.banded(graft.operators.Dedup.signaturesOf(incoming))
+      .join(graft.operators.Dedup.bandedIndex(corpus),
+        Seq("band_idx", "band_hash"), "left_semi")
+      .select(col("doc_id")).dropDuplicates("doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_sessionize" -> streamSessionize,
+    "stream_dup_gate" -> streamDupGate)
   val oracles: Map[String, String] = Map("stream_sessionize" -> streamSessionizeSql)
 }

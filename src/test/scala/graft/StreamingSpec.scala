@@ -113,6 +113,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static near-dup gate flags corpus collisions only") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.documents(spark, sf)
+    val index = graft.operators.Dedup.bandedIndex(corpus)
+    val someText = corpus.orderBy(col("doc_id")).limit(1)
+      .collect()(0).getAs[String]("text")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.streamDupCandidates(mem.toDF().toDF("doc_id", "text"), index)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dupgate").start()
+    try {
+      mem.addData(
+        (900001L, someText),                      // near-dup of corpus doc
+        (900002L, "entirely novel text about nothing that exists in the corpus at all"))
+      q.processAllAvailable()
+      val flagged = spark.table("dupgate").collect().map(_.getLong(0)).toSet
+      assert(flagged.contains(900001L), "copied doc must be flagged")
+      assert(!flagged.contains(900002L), "novel doc must pass the gate")
+    } finally q.stop()
+  }
+
+  test("near-dup gate gives identical candidates in batch mode") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Tables.documents(spark, sf)
+    val index = graft.operators.Dedup.bandedIndex(corpus)
+    val someText = corpus.orderBy(col("doc_id")).limit(1)
+      .collect()(0).getAs[String]("text")
+    val batch = Seq((900001L, someText), (900002L, "novel text entirely"))
+      .toDF("doc_id", "text")
+    val flagged = Streaming.streamDupCandidates(batch, index)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(900001L))
+  }
+
   test("inference stage runs incrementally on a stream with retries intact") {
     val spark2 = spark
     import spark2.implicits._
