@@ -15,6 +15,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Broadcast decisions come from AQE's RUNTIME sizes only. The
+      // static planner estimates from compressed parquet bytes and can
+      // broadcast a multi-million-row fact table (observed: q10's
+      // full orders side at sf1, 0.9s -> 25s); AQE's post-shuffle
+      // numbers don't have that failure mode.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
