@@ -221,16 +221,44 @@ object Dedup {
       .drop("__bsz")
   }
 
+  /** Banded hyperplane candidate pairs: `bands` INDEPENDENT plane
+    * tables, a pair is a candidate if it shares a (capped) bucket in
+    * ANY band. A single table's recall decays as planes grow with the
+    * corpus — two vectors at angle θ share a p-bit bucket with
+    * probability (1-θ/π)^p — so banding restores it:
+    * 1-(1-(1-θ/π)^p)^B, while per-band bucket sizes stay bounded by
+    * planesFor(n) + the hard cap. Work is B bucket-local self-joins;
+    * the union is deduplicated before any exact scoring.
+    */
+  def bandedEmbeddingPairs(corpus: DataFrame, n: Long, bands: Int = 4): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val nPlanes = planesFor(n)
+    val extra = hyperplanes(8, EMB_DIM, seed = 13L)
+    val perBand = (0 until bands).map { b =>
+      val planes = hyperplanes(nPlanes, EMB_DIM, seed = 101L + 2 * b)
+      val bk = e.withColumn("bucket", bucketOf(col("embedding"), planes))
+      val sizes = bk.groupBy(col("bucket")).agg(count(lit(1)).as("__bsz"))
+      val capped = bk.join(sizes, "bucket")
+        .withColumn("sub",
+          when(col("__bsz") > MAX_BUCKET, bucketOf(col("embedding"), extra)).otherwise(lit(0L)))
+        .drop("__bsz")
+      capped.as("x").join(capped.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.sub") === col("y.sub") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    }
+    perBand.reduce(_ unionByName _).distinct()
+  }
+
   val dedupEmbedding: Q = (s, d) => {
     val corpus = Tables.embeddings(s, d)
-    val e = cappedBuckets(
-      corpus.select(col("vec_id"), col("embedding")), "embedding",
-      corpusSize(corpus, s"$d/embeddings"))
-    e.as("x").join(e.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.sub") === col("y.sub") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        Expr.dotProduct(col("x.embedding"), col("y.embedding")).as("cosine"))
+    val n = corpusSize(corpus, s"$d/embeddings")
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    bandedEmbeddingPairs(e, n)
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        Expr.dotProduct(col("emb_a"), col("emb_b")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(50)
   }

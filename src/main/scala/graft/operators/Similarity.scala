@@ -58,6 +58,19 @@ object Similarity {
   // (planes+1)x the probed cells but still |corpus|/2^planes work per
   // probe. Plane count grows with the corpus (Dedup.planesFor) so
   // expected bucket size stays bounded at any scale.
+  /** Multiprobe flip masks: always hamming-1; add hamming-2 once the
+    * plane count passes 10, where single-bit probes alone cover too
+    * small a fraction of 2^p cells to hold recall. Probe count is
+    * 1 + p (+ p(p-1)/2 when p > 10) — still ≪ 2^p cells probed.
+    */
+  private[graft] def probeMasks(nPlanes: Int): Seq[Long] = {
+    val h1 = (0 until nPlanes).map(i => 1L << i)
+    val h2 =
+      if (nPlanes <= 10) Nil
+      else for { i <- 0 until nPlanes; j <- i + 1 until nPlanes } yield (1L << i) | (1L << j)
+    0L +: (h1 ++ h2)
+  }
+
   val annLsh: Q = (s, d) => {
     val nPlanes = Dedup.planesFor(
       Dedup.corpusSize(Tables.embeddings(s, d), s"$d/embeddings"))
@@ -65,7 +78,7 @@ object Similarity {
     val corpus = Tables.embeddings(s, d)
       .withColumn("bucket", Dedup.bucketOf(col("embedding"), planes))
     val qbucket = Dedup.bucketOf(col("qvec"), planes)
-    val probes = array((lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))): _*)
+    val probes = array(probeMasks(nPlanes).map(lit): _*)
     val qs = queriesDf(s, d)
       .withColumn("qbucket", explode(transform(probes, flip => qbucket.bitwiseXOR(flip))))
     val scored = corpus.join(broadcast(qs),

@@ -100,6 +100,14 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ivf recall@10 $recall below 0.9")
   }
 
+  test("multiprobe masks widen to hamming-2 past 10 planes") {
+    assert(Similarity.probeMasks(8).length == 9)            // 1 + 8
+    val p14 = Similarity.probeMasks(14)
+    assert(p14.length == 1 + 14 + 14 * 13 / 2)
+    assert(p14.distinct.length == p14.length)
+    assert(p14.forall(m => java.lang.Long.bitCount(m) <= 2))
+  }
+
   test("ivf geometry scales as sqrt(n) and lsh planes as log(n)") {
     assert(Similarity.ivfGeometry(2000L)._1 == 90)   // 2*ceil(sqrt(2000))
     assert(Similarity.ivfGeometry(50L)._1 == 16)     // floor

@@ -30,6 +30,18 @@ class StressSpec extends AnyFunSuite {
     assert(sizes.getAs[Long]("groups") >= 64L, "buckets must actually spread")
   }
 
+  test("banded embedding pairs recover planted near-dup clusters at 40x") {
+    assume(haveStress, "stress corpus not generated")
+    val e = Tables.embeddings(spark, stressDir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    // vec N and N+1000 are near-identical by construction; sample the
+    // first 200 base vectors and require banded LSH to surface >=95%
+    val pairs = Dedup.bandedEmbeddingPairs(e, n)
+      .filter(col("vec_a") < 200 && col("vec_b") === col("vec_a") + 1000L)
+      .count()
+    assert(pairs >= 190L, s"only $pairs/200 planted near-dup pairs recovered")
+  }
+
   test("dedup_minhash finds the planted duplicate clusters at 20x") {
     assume(haveStress, "stress corpus not generated")
     // doc N and N+10000 are near-identical by construction
