@@ -44,6 +44,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Caches.release() // return operator-cache storage at end of the battery
     spark.stop()
   }
 }

@@ -210,10 +210,11 @@ object Dedup {
     * recall loss of a split (cross-sub pairs dropped) is the standard
     * LSH cap tradeoff and only affects pathological buckets.
     */
-  private[graft] def cappedBuckets(e: DataFrame, vecCol: String, n: Long): DataFrame = {
-    val base = hyperplanes(planesFor(n), EMB_DIM)
+  private[graft] def cappedBuckets(e: DataFrame, vecCol: String, n: Long,
+      base: Array[Array[Float]] = null): DataFrame = {
+    val planes = if (base != null) base else hyperplanes(planesFor(n), EMB_DIM)
     val extra = hyperplanes(8, EMB_DIM, seed = 13L)
-    val b = e.withColumn("bucket", bucketOf(col(vecCol), base))
+    val b = e.withColumn("bucket", bucketOf(col(vecCol), planes))
     val sizes = b.groupBy(col("bucket")).agg(count(lit(1)).as("__bsz"))
     b.join(sizes, "bucket")
       .withColumn("sub",
@@ -233,15 +234,9 @@ object Dedup {
   def bandedEmbeddingPairs(corpus: DataFrame, n: Long, bands: Int = 4): DataFrame = {
     val e = corpus.select(col("vec_id"), col("embedding"))
     val nPlanes = planesFor(n)
-    val extra = hyperplanes(8, EMB_DIM, seed = 13L)
     val perBand = (0 until bands).map { b =>
-      val planes = hyperplanes(nPlanes, EMB_DIM, seed = 101L + 2 * b)
-      val bk = e.withColumn("bucket", bucketOf(col("embedding"), planes))
-      val sizes = bk.groupBy(col("bucket")).agg(count(lit(1)).as("__bsz"))
-      val capped = bk.join(sizes, "bucket")
-        .withColumn("sub",
-          when(col("__bsz") > MAX_BUCKET, bucketOf(col("embedding"), extra)).otherwise(lit(0L)))
-        .drop("__bsz")
+      val capped = cappedBuckets(e, "embedding", n,
+        base = hyperplanes(nPlanes, EMB_DIM, seed = 101L + 2 * b))
       capped.as("x").join(capped.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.sub") === col("y.sub") &&
             col("x.vec_id") < col("y.vec_id"))

@@ -55,9 +55,12 @@ object DiagramOps {
       .select(col("h.diagram_id").as("diagram_id"), col("e.dst").as("dst"))
     val reach = hop1.unionByName(hop2).filter(col("dst") =!= 0).distinct()
       .groupBy(col("diagram_id")).agg(count(lit(1)).as("n_reach2"))
-    nN.join(nE, "diagram_id").join(fan, "diagram_id")
+    // left joins: a nodes-only diagram (no edges at all) must still
+    // appear, with zero edge stats
+    nN.join(nE, Seq("diagram_id"), "left")
+      .join(fan, Seq("diagram_id"), "left")
       .join(reach, Seq("diagram_id"), "left")
-      .na.fill(0L, Seq("n_reach2"))
+      .na.fill(0L, Seq("n_edges", "max_fanout", "n_reach2"))
   }
 
   private val nodeLabels =

@@ -18,26 +18,27 @@ import org.apache.spark.sql.types._
 object ExtractPipeline {
   type Q = (SparkSession, String) => DataFrame
 
-  private val extractSchema = StructType(Seq(
-    StructField("mpn", StringType),
-    StructField("voltage", DoubleType),
-    StructField("pages", LongType)))
-
   /** Primary run: documents → inference stage → validated struct →
-    * long form (doc_id, param, field, value).
+    * long form (doc_id, param, field, value). The two field rows are
+    * emitted by ONE explode over ONE projection — referencing the
+    * inference frame twice (e.g. a self-union) would execute the model
+    * kernel once per reference, double-counting cost and, with a real
+    * nondeterministic model, splitting a document's fields across two
+    * independent calls.
     */
   private def visionRun(s: SparkSession, d: String): DataFrame = {
     val reqs = Tables.documents(s, d)
       .select(col("doc_id").as("id"),
         concat(lit("Extract part fields from: "), substring(col("text"), 1, 256)).as("prompt"))
     val (replies, _) = Inference.inferenceStage(reqs)
-    val v = Inference.validated(replies, extractSchema, Seq("mpn", "voltage"))
+    Inference.validated(replies, Inference.extractSchema, Seq("mpn", "voltage"))
       .filter(col("valid"))
-    v.select(col("id").as("doc_id"), lit("device").as("param"),
-        lit("mpn").as("field"), col("parsed.mpn").as("value"))
-      .unionByName(v.select(col("id").as("doc_id"), lit("device").as("param"),
-        lit("voltage_typ").as("field"),
-        concat(col("parsed.voltage").cast("string"), lit(" V")).as("value")))
+      .select(col("id").as("doc_id"), lit("device").as("param"),
+        explode(array(
+          struct(lit("mpn").as("field"), col("parsed.mpn").as("value")),
+          struct(lit("voltage_typ").as("field"),
+            concat(col("parsed.voltage").cast("string"), lit(" V")).as("value")))).as("kv"))
+      .select(col("doc_id"), col("param"), col("kv.field").as("field"), col("kv.value").as("value"))
   }
 
   /** Secondary run: the rule extractor's deterministic derivation.
@@ -69,7 +70,9 @@ object ExtractPipeline {
     */
   val pipeExtractE2E: Q = (s, d) => {
     val conflicts = FieldVerify.fieldConflicts(visionRun(s, d), ruleRun(s, d), Seq("doc_id"))
-    val summary = FieldVerify.verifySummary(conflicts, Seq("doc_id"))
+    // cached: the summary feeds both the output and the review queue,
+    // and recomputing it would re-run the inference stage
+    val summary = graft.Caches.cached(FieldVerify.verifySummary(conflicts, Seq("doc_id")))
     val queued = graft.Pipeline.reviewQueue(summary, Seq("doc_id"))
       .select(col("doc_id"), col("priority"))
     summary.join(queued, Seq("doc_id"), "left")

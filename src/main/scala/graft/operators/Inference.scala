@@ -56,26 +56,28 @@ object Inference {
     val costUsd: DoubleAccumulator = s.sparkContext.doubleAccumulator("graft.inference.cost_usd")
   }
 
-  /** STUB model kernel — deterministic, and injects exactly the
-    * failure modes the real client sees:
-    *   - transient call failure when (id + attempt) % 7 == 3
+  /** STUB model kernel — ONE call per micro-batch (the reference's
+    * batched client shape), returning per-row outcomes. Deterministic,
+    * and injects exactly the failure modes the real client sees:
+    *   - transient per-row failure when (id + attempt) % 7 == 3
     *     (succeeds on a later attempt — exercises retry/backoff);
     *   - ```json fence-wrapped output when id % 5 == 0 (the parser
     *     must unwrap, vision_client.py:204 _parse_json_response);
     *   - truncated JSON when id % 31 == 0 (validation must flag it).
     */
-  private[graft] def stubModelCall(r: Request, attempt: Int): (Boolean, String) = {
-    if ((r.id + attempt) % 7 == 3) (false, "transient: rate limited")
-    else {
-      val body =
-        s"""{"mpn": "MPN-${r.id}", "voltage": ${(r.id % 50) / 10.0}, "pages": ${r.id % 7}}"""
-      val content =
-        if (r.id % 31 == 0) body.dropRight(2) // truncated → malformed
-        else if (r.id % 5 == 0) s"```json\n$body\n```"
-        else body
-      (true, content)
+  private[graft] def stubModelCall(batch: Seq[Request], attempt: Int): Seq[(Long, Boolean, String)] =
+    batch.map { r =>
+      if ((r.id + attempt) % 7 == 3) (r.id, false, "transient: rate limited")
+      else {
+        val body =
+          s"""{"mpn": "MPN-${r.id}", "voltage": ${(r.id % 50) / 10.0}, "pages": ${r.id % 7}}"""
+        val content =
+          if (r.id % 31 == 0) body.dropRight(2) // truncated → malformed
+          else if (r.id % 5 == 0) s"```json\n$body\n```"
+          else body
+        (r.id, true, content)
+      }
     }
-  }
 
   /** Run the inference stage: batched micro-batch map with per-row
     * retry, per-partition budget share, accumulator-based accounting.
@@ -101,42 +103,49 @@ object Inference {
     val out = typed.mapPartitions { it =>
       var localSpend = 0.0
       it.grouped(cfg.batchSize).flatMap { batch =>
-        batch.map { r =>
-          if (localSpend >= budgetShare) {
-            usage.failures.add(1L)
-            Reply(r.id, success = false, content = "",
-              error = f"budget exceeded: $$${localSpend}%.4f >= share $$${budgetShare}%.4f",
-              attempts = 0, tokens_in = 0L, tokens_out = 0L, cost_usd = 0.0)
-          } else {
-            var attempt = 0
-            var done = false
-            var ok = false
-            var content = ""
-            var err = ""
-            while (!done && attempt < cfg.maxRetries) {
-              val (success, c) = stubModelCall(r, attempt)
-              usage.calls.add(1L)
-              if (attempt > 0) usage.retries.add(1L)
-              if (success) { ok = true; content = c; done = true }
-              else {
-                err = c
-                // exponential backoff, as the reference (2^attempt)
-                if (cfg.backoffMs > 0) Thread.sleep(cfg.backoffMs << attempt)
-              }
-              attempt += 1
+        // budget is a pre-call check at batch granularity, like the
+        // reference's pre-request check
+        if (localSpend >= budgetShare) {
+          usage.failures.add(batch.size.toLong)
+          batch.map(r => Reply(r.id, success = false, content = "",
+            error = f"budget exceeded: $$${localSpend}%.4f >= share $$${budgetShare}%.4f",
+            attempts = 0, tokens_in = 0L, tokens_out = 0L, cost_usd = 0.0))
+        } else {
+          // one model call per (batch, attempt); only still-failing rows
+          // are resubmitted, with exponential backoff between rounds
+          val done = scala.collection.mutable.Map[Long, Reply]()
+          var pending = batch
+          var attempt = 0
+          var lastErr = ""
+          while (pending.nonEmpty && attempt < cfg.maxRetries) {
+            val results = stubModelCall(pending, attempt)
+            usage.calls.add(1L)
+            if (attempt > 0) usage.retries.add(pending.size.toLong)
+            val byId = pending.map(r => r.id -> r).toMap
+            val failed = Seq.newBuilder[Request]
+            results.foreach { case (id, ok, content) =>
+              if (ok) {
+                val r = byId(id)
+                val tIn = r.prompt.length / 4L + 1L
+                val tOut = content.length / 4L
+                val cost = tIn / 1000.0 * cfg.costPer1kIn + tOut / 1000.0 * cfg.costPer1kOut
+                localSpend += cost
+                usage.tokensIn.add(tIn)
+                usage.tokensOut.add(tOut)
+                usage.costUsd.add(cost)
+                done(id) = Reply(id, success = true, content, "", attempt + 1, tIn, tOut, cost)
+              } else { lastErr = content; failed += byId(id) }
             }
-            val tIn = r.prompt.length / 4L + 1L
-            val tOut = content.length / 4L
-            val cost =
-              if (ok) tIn / 1000.0 * cfg.costPer1kIn + tOut / 1000.0 * cfg.costPer1kOut
-              else 0.0
-            localSpend += cost
-            usage.tokensIn.add(tIn)
-            usage.tokensOut.add(tOut)
-            usage.costUsd.add(cost)
-            if (!ok) usage.failures.add(1L)
-            Reply(r.id, ok, content, if (ok) "" else err, attempt, tIn, tOut, cost)
+            pending = failed.result()
+            if (pending.nonEmpty && cfg.backoffMs > 0) Thread.sleep(cfg.backoffMs << attempt)
+            attempt += 1
           }
+          pending.foreach { r =>
+            usage.failures.add(1L)
+            done(r.id) = Reply(r.id, success = false, content = "", error = lastErr,
+              attempts = attempt, tokens_in = 0L, tokens_out = 0L, cost_usd = 0.0)
+          }
+          batch.map(r => done(r.id)) // preserve input order
         }
       }
     }.toDF()
@@ -158,8 +167,10 @@ object Inference {
           required.map(f => col(s"parsed.$f").isNotNull).reduce(_ && _))
   }
 
-  /** Expected extraction schema for the registered query. */
-  private val extractSchema = StructType(Seq(
+  /** Expected extraction schema of the stub kernel's output — shared
+    * with ExtractPipeline so both validate the same shape.
+    */
+  private[graft] val extractSchema = StructType(Seq(
     StructField("mpn", StringType),
     StructField("voltage", DoubleType),
     StructField("pages", LongType)))

@@ -160,17 +160,23 @@ object Similarity {
   }
 
   /** The trained quantizer is a write-once artifact of the corpus (at
-    * scale it would be persisted alongside the index); this per-session
-    * memo mirrors that instead of retraining on every query.
+    * scale it would be persisted alongside the index); this memo
+    * mirrors that instead of retraining on every query. Keyed by the
+    * owning SparkSession's identity as well as the corpus — a frame
+    * whose localCheckpoint blocks belong to a stopped SparkContext
+    * must never be served to a new session. Data-staleness (regenerated
+    * parquet at the same path) is the caller's to invalidate via
+    * clearTrainedState(), matching write-once index semantics.
     */
   private val centCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), DataFrame]()
 
   val annIvf: Q = (s, d) => {
     val corpus = Tables.embeddings(s, d)
     val n = Dedup.corpusSize(corpus, s"$d/embeddings")
     val (nCent, nProbe) = ivfGeometry(n)
-    val cents = centCache.computeIfAbsent((d, nCent), _ => trainCentroids(corpus, nCent, n))
+    val cents = centCache.computeIfAbsent((System.identityHashCode(s), d, nCent),
+      _ => trainCentroids(corpus, nCent, n))
     def assign(df: DataFrame, idCol: String, vecCol: String, probes: Int): DataFrame =
       TopK.topKPerGroup(
         df.crossJoin(broadcast(cents))
@@ -250,7 +256,12 @@ object Similarity {
   def clearTrainedState(): Unit = { centCache.clear(); builtIndexes.clear() }
 
   val annIvfIndex: Q = (s, d) => {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${d.hashCode.toHexString}"
+    // full sanitized path (no hashCode collisions) + process id (two
+    // JVMs over the same corpus never race overwrite-vs-read on one
+    // directory); a production deployment would point this at a
+    // durable index location instead
+    val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
     val geom = builtIndexes.computeIfAbsent(path,
       _ => buildIvfIndex(Tables.embeddings(s, d), path))
     queryIvfIndex(s, path, queriesDf(s, d), geom._2, TOPK)

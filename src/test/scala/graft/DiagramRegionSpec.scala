@@ -13,7 +13,8 @@ class DiagramRegionSpec extends AnyFunSuite {
     // diamond: 0→1, 0→2, 1→3, 2→3 plus isolated second diagram 0→1
     val nodes = Seq(
       ("d1", 0, "VIN"), ("d1", 1, "SW"), ("d1", 2, "EN"), ("d1", 3, "OUT"),
-      ("d2", 0, "GND"), ("d2", 1, "FB")
+      ("d2", 0, "GND"), ("d2", 1, "FB"),
+      ("d3", 0, "BST") // nodes-only diagram: no edges at all
     ).toDF("diagram_id", "node_id", "label")
     val edges = Seq(
       ("d1", 0, 1), ("d1", 0, 2), ("d1", 1, 3), ("d1", 2, 3),
@@ -28,6 +29,10 @@ class DiagramRegionSpec extends AnyFunSuite {
     assert(d1.getAs[Long]("n_power") == 1)  // VIN
     val d2 = stats("d2")
     assert(d2.getAs[Long]("n_reach2") == 1 && d2.getAs[Long]("n_power") == 1)
+    // an edgeless diagram must still appear, with zero edge stats
+    val d3 = stats("d3")
+    assert(d3.getAs[Long]("n_nodes") == 1 && d3.getAs[Long]("n_edges") == 0)
+    assert(d3.getAs[Long]("max_fanout") == 0 && d3.getAs[Long]("n_reach2") == 0)
   }
 
   test("diagram type detection follows reference pattern priority") {

@@ -27,7 +27,11 @@ class InferenceSpec extends AnyFunSuite {
     val retried = rows.filter(r => r.getAs[Long]("id") % 7 == 3)
     assert(retried.nonEmpty && retried.forall(_.getAs[Int]("attempts") > 1))
     assert(usage.retries.value == retried.length)
-    assert(usage.calls.value == rows.map(_.getAs[Int]("attempts").toLong).sum)
+    // calls are per (batch, attempt), NOT per row — far fewer calls
+    // than rows even with every batch retrying once (batch boundaries
+    // fall per partition, so the exact count depends on partitioning)
+    assert(usage.calls.value >= math.ceil(100.0 / 16).toLong && usage.calls.value < 50,
+      s"${usage.calls.value} batch calls for 100 rows")
   }
 
   test("exhausted retries surface as failures, not exceptions") {
@@ -59,9 +63,10 @@ class InferenceSpec extends AnyFunSuite {
     val exceeded = rows.filter(_.getAs[String]("error").contains("budget exceeded"))
     assert(exceeded.nonEmpty, "tiny budget must trip")
     assert(exceeded.forall(_.getAs[Int]("attempts") == 0), "no model calls after budget trip")
-    // budget is a pre-call check (as in the reference): overshoot is at
-    // most one call's cost per partition
-    assert(usage.costUsd.value <= 1e-4 + 2 * 5e-5, "spend bounded by budget + last calls")
+    // budget is a pre-call check at batch granularity (as in the
+    // reference): overshoot is at most one batch's cost per partition
+    assert(usage.costUsd.value <= 1e-4 + 2 * 16 * 2.5e-5,
+      s"spend ${usage.costUsd.value} beyond budget + one batch per partition")
   }
 
   test("accumulators reconcile with per-row accounting") {

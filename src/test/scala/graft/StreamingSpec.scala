@@ -169,7 +169,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.forall(_.getAs[Boolean]("success")))
       // ids with id % 7 == 3 fail attempt 0 and must retry inside the batch
       assert(out.filter(_.getAs[Long]("id") % 7 == 3).forall(_.getAs[Int]("attempts") > 1))
-      assert(usage.calls.value > 60L)
+      // batch-level calls: far fewer model calls than rows
+      assert(usage.calls.value >= 4L && usage.calls.value < 60L)
     } finally q.stop()
   }
 }
