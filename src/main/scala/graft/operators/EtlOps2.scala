@@ -118,10 +118,106 @@ object EtlOps2 {
       |FROM phrases ORDER BY phrase""".stripMargin
   }
 
+  // --- etl_header_merge ----------------------------------------------
+  // Multi-line header resolution (EDGE_CASES_ANALYSIS.md §2.3): the
+  // first header row carries category groupings ("Output Voltage" over
+  // Min/Typ/Max), the second the field names. The group label is
+  // forward-filled across columns (an IGNORE NULLS window per table —
+  // the same pattern as etl_fill_down) and merged as
+  // "<group> - <field>" onto value columns (Min/Typ/Max), which is the
+  // reference's keyword-guarded merge; all other columns keep the
+  // second-row name. One window shuffle keyed on the table.
+  private val headerCells = Seq(
+    // (col_idx, row0 group label or NULL, row1 field name)
+    (0, null, "Parameter"), (1, null, "Test Condition"),
+    (2, "Output Voltage", "Min"), (3, null, "Typ"), (4, null, "Max"),
+    (5, null, "Unit"))
+
+  val etlHeaderMerge: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, d).select(col("doc_id").as("table_id"))
+      .crossJoin(headerCells.toDF("col_idx", "grp", "field"))
+    val w = Window.partitionBy(col("table_id")).orderBy(col("col_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("grp_filled", last(col("grp"), ignoreNulls = true).over(w))
+      .select(col("table_id"), col("col_idx").cast("long").as("col_idx"),
+        when(col("grp_filled").isNotNull && col("field").isin("Min", "Typ", "Max"),
+          concat(col("grp_filled"), lit(" - "), col("field")))
+          .otherwise(col("field")).as("header"))
+      .orderBy(col("table_id"), col("col_idx"))
+  }
+
+  val etlHeaderMergeSql: String = {
+    val values = headerCells.map { case (i, g, f) =>
+      s"($i, ${if (g == null) "NULL" else s"'$g'"}, '$f')"
+    }.mkString(", ")
+    s"""WITH cells AS (
+      |  SELECT doc_id AS table_id, v.* FROM documents
+      |  CROSS JOIN (VALUES $values) v(col_idx, grp, field)),
+      |filled AS (
+      |  SELECT table_id, col_idx, field,
+      |    last_value(grp IGNORE NULLS) OVER (PARTITION BY table_id ORDER BY col_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp_filled
+      |  FROM cells)
+      |SELECT table_id, CAST(col_idx AS BIGINT) AS col_idx,
+      |  CASE WHEN grp_filled IS NOT NULL AND field IN ('Min', 'Typ', 'Max')
+      |       THEN grp_filled || ' - ' || field ELSE field END AS header
+      |FROM filled ORDER BY table_id, col_idx""".stripMargin
+  }
+
+  // --- etl_footnote_link ---------------------------------------------
+  // Footnote linking (EDGE_CASES_ANALYSIS.md §2.5): condition cells
+  // carry "(Note k)" markers; the page's footnote table resolves them.
+  // Marker extraction is a regexp; resolution is one equi-join on
+  // (doc, note_id) — page-local, no cross-page shuffle amplification.
+  val etlFootnoteLink: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val cells = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), lit("IQ").as("param"),
+        concat(lit("VFB = 1.1V (Note "), (pmod(col("doc_id"), lit(3)) + 1),
+          lit(")")).as("conditions"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), lit("VOUT").as("param"), lit("no marker here").as("conditions")))
+    val notes = docs.select(col("doc_id"), explode(sequence(lit(1), lit(3))).as("note_id"))
+      .withColumn("note_text",
+        concat(lit("Measured at VIN = "), col("note_id") * 4, lit("V, TA = 25C")))
+    cells
+      .withColumn("note_id",
+        nullif(regexp_extract(col("conditions"), "Note (\\d+)", 1), lit("")).cast("long"))
+      .join(notes, Seq("doc_id", "note_id"), "left")
+      .select(col("doc_id"), col("param"), col("conditions"), col("note_id"), col("note_text"))
+      .orderBy(col("doc_id"), col("param"))
+  }
+
+  val etlFootnoteLinkSql: String =
+    """WITH cells AS (
+      |  SELECT doc_id, 'IQ' AS param,
+      |    'VFB = 1.1V (Note ' || (doc_id % 3 + 1) || ')' AS conditions
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'VOUT', 'no marker here' FROM documents WHERE doc_id % 2 = 1),
+      |notes AS (
+      |  SELECT doc_id, CAST(note_id AS BIGINT) AS note_id,
+      |    'Measured at VIN = ' || (note_id * 4) || 'V, TA = 25C' AS note_text
+      |  FROM documents, LATERAL unnest(generate_series(1, 3)) t(note_id)),
+      |marked AS (
+      |  SELECT doc_id, param, conditions,
+      |    CAST(nullif(regexp_extract(conditions, 'Note (\d+)', 1), '') AS BIGINT) AS note_id
+      |  FROM cells)
+      |SELECT m.doc_id, m.param, m.conditions, m.note_id, n.note_text
+      |FROM marked m LEFT JOIN notes n ON m.doc_id = n.doc_id AND m.note_id = n.note_id
+      |ORDER BY m.doc_id, m.param""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "etl_infer_category" -> etlInferCategory,
-    "etl_category_header" -> etlCategoryHeader)
+    "etl_category_header" -> etlCategoryHeader,
+    "etl_header_merge" -> etlHeaderMerge,
+    "etl_footnote_link" -> etlFootnoteLink)
   val oracles: Map[String, String] = Map(
     "etl_infer_category" -> etlInferCategorySql,
-    "etl_category_header" -> etlCategoryHeaderSql)
+    "etl_category_header" -> etlCategoryHeaderSql,
+    "etl_header_merge" -> etlHeaderMergeSql,
+    "etl_footnote_link" -> etlFootnoteLinkSql)
 }

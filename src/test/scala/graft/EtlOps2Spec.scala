@@ -24,6 +24,28 @@ class EtlOps2Spec extends AnyFunSuite {
         s"'${r.getAs[String]("text")}'"))
   }
 
+  test("header merge fills groups forward but only merges onto value columns") {
+    val rows = EtlOps2.etlHeaderMerge(spark, sf)
+      .filter(col("table_id") === 1L).orderBy(col("col_idx")).collect()
+      .map(_.getAs[String]("header"))
+    assert(rows.toSeq == Seq("Parameter", "Test Condition",
+      "Output Voltage - Min", "Output Voltage - Typ", "Output Voltage - Max", "Unit"))
+  }
+
+  test("footnote links resolve markers and leave unmarked cells null") {
+    val out = EtlOps2.etlFootnoteLink(spark, sf).collect()
+    out.foreach { r =>
+      if (r.getAs[String]("param") == "IQ") {
+        val noteId = r.getAs[Long]("note_id")
+        assert(noteId == r.getAs[Long]("doc_id") % 3 + 1)
+        assert(r.getAs[String]("note_text") == s"Measured at VIN = ${noteId * 4}V, TA = 25C")
+      } else {
+        assert(r.isNullAt(r.fieldIndex("note_id")))
+        assert(r.isNullAt(r.fieldIndex("note_text")))
+      }
+    }
+  }
+
   test("category inference covers all four branches with correct precedence") {
     // sf0.001's retailprice range never trips the efficiency rule; the
     // four-branch coverage check needs the sf0.01 part table
