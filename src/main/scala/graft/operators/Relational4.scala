@@ -100,7 +100,7 @@ object Relational4 {
 
   val qConditionalAggSql: String =
     """SELECT o_orderstatus,
-      |  count_if(o_totalprice > 300000) AS n_big,
+      |  CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,
       |  bool_and(o_totalprice > 1000) AS all_over_1k,
       |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
       |  max_by(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000000 + o_orderkey) AS max_price_key,

@@ -43,6 +43,12 @@ for q, sql in sorted(oracle.items()):
     mismatch = []
     for c in g.columns:
         a, b = g[c], w[c]
+        # The driver hashes typed values: int64 19835 vs float64 19835.0
+        # hash-differ even though `==` passes (e.g. DuckDB HUGEINT ->
+        # pandas float64). Flag any dtype drift as a hard failure.
+        if str(a.dtype) != str(b.dtype):
+            mismatch.append(f"{c}: dtype {a.dtype} != {b.dtype}")
+            continue
         try:
             eq = (a == b) | (a.isna() & b.isna())
         except Exception:
