@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, DiagramOps, EtlOps, EtlOps2, ExtractPipeline, Inference, MultiModal, RegionOps, Relational, Relational2, Relational3, Relational4, Similarity, TableAssembly, TextOps}
+import graft.operators.{AsOf, Dedup, DiagramOps, EtlOps, EtlOps2, ExtractPipeline, Inference, MultiModal, RegionOps, Relational, Relational2, Relational3, Relational4, ScaleOps, Similarity, TableAssembly, TextOps}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -18,7 +18,8 @@ object SparkEntry {
       EtlOps.queries ++ EtlOps2.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ MultiModal.queries ++
       Inference.queries ++ TableAssembly.queries ++ DiagramOps.queries ++
-      ExtractPipeline.queries ++ RegionOps.queries ++ Streaming.queries
+      ExtractPipeline.queries ++ RegionOps.queries ++ ScaleOps.queries ++
+      Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       EtlOps.oracles ++ EtlOps2.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ MultiModal.oracles ++
       Inference.oracles ++ TableAssembly.oracles ++ DiagramOps.oracles ++
-      ExtractPipeline.oracles ++ RegionOps.oracles ++ Streaming.oracles
+      ExtractPipeline.oracles ++ RegionOps.oracles ++ ScaleOps.oracles ++
+      Streaming.oracles
 }

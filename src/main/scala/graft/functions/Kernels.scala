@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Static per-row kernels invoked from generated code (a top-level
   * object gets Java static forwarders, so `Kernels.dotProduct(...)`
@@ -88,6 +89,39 @@ object Kernels {
       p += 1
     }
     bucket
+  }
+
+  /** Distinct 3-token shingles of a space-tokenized string, one pass.
+    * Exactly equivalent to the declarative formulation
+    * `array_distinct(transform(sequence(0, n-3), i -> concat_ws(' ',
+    * slice(split(s, ' '), i+1, 3))))` (with the <3-token fallback to
+    * the whole string), which Spark evaluates interpreted AND re-splits
+    * the text once per shingle because higher-order-function lambdas
+    * re-evaluate captured subtrees per element. Tokenization matches
+    * `split(s, " ", -1)`: empty tokens from repeated spaces are kept;
+    * distinct preserves first occurrence (order irrelevant to the set
+    * math downstream, but kept deterministic).
+    */
+  def trigramShingles(s: UTF8String): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    if (toks.length < 3) {
+      seen.add(toks.mkString(" "))
+    } else {
+      var i = 0
+      val sb = new java.lang.StringBuilder(64)
+      while (i + 2 < toks.length) {
+        sb.setLength(0)
+        sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ').append(toks(i + 2))
+        seen.add(sb.toString)
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    var j = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
   }
 
   def rollingHash(arr: ArrayData): Long = {

@@ -77,6 +77,22 @@ object Expr {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Distinct 3-token shingles of a space-tokenized string — the
+    * single-pass codegen'd form of the split→transform→concat_ws→
+    * array_distinct pipeline (see Kernels.trigramShingles for the
+    * equivalence contract; the declarative form re-splits the text per
+    * shingle and never enters whole-stage codegen).
+    */
+  case class TrigramShingles(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "trigram_shingles"
+    override def nullSafeEval(v: Any): Any =
+      Kernels.trigramShingles(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"$K.trigramShingles($a)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Hamming distance between two 64-bit hashes (simhash dedup). */
   case class HammingDistance64(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -131,6 +147,7 @@ object Expr {
   def dotProduct(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def minhashSignature(tokens: Column, k: Int): Column = c(MinHashSignature(e(tokens), k))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def trigramShingles(text: Column): Column = c(TrigramShingles(e(text)))
   def hamming64(a: Column, b: Column): Column = c(HammingDistance64(e(a), e(b)))
   def rollingHash(tokens: Column): Column = c(RollingHash(e(tokens)))
   def hyperplaneBucket(vec: Column, planes: Array[Array[Float]]): Column = {

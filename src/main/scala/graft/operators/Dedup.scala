@@ -35,14 +35,11 @@ object Dedup {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Distinct 3-gram token shingles. */
-  private def shingles(c: Column): Column = {
-    val t = toks(c)
-    array_distinct(
-      when(size(t) < 3, array(concat_ws(" ", t)))
-        .otherwise(transform(sequence(lit(0), size(t) - 3),
-          i => concat_ws(" ", slice(t, i + 1, lit(3))))))
-  }
+  /** Distinct 3-gram token shingles — single-pass codegen'd kernel.
+    * (The declarative split→transform form re-splits the text once per
+    * shingle inside the interpreted lambda: O(tokens²) per doc.)
+    */
+  private def shingles(c: Column): Column = Expr.trigramShingles(c)
 
   // --- dedup_exact: hash-groupBy on normalized text ------------------
   val dedupExact: Q = (s, d) =>
@@ -303,15 +300,73 @@ object Dedup {
     clusterPairs(dedupMinhash(s, d))
       .orderBy(col("id"))
 
+  // --- dedup_jaccard_block: min-shingle blocking + exact Jaccard -----
+  // The oracle-checkable near-dup path: candidate pairs are docs that
+  // share the SAME lexicographically-minimal shingle (classic
+  // entity-resolution blocking — near-identical docs almost always
+  // agree on their rarest-sorted shingle), verified by exact n-gram
+  // Jaccard ≥ 0.8. Everything is deterministic string/set math, so
+  // DuckDB reproduces it bit-for-bit — this puts a full near-dup
+  // pipeline under the hash gate, complementing the hash-kernel
+  // variants (minhash/simhash) that are rows-only by nature.
+  // Scale shape: one groupBy-style shuffle on the block key; pair
+  // generation is block-local (expected block size ≈ 1 for prose — a
+  // min-shingle collision between non-dups needs the same rarest
+  // 3-token run). Skewed blocks (boilerplate corpora) would be capped
+  // the same way cappedBuckets does for LSH.
+  val JACCARD_THRESH = 0.8
+
+  val dedupJaccardBlock: Q = (s, d) => {
+    // cached: the self-join reads the shingle frame twice, and the
+    // pushed-down IsNotNull(blk) filter would otherwise re-expand the
+    // whole shingle pipeline a third time under the scan
+    val sh = cached(Tables.documents(s, d)
+      .select(col("doc_id"), shingles(normText(col("text"))).as("sh"))
+      .withColumn("blk", array_min(col("sh"))))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("blk"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= JACCARD_THRESH)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupJaccardBlockSql: String =
+    """WITH n AS (SELECT doc_id,
+      |             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |           FROM documents),
+      |tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |           ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)]
+      |           END) AS s
+      |       FROM tk),
+      |b AS (SELECT doc_id, s, list_min(s) AS blk FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |     CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE) /
+      |     CAST(len(list_distinct(list_concat(a.s, b2.s))) AS DOUBLE) AS jaccard
+      |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM pairs
+      |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_cluster" -> dedupCluster,
+    "dedup_jaccard_block" -> dedupJaccardBlock,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding)
 
-  /** Near-dup variants depend on our hash kernels → rows-only checks. */
+  /** Hash-kernel near-dup variants (xxhash64 minhash/simhash) are
+    * rows-only; dedup_jaccard_block is deterministic set math and
+    * carries a full DuckDB oracle.
+    */
   val oracles: Map[String, String] = Map(
-    "dedup_exact" -> dedupExactSql)
+    "dedup_exact" -> dedupExactSql,
+    "dedup_jaccard_block" -> dedupJaccardBlockSql)
 }

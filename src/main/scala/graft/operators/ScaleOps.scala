@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.Tables
+import graft.plans.TopK
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** §2D scale tooling surfaced as oracle-checked queries.
+  *
+  * The custom TopKPerGroup physical operator and the salted skew join
+  * were previously ScalaTest-only; these two queries put them under
+  * the DuckDB hash gate so the driver verifies their SEMANTICS, not
+  * just that they run — the custom plan must produce exactly the rows
+  * a window-rank would, and the salted join must preserve row
+  * multiplicity exactly.
+  */
+object ScaleOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- q_topk_group: TopKPerGroup custom plan under the oracle -------
+  // Bounded-heap top-5 lineitems per (returnflag, linestatus):
+  // partial heaps map-side → shuffle ≤ k rows/group/partition → final
+  // heaps. The oracle is the O(n log n) window-rank formulation — the
+  // plans differ, the rows must not. The final row_number runs over
+  // ≤ k rows per group (30 rows total), not the full table.
+  val qTopkGroup: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+      col("l_linenumber"), col("l_extendedprice"))
+    val top = TopK.topKPerGroup(li, Seq("l_returnflag", "l_linestatus"),
+      Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)), 5)
+    val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("rank"))
+  }
+
+  val qTopkGroupSql: String =
+    """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+      |       l_extendedprice, rnk AS rank FROM (
+      |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+      |         l_extendedprice,
+      |    CAST(row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rnk
+      |  FROM lineitem) t
+      |WHERE rnk <= 5 ORDER BY l_returnflag, l_linestatus, rank""".stripMargin
+
+  // --- q_skew_join: salted join must equal the plain join ------------
+  // Supplier revenue rollup through Skew.saltedJoin: lineitem rows get
+  // a random salt, supplier replicates `salts` ways, the shuffle key
+  // becomes (suppkey, salt) — a hot supplier's rows spread over 8
+  // reducers instead of one. The oracle is the UNSALTED join: salting
+  // must be invisible in the result (exact row multiplicity), which
+  // the hash gate proves. Money math decimal-exact per SURVEY §6.
+  val qSkewJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      col("l_suppkey").as("suppkey"),
+      col("l_extendedprice"), col("l_discount"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    graft.operators.Skew.saltedJoin(li, sup, "suppkey", salts = 8)
+      .groupBy(col("s_name"))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("s_name"))
+  }
+
+  val qSkewJoinSql: String =
+    """SELECT s_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |       (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY s_name""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_topk_group" -> qTopkGroup,
+    "q_skew_join" -> qSkewJoin)
+
+  val oracles: Map[String, String] = Map(
+    "q_topk_group" -> qTopkGroupSql,
+    "q_skew_join" -> qSkewJoinSql)
+}

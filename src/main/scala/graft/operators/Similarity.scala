@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Expr
 import graft.plans.TopK
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -267,14 +267,63 @@ object Similarity {
     queryIvfIndex(s, path, queriesDf(s, d), geom._2, TOPK)
   }
 
+  // --- ann_quantized: integer-quantized exact dot-product top-k ------
+  // The oracle-checkable similarity path: components quantized to
+  // floor(x·1e6) int64 (floor on double is IEEE-exact, so both engines
+  // quantize identically), scores are exact integer sums — no FP
+  // accumulation-order drift, so the full ranking is hash-comparable
+  // against DuckDB. This is also a real scale technique: int8/int16
+  // quantization is how production ANN serves billion-vector corpora
+  // (4× less memory bandwidth than float32, SIMD-friendly integer
+  // dot products); ×1e6 int64 is the exactness-first variant.
+  // Max |component| ≤ 1 → |term| ≤ 1e12 → |sum| ≤ 6.4e13 ≪ Long.Max.
+  val annQuantized: Q = (s, d) => {
+    def quant(c: Column): Column = transform(c, x => floor(x * 1e6).cast("long"))
+    val qs = queriesDf(s, d).select(col("query_id"), quant(col("qvec")).as("qv"))
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), quant(col("embedding")).as("cv"))
+    val scored = corpus.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("qdot"))
+    val top = TopK.topKPerGroup(scored, Seq("query_id"),
+      Seq(("qdot", true), ("vec_id", false)), TOPK)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annQuantizedSql: String =
+    """WITH q AS (SELECT vec_id AS query_id,
+      |             [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |     c AS (SELECT vec_id,
+      |             [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS cv
+      |           FROM embeddings),
+      |     scored AS (
+      |       SELECT q.query_id, c.vec_id,
+      |              CAST(list_sum([qv[i]*cv[i] FOR i IN range(1, len(qv)+1)]) AS BIGINT) AS qdot
+      |       FROM q JOIN c ON c.vec_id <> q.query_id),
+      |     ranked AS (SELECT query_id, vec_id, qdot,
+      |              CAST(row_number() OVER (PARTITION BY query_id
+      |                ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+      |        FROM scored)
+      |SELECT query_id, vec_id, qdot, rnk AS rank FROM ranked
+      |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
-    "ann_ivf_index" -> annIvfIndex)
+    "ann_ivf_index" -> annIvfIndex,
+    "ann_quantized" -> annQuantized)
 
-  /** Rows-only: DuckDB list_cosine_similarity interpolates differently
-    * at the last ulp; exactness is covered by SimilaritySpec instead.
+  /** Float-cosine variants are rows-only: DuckDB's float accumulation
+    * order differs at the last ulp; exactness there is covered by
+    * SimilaritySpec. ann_quantized is the oracle-checked path — its
+    * integer scores are drift-free by construction.
     */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "ann_quantized" -> annQuantizedSql)
 }
