@@ -266,31 +266,44 @@ object Dedup {
     */
   def clusterPairs(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 10): DataFrame = {
-    // localCheckpoint truncates lineage: iterations can never trigger a
-    // recompute of the (expensive) upstream pair generation, and the
-    // loop's plan stays constant-size instead of growing per round.
-    val p = pairs.select(col(aCol), col(bCol)).localCheckpoint(true)
-    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // ONE eager checkpoint materializes the (expensive) pair generation
+    // and truncates lineage so iterations can never recompute it. Both
+    // edge directions come from a single explode pass (a union of two
+    // selects would compute the pair plan twice), and the initial
+    // labels frame stays a cheap uncheckpointed projection of the
+    // edges checkpoint — it is computed inside round 1's job and
+    // round 1's OUTPUT is what gets checkpointed.
+    // Self-loops fold the "own label" term into the neighbor-min, so a
+    // round is ONE join + ONE aggregation (the classic formulation
+    // needs a second join to combine neighbor-min with the old label).
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")),
+        struct(col(aCol).as("src"), col(aCol).as("dst")),
+        struct(col(bCol).as("src"), col(bCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+      .withColumn("label", col("id"))
+    // Labels are monotonically non-increasing under min-propagation,
+    // so the label SUM is unchanged iff no label changed — convergence
+    // detection rides the same aggregation job that materializes the
+    // round's lazy checkpoint, with no extra join or filter pass.
+    // DECIMAL(38,0) keeps the sum exact at any corpus size (an int64
+    // sum could wrap at billions of 63-bit ids).
+    var prevSum: java.math.BigDecimal = null
     var i = 0
     var changed = true
     while (i < maxIter && changed) {
-      val nbrMin = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      // carry the previous label through the checkpoint: the
-      // convergence check becomes a narrow filter over the cached
-      // partitions instead of an extra join+shuffle per round
-      val next = labels.alias("l")
-        .join(nbrMin, col("l.id") === col("src"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"),
-          col("l.label").as("__old"))
-        .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("__old")).limit(1).count() > 0
-      labels = next.select(col("id"), col("label"))
+      val next = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("label"))
+        .select(col("src").as("id"), col("label"))
+        .localCheckpoint(false)
+      val s = next.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .first().getDecimal(0)
+      changed = s != null && (prevSum == null || s.compareTo(prevSum) != 0)
+      prevSum = s
+      labels = next
       i += 1
     }
     labels.withColumnRenamed("label", "cluster_id")
