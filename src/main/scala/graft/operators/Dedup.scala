@@ -276,37 +276,57 @@ object Dedup {
     // Self-loops fold the "own label" term into the neighbor-min, so a
     // round is ONE join + ONE aggregation (the classic formulation
     // needs a second join to combine neighbor-min with the old label).
-    val edges = pairs.select(explode(array(
+    val spark = pairs.sparkSession
+    val edges0 = pairs.select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")),
         struct(col(aCol).as("src"), col(aCol).as("dst")),
         struct(col(bCol).as("src"), col(bCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-    // Labels are monotonically non-increasing under min-propagation,
-    // so the label SUM is unchanged iff no label changed — convergence
-    // detection rides the same aggregation job that materializes the
-    // round's lazy checkpoint, with no extra join or filter pass.
-    // DECIMAL(38,0) keeps the sum exact at any corpus size (an int64
-    // sum could wrap at billions of 63-bit ids).
-    var prevSum: java.math.BigDecimal = null
-    var i = 0
-    var changed = true
-    while (i < maxIter && changed) {
-      val next = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("label"))
-        .select(col("src").as("id"), col("label"))
-        .localCheckpoint(false)
-      val s = next.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .first().getDecimal(0)
-      changed = s != null && (prevSum == null || s.compareTo(prevSum) != 0)
-      prevSum = s
-      labels = next
-      i += 1
-    }
-    labels.withColumnRenamed("label", "cluster_id")
+    // The dup graph is bounded by near-dup pairs, not corpus size —
+    // usually it is TINY relative to the session's shuffle width, and
+    // an iterative loop pays per-task overhead every round. Size the
+    // loop's shuffles to the measured edge count (the count is free:
+    // edges are already materialized), and pre-hash edges by the join
+    // key ONCE — localCheckpoint preserves outputPartitioning, so
+    // every round's join shuffles only the (smaller) labels side.
+    val nEdges = edges0.count()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val np = math.max(1L, math.min(prevShuffle.toLong, nEdges / 500000L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", np.toString)
+    try {
+      val edges = edges0.repartition(np, col("dst")).localCheckpoint(true)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      def hop(l: DataFrame): DataFrame =
+        edges.join(l, col("dst") === col("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("label"))
+          .select(col("src").as("id"), col("label"))
+      // Labels are monotonically non-increasing under min-propagation,
+      // so the label SUM is unchanged iff no label changed — convergence
+      // detection rides the same aggregation job that materializes the
+      // round's lazy checkpoint, with no extra join or filter pass.
+      // DECIMAL(38,0) keeps the sum exact at any corpus size (an int64
+      // sum could wrap at billions of 63-bit ids).
+      // TWO hops per materialized round: labels cross two edges before
+      // the convergence action, halving the number of Spark jobs (the
+      // dominant cost on small graphs) and the rounds-to-fixpoint on
+      // long chains. The extra hop after convergence is a no-op join.
+      var prevSum: java.math.BigDecimal = null
+      var i = 0
+      var changed = true
+      while (i < maxIter && changed) {
+        val next = hop(hop(labels)).localCheckpoint(false)
+        val s = next.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+          .first().getDecimal(0)
+        changed = s != null && (prevSum == null || s.compareTo(prevSum) != 0)
+        prevSum = s
+        labels = next
+        i += 2
+      }
+      labels.withColumnRenamed("label", "cluster_id")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   val dedupCluster: Q = (s, d) =>

@@ -106,8 +106,10 @@ object TrainOps {
     val docs = Tables.documents(s, d)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tok.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df derives from tf's group keys (distinct (doc,token) IS tf) — no
+    // second explode+distinct shuffle of the raw token stream; Catalyst
+    // reuses tf's exchange for both branches of the self-join.
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token"))

@@ -240,7 +240,45 @@ object TrainOps2 {
       |  floor(CAST(w_dec AS DOUBLE) / CAST(z AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mix_weight
       |FROM sc, z ORDER BY source""".stripMargin
 
+  // --- chunk_sliding: overlapping token-window chunking ---------------
+  // Context-window chunking (RAG / long-doc training prep): each doc
+  // becomes ceil-fitted 64-token windows at stride 32. Pure per-row
+  // array math — embarrassingly parallel, no shuffle at all until a
+  // consumer aggregates; output order is (doc, chunk) so downstream
+  // packing sees chunks contiguously.
+  val CHUNK_W = 64
+  val CHUNK_S = 32
+
+  val chunkSliding: Q = (s, d) => {
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_chunks",
+        greatest(lit(1L),
+          (ceil((col("n_tokens") - CHUNK_W).cast("double") / CHUNK_S) + 1).cast("long")))
+    w.select(col("doc_id"), col("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(n_chunks - 1 AS INT)), i -> array_join(slice(w, i * $CHUNK_S + 1, $CHUNK_W), ' '))"))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"),
+        least(lit(CHUNK_W.toLong), col("n_tokens") - col("chunk_id") * CHUNK_S).as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val chunkSlidingSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, n_tokens, w,
+      |        greatest(1, CAST(ceil((n_tokens - 64) / 32.0) AS BIGINT) + 1) AS n_chunks FROM w)
+      |SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS chunk_id,
+      |  array_to_string(w[i*32+1 : i*32+64], ' ') AS chunk_text,
+      |  CAST(least(64, n_tokens - i*32) AS BIGINT) AS n_chunk_tokens
+      |FROM c, unnest(range(0, n_chunks)) AS t(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "chunk_sliding" -> chunkSliding,
     "decontam_overlap" -> decontamOverlap,
     "text_repetition" -> textRepetition,
     "pack_sequences" -> packSequences,
@@ -248,6 +286,7 @@ object TrainOps2 {
     "mix_weights" -> mixWeights)
 
   val oracles: Map[String, String] = Map(
+    "chunk_sliding" -> chunkSlidingSql,
     "decontam_overlap" -> decontamOverlapSql,
     "text_repetition" -> textRepetitionSql,
     "pack_sequences" -> packSequencesSql,

@@ -73,6 +73,26 @@ class TrainOps2Spec extends AnyFunSuite {
     assert(top.getDouble(2) == d2.toDouble, s"exact d2 mismatch for vec $vid")
   }
 
+  test("chunk_sliding windows reconstruct the document at stride overlap") {
+    val chunks = TrainOps2.chunkSliding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getLong(4)))
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val toks = texts(doc).split(" ", -1)
+      val sorted = cs.sortBy(_._2)
+      sorted.foreach { case (_, i, text, nTok) =>
+        val want = toks.slice((i * TrainOps2.CHUNK_S).toInt,
+          (i * TrainOps2.CHUNK_S).toInt + TrainOps2.CHUNK_W)
+        assert(text == want.mkString(" "), s"doc $doc chunk $i")
+        assert(nTok == want.length.toLong)
+      }
+      // every token is covered by the last chunk's end
+      val last = sorted.last
+      assert(last._2 * TrainOps2.CHUNK_S + last._4 == toks.length.toLong)
+    }
+  }
+
   test("mix_weights upsamples small sources and normalizes to ~1") {
     val rows = TrainOps2.mixWeights(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
