@@ -31,10 +31,14 @@ object Bench {
       case Some(qs) => qs.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
+    // Locale-fixed formatting: f"%.3f" uses the default JVM locale and
+    // emits "0,123" (invalid JSON) on comma-decimal locales.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      try {
-        fn(spark, sfDir).count() // warmup
+      val r = try {
+        fn(spark, sfDir).count() // warmup (re-populates this query's caches)
         // Best of two timed runs: a single sample is vulnerable to one-off
         // GC pauses / machine contention (observed 0.6s -> 13s spikes on
         // otherwise-identical runs); the min is the steady-state number a
@@ -46,12 +50,25 @@ object Bench {
         }
         name -> samples.min
       } catch { case _: Throwable => name -> -1.0 }
+      // Per-query isolation: release this query's operator caches and
+      // memoized index state BEFORE the next query runs. Running the
+      // 96-query battery in one JVM with caches held to the end let
+      // late queries inherit their neighbors' storage + GC pressure —
+      // BENCH_r03 showed 14 unchanged queries >2x baseline that all
+      // re-measured at/under baseline in isolation. The System.gc()
+      // drives ContextCleaner's reference queue so unreferenced
+      // localCheckpoint blocks are actually reclaimed, not just
+      // unreachable.
+      graft.Caches.release(blocking = true)
+      graft.operators.Similarity.clearTrainedState()
+      System.gc()
+      r
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
     // The driver captures only the last ~2000 chars of stdout; the full
     // 80-query map (~2.5 KB) printed last gets truncated mid-line and
     // fails to parse (observed in BENCH_r01/r02). Persist the full map
@@ -71,10 +88,9 @@ object Bench {
       "text_langid", "pipe_clean_corpus", "pipe_extract_e2e",
       "infer_extract", "stream_sessionize")
     val resMap = results.toMap
-    val hs = headline.flatMap(k => resMap.get(k).map(v => "\"" + k + "\":" + f"$v%.3f"))
+    val hs = headline.flatMap(k => resMap.get(k).map(v => "\"" + k + "\":" + f3(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$hs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
-    Caches.release() // return operator-cache storage at end of the battery
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$hs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -74,8 +74,13 @@ object TrainOps {
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
       .withColumn("frac", least(lit(1.0), lit(SAMPLE_CAP).cast("double") / col("cnt")))
+      // Clamp the quantized fraction to 2^32-1: frac == 1.0 would hex to
+      // 9 chars ("100000000") and lpad-TRUNCATE to a bogus "10000000"
+      // threshold. Unreachable today only because the cnt <= CAP
+      // disjunct shadows it — clamping keeps thresh a valid bound if
+      // the two conditions are ever decoupled. (Mirrored in the oracle.)
       .withColumn("thresh",
-        lpad(lower(hex(floor(col("frac") * 4294967296.0).cast("long"))), 8, "0"))
+        lpad(lower(hex(least(floor(col("frac") * 4294967296.0), lit(4294967295.0)).cast("long"))), 8, "0"))
     docs.join(broadcast(counts), "source")
       .filter(col("cnt") <= SAMPLE_CAP ||
         substring(md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))), 1, 8) < col("thresh"))
@@ -88,7 +93,7 @@ object TrainOps {
       |             least(1.0, 15.0 / count(*)) AS frac
       |           FROM documents GROUP BY source),
       |t AS (SELECT source, cnt,
-      |        lpad(lower(hex(CAST(floor(frac * 4294967296.0) AS BIGINT))), 8, '0') AS thresh
+      |        lpad(lower(hex(CAST(least(floor(frac * 4294967296.0), 4294967295.0) AS BIGINT))), 8, '0') AS thresh
       |      FROM c)
       |SELECT d.doc_id, d.source, t.cnt AS stratum_size
       |FROM documents d JOIN t ON d.source = t.source

@@ -32,10 +32,16 @@ object TrainOps2 {
   // Benchmark decontamination: flag training documents sharing any
   // 3-token shingle with a held-out eval set (doc_id % 97 == 0 — a
   // deterministic ~1% sample standing in for the external benchmark).
-  // The eval shingle set is ~1% of corpus shingles → broadcast hash
-  // join against the exploded corpus (no shuffle of the corpus), then
-  // ONE aggregation shuffle on the (train, eval) pair key whose
-  // cardinality is bounded by true contamination, not corpus size.
+  // NO static broadcast hint on the eval side: the %97 stand-in makes
+  // eval shingles O(corpus/97), which grows linearly with the corpus —
+  // a hard-coded broadcast would OOM the driver at 100 TB. AQE decides
+  // at runtime from post-shuffle sizes: a genuinely small eval set
+  // (real benchmarks are KBs–MBs, fixed) still gets the broadcast
+  // join; an unexpectedly large one degrades gracefully to a shuffle
+  // hash join on `sh`. Then ONE aggregation shuffle on the
+  // (train, eval) pair key whose cardinality is bounded by true
+  // contamination, not corpus size. TrainOps2Spec asserts no
+  // broadcast hint survives into the optimized plan.
   val EVAL_MOD = 97L
 
   val decontamOverlap: Q = (s, d) => {
@@ -44,7 +50,7 @@ object TrainOps2 {
     val eval = sh.filter(col("doc_id") % EVAL_MOD === 0)
       .withColumnRenamed("doc_id", "eval_doc_id")
     val train = sh.filter(col("doc_id") % EVAL_MOD =!= 0)
-    train.join(broadcast(eval), "sh")
+    train.join(eval, "sh")
       .groupBy(col("doc_id"), col("eval_doc_id"))
       .agg(count(lit(1)).cast("long").as("n_shared"))
       .orderBy(col("doc_id"), col("eval_doc_id"))
@@ -76,9 +82,13 @@ object TrainOps2 {
   val textRepetition: Q = (s, d) => {
     val w = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // Guard the bigram comprehension on size(w) >= 2: sequence(0, -1)
+    // (a 1-token doc) would step BACKWARDS to [0, -1] and element_at(w, 0)
+    // throws. The empty-array branch makes explode drop short docs —
+    // exactly what the oracle's range(1, len(w)) does.
     val grams = w.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
       explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("gram"))
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2))) ELSE CAST(array() AS ARRAY<STRING>) END")).as("gram"))
     val counts = grams.groupBy(col("doc_id"), col("n_tokens"), col("gram"))
       .agg(count(lit(1)).as("c"))
     counts.groupBy(col("doc_id"), col("n_tokens"))
@@ -111,20 +121,40 @@ object TrainOps2 {
   // Greedy document packing: within each source stream, documents in
   // doc_id order are concatenated and cut into fixed SEQ_LEN-token
   // training sequences; each doc reports the sequence it starts in and
-  // its token offset there. One window per source partition — packing
-  // parallelizes across sources (at 100 TB, sources or (source,
-  // date-bucket) keys keep every partition's running sum independent;
-  // no global coordination is needed because sequence ids are local to
-  // the source).
+  // its token offset there.
+  //
+  // TWO-LEVEL cumulative sum, not one window per source: a
+  // Window.partitionBy(source) alone makes every source ONE reducer
+  // task — a 40 TB source would serialize through a single executor
+  // thread. Instead (1) docs cumulate within (source, bucket) where
+  // bucket = doc_id / PACK_BUCKET — thousands of independent window
+  // partitions per source — and (2) per-bucket token totals (one tiny
+  // row per bucket) cumulate across buckets in a second window whose
+  // input is corpus/PACK_BUCKET rows. cum_before = bucket-offset +
+  // within-bucket cum reproduces the single-window result exactly
+  // (same oracle). The bucket-totals join key is (source, bucket);
+  // AQE broadcasts the totals side when it is small (it always is:
+  // 3 longs per PACK_BUCKET docs).
   val SEQ_LEN = 256L
+  val PACK_BUCKET = 1024L
 
   val packSequences: Q = (s, d) => {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .withColumn("bkt", floor(col("doc_id") / PACK_BUCKET).cast("long"))
+    val wIn = Window.partitionBy(col("source"), col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    toks.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val within = toks.withColumn("in_before",
+      coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    val wB = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+      .withColumn("bkt_before", coalesce(sum(col("bkt_tokens")).over(wB), lit(0L)))
+      .select(col("source"), col("bkt"), col("bkt_before"))
+    within.join(offsets, Seq("source", "bkt"))
+      .withColumn("cum_before", col("bkt_before") + col("in_before"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         floor(col("cum_before").cast("double") / SEQ_LEN).cast("long").as("seq_id"),
         (col("cum_before") % SEQ_LEN).as("seq_offset"))

@@ -25,6 +25,30 @@ class TrainOps2Spec extends AnyFunSuite {
     }
   }
 
+  test("decontam_overlap carries no static broadcast hint (AQE decides at runtime)") {
+    // The %97 eval stand-in is O(corpus) shingles — a hard-coded
+    // broadcast() would OOM the driver at scale. The scale-safe plan
+    // lets AQE pick broadcast-vs-shuffle from measured sizes.
+    val analyzed = TrainOps2.decontamOverlap(spark, sf).queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint") && !analyzed.contains("UnresolvedHint"),
+      "decontam_overlap must not pin a broadcast hint on the eval side")
+  }
+
+  test("text_repetition drops <2-token docs instead of crashing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shortdocs").toString
+    import spark.implicits._
+    Seq((1L, "one", "s"), (2L, "", "s"), (3L, "two tokens", "s"),
+        (4L, "a b c d", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TrainOps2.textRepetition(spark, dir).collect()
+    // docs 1 ("one") and 2 ("") have <2 tokens -> dropped, like the
+    // oracle's range(1, len(w)); the rest keep exact bigram counts
+    assert(rows.map(_.getLong(0)).toSet == Set(3L, 4L))
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(3L) == 1L && byId(4L) == 3L)
+  }
+
   test("text_repetition counts are internally consistent") {
     val rows = TrainOps2.textRepetition(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
@@ -49,6 +73,39 @@ class TrainOps2Spec extends AnyFunSuite {
         cum += n
       }
     }
+  }
+
+  test("pack_sequences two-level cumsum matches the single-window formulation on a skewed source") {
+    // One source holds 95% of a 4000-doc corpus — the shape where a
+    // plain partitionBy(source) window collapses to a single reducer.
+    val dir = java.nio.file.Files.createTempDirectory("graft_packskew").toString
+    import spark.implicits._
+    (0L until 4000L).map { i =>
+      val src = if (i % 20 == 0) s"small${i % 3}" else "big"
+      (i, Seq.fill((i % 7 + 1).toInt)("t").mkString(" "), src)
+    }.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent single-window reference
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"),
+        floor(col("cum_before").cast("double") / TrainOps2.SEQ_LEN).cast("long").as("seq_id"),
+        (col("cum_before") % TrainOps2.SEQ_LEN).as("seq_offset"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = TrainOps2.packSequences(spark, dir).collect()
+    assert(got.length == 4000)
+    got.foreach { r =>
+      assert((r.getLong(3), r.getLong(4)) == ref(r.getLong(0)),
+        s"doc ${r.getLong(0)}: two-level != single-window")
+    }
+    // the heavy window must partition on (source, bkt), not source alone
+    val plan = TrainOps2.packSequences(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("bkt"), "expected two-level bucket key in the plan")
   }
 
   test("embed_outliers ranks the farthest-from-centroid vectors per label") {
