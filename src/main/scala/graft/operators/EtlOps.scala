@@ -333,6 +333,13 @@ object EtlOps {
   // perturbs every 5th value by ~3% and rewrites units to an alias.
   // FieldVerify reproduces the reference's comparator chain exactly
   // (RefVectorsSpec runs the reference's own test vectors against it).
+  // Oracle-gated since r4: the DuckDB SQL re-derives the comparator
+  // chain (numeric ±1% → unit-alias → normalized text), the severity
+  // tiers, penalty sums and status on the same part-derived input, so
+  // the summary is rows+schema+hash checked — p_retailprice ∈
+  // [900, 999.9] keeps every branch deterministic (no zero values, the
+  // 3% perturbation sits strictly between the 1% tolerance and the 5%
+  // severity tier).
   val etlFieldVerify: Q = (s, d) => {
     def longForm(perturbed: Boolean) = {
       val p = Tables.part(s, d)
@@ -352,6 +359,54 @@ object EtlOps {
         Seq("doc"))
       .orderBy(col("doc"))
   }
+
+  val etlFieldVerifySql: String =
+    """WITH f AS (
+      |  SELECT p_partkey AS doc, lower(p_brand) AS paraml, 'value' AS fieldl,
+      |    CAST(p_retailprice AS VARCHAR) AS vv,
+      |    CASE WHEN p_partkey % 5 = 0 THEN CAST(p_retailprice * CAST(1.03 AS DOUBLE) AS VARCHAR)
+      |         ELSE CAST(p_retailprice AS VARCHAR) END AS rv
+      |  FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, lower(p_brand), 'unit', 'mV', 'millivolt' FROM part),
+      |c AS (
+      |  SELECT doc,
+      |    regexp_matches(fieldl || '|' || paraml,
+      |      'vin|vout|iout|iq|efficiency|power|frequency') AS crit,
+      |    TRY_CAST(NULLIF(regexp_replace(trim(vv), '[^0-9.eE+-]', '', 'g'), '') AS DOUBLE) AS n1,
+      |    TRY_CAST(NULLIF(regexp_replace(trim(rv), '[^0-9.eE+-]', '', 'g'), '') AS DOUBLE) AS n2,
+      |    CASE WHEN lower(trim(vv)) IN ('mv', 'millivolt')
+      |              AND lower(trim(rv)) IN ('mv', 'millivolt') THEN TRUE
+      |         ELSE trim(vv) = trim(rv) END AS unit_eq,
+      |    regexp_replace(regexp_replace(lower(trim(vv)), '\s+', ' ', 'g'), '[.,;:!?]', '', 'g') =
+      |    regexp_replace(regexp_replace(lower(trim(rv)), '\s+', ' ', 'g'), '[.,;:!?]', '', 'g') AS text_eq
+      |  FROM f),
+      |m AS (
+      |  SELECT doc, crit,
+      |    CASE WHEN n1 IS NOT NULL AND n2 IS NOT NULL
+      |              AND ((n1 = 0 AND n2 = 0)
+      |                   OR abs(n1 - n2) / greatest(abs(n1), abs(n2)) <= 0.01) THEN TRUE
+      |         WHEN unit_eq OR text_eq THEN TRUE ELSE FALSE END AS is_match,
+      |    CASE WHEN n1 IS NULL OR n2 IS NULL OR greatest(abs(n1), abs(n2)) = 0 THEN NULL
+      |         ELSE abs(n1 - n2) / greatest(abs(n1), abs(n2)) END AS rel_diff
+      |  FROM c),
+      |p AS (
+      |  SELECT doc, is_match, crit, rel_diff,
+      |    CASE WHEN is_match THEN CAST(0.000 AS DECIMAL(6,3))
+      |         WHEN crit THEN CAST(0.100 AS DECIMAL(6,3))
+      |         WHEN rel_diff IS NOT NULL AND rel_diff > 0.1 THEN CAST(0.050 AS DECIMAL(6,3))
+      |         WHEN rel_diff IS NOT NULL AND rel_diff > 0.05 THEN CAST(0.025 AS DECIMAL(6,3))
+      |         ELSE CAST(0.010 AS DECIMAL(6,3)) END AS pen
+      |  FROM m)
+      |SELECT doc, COUNT(*) AS n_fields,
+      |  CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts,
+      |  greatest(0.0, least(1.0, CAST(CAST(1.00 AS DECIMAL(3,2)) - SUM(pen) AS DOUBLE))) AS confidence,
+      |  CASE WHEN max(CASE WHEN NOT is_match AND crit AND rel_diff > 0.1
+      |                     THEN 1 ELSE 0 END) = 1 THEN 'needs_review'
+      |       WHEN greatest(0.0, least(1.0, CAST(CAST(1.00 AS DECIMAL(3,2)) - SUM(pen) AS DOUBLE))) < 0.60
+      |            THEN 'conflict'
+      |       ELSE 'verified' END AS status
+      |FROM p GROUP BY doc ORDER BY doc""".stripMargin
 
   // --- etl_param_pivot: review_adapter parameter grouping ------------
   // review_adapter.py:101 _group_parameters: flat keys foo_min /
@@ -407,7 +462,102 @@ object EtlOps {
       |  FROM units) z
       |ORDER BY doc, param""".stripMargin
 
+  // --- etl_export_import: the Import-Script export shape -------------
+  // batch_export.py:254 export_for_import_script: the flattened
+  // per-device CSV row the reference's downstream database import
+  // consumes — MPN (filename stem, suffix-stripped, uppercased, :324),
+  // manufacturer, category inferred from which params are present
+  // (:339 _infer_category: switching freq → Buck Converter, efficiency
+  // → DC-DC Converter, Iq < 100 → LDO, else Unknown), the per-param
+  // min/max/typ columns pulled from the grouped parameter rows
+  // (etl_param_pivot's output — this query composes it), fixed
+  // Status/empty columns, and the confidence note tied to the
+  // verification stage (99% for the docs etl_field_verify flags, 100%
+  // otherwise). One wide conditional-aggregation pivot + one broadcast
+  // join with part — no extra corpus shuffle beyond the pivot's own.
+  val etlExportImport: Q = (s, d) => {
+    val wide = etlParamPivot(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("doc"))
+      .agg(
+        max(when(col("param") === "vin_min", col("value"))).as("vin_min"),
+        max(when(col("param") === "vin_max", col("value"))).as("vin_max"),
+        max(when(col("param") === "iout_max", col("value"))).as("iout_max"))
+    // synthetic extraction metadata: which optional params a given doc
+    // carries (cycles through the category-inference branches)
+    val freq = when(col("doc") % 4 === 0, (lit(400) + col("doc") % 100).cast("string"))
+    val eff = when(col("doc") % 4 === 1, (lit(80) + col("doc") % 15).cast("string"))
+    val iq = when(col("doc") % 4 === 2, (col("doc") % 150).cast("string"))
+    val conf = when(col("doc") % 5 === 0, lit(99L)).otherwise(lit(100L))
+    // manufacturer source column: this testdata's part table carries the
+    // brand (no p_mfgr column), which plays the manufacturer role here
+    val p = Tables.part(s, d).select(col("p_partkey").as("doc"), col("p_brand"))
+    wide.join(p, "doc")
+      .withColumn("__freq", freq).withColumn("__eff", eff).withColumn("__iq", iq)
+      .select(
+        upper(regexp_replace(concat(lit("p"), col("doc"), lit("_datasheet")),
+          "_datasheet$", "")).as("MPN"),
+        col("p_brand").as("Manufacturer"),
+        when(col("__freq").isNotNull, "Buck Converter")
+          .when(col("__eff").isNotNull, "DC-DC Converter")
+          .when(col("__iq").isNotNull && col("__iq").cast("long") < 100, "LDO")
+          .otherwise("Unknown").as("Category"),
+        lit("").as("Description"),
+        col("vin_min").as("Vin_min"),
+        col("vin_max").as("Vin_max"),
+        lit("").as("Vout_min"),
+        lit("").as("Vout_max"),
+        col("iout_max").as("Iout_max"),
+        coalesce(col("__iq"), lit("")).as("Iq_typ"),
+        coalesce(col("__eff"), lit("")).as("Efficiency_typ"),
+        coalesce(col("__freq"), lit("")).as("Frequency_typ"),
+        lit("").as("Package"),
+        lit("Active").as("Status"),
+        lit("").as("Datasheet_URL"),
+        concat(lit("Extracted by Datasheet-ETL-Spark v0.4 (confidence: "),
+          conf, lit("%)")).as("Notes"))
+      .orderBy(col("MPN"))
+  }
+
+  val etlExportImportSql: String =
+    """WITH wide AS (
+      |  SELECT p_partkey AS doc,
+      |    CAST(p_size AS VARCHAR) AS vin_min,
+      |    CAST(p_size * 2 AS VARCHAR) AS vin_max,
+      |    CAST(p_retailprice AS VARCHAR) AS iout_max,
+      |    p_brand
+      |  FROM part),
+      |meta AS (
+      |  SELECT *,
+      |    CASE WHEN doc % 4 = 0 THEN CAST(400 + doc % 100 AS VARCHAR) END AS freq,
+      |    CASE WHEN doc % 4 = 1 THEN CAST(80 + doc % 15 AS VARCHAR) END AS eff,
+      |    CASE WHEN doc % 4 = 2 THEN CAST(doc % 150 AS VARCHAR) END AS iq,
+      |    CASE WHEN doc % 5 = 0 THEN 99 ELSE 100 END AS conf
+      |  FROM wide)
+      |SELECT
+      |  upper(regexp_replace('p' || doc || '_datasheet', '_datasheet$', '')) AS "MPN",
+      |  p_brand AS "Manufacturer",
+      |  CASE WHEN freq IS NOT NULL THEN 'Buck Converter'
+      |       WHEN eff IS NOT NULL THEN 'DC-DC Converter'
+      |       WHEN iq IS NOT NULL AND CAST(iq AS BIGINT) < 100 THEN 'LDO'
+      |       ELSE 'Unknown' END AS "Category",
+      |  '' AS "Description",
+      |  vin_min AS "Vin_min",
+      |  vin_max AS "Vin_max",
+      |  '' AS "Vout_min",
+      |  '' AS "Vout_max",
+      |  iout_max AS "Iout_max",
+      |  coalesce(iq, '') AS "Iq_typ",
+      |  coalesce(eff, '') AS "Efficiency_typ",
+      |  coalesce(freq, '') AS "Frequency_typ",
+      |  '' AS "Package",
+      |  'Active' AS "Status",
+      |  '' AS "Datasheet_URL",
+      |  'Extracted by Datasheet-ETL-Spark v0.4 (confidence: ' || conf || '%)' AS "Notes"
+      |FROM meta ORDER BY "MPN"""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "etl_export_import" -> etlExportImport,
     "etl_param_pivot" -> etlParamPivot,
     "etl_field_verify" -> etlFieldVerify,
     "etl_merge_fragments" -> etlMergeFragments,
@@ -421,7 +571,9 @@ object EtlOps {
     "etl_clean_cells" -> etlCleanCells)
 
   val oracles: Map[String, String] = Map(
+    "etl_export_import" -> etlExportImportSql,
     "etl_param_pivot" -> etlParamPivotSql,
+    "etl_field_verify" -> etlFieldVerifySql,
     "etl_merge_fragments" -> etlMergeFragmentsSql,
     "etl_parse_values" -> etlParseValuesSql,
     "etl_fill_down" -> etlFillDownSql,

@@ -99,21 +99,65 @@ object Similarity {
   private val KMEANS_ITERS = 5
   private val SAMPLE_PER_CENT = 32
 
-  /** (nCent, nProbe) from corpus size. nCent = 2√n (bounded): finer
-    * cells lower the corpus fraction a given recall needs. nProbe
-    * defaults to 0.6·nCent — a recall-first setting measured to give
-    * recall@10 ≥ 0.9 on the synthetic corpus, which is only weakly
-    * clustered (mean top-10 cosine ≈ 0.30 against a 0.0 background, so
-    * true neighbors sit ~72° away and scatter across cells). The
-    * needed fraction falls as n grows (measured 65% at n=500 → 28% at
-    * n=2000) and real clustered embedding corpora run 1–10%; the
-    * probe fraction is the recall/cost knob, not a fixed property of
-    * the operator.
+  /** Cell count from corpus size: nCent = 2√n (bounded). Finer cells
+    * lower the corpus fraction a given recall needs.
     */
-  private[graft] def ivfGeometry(n: Long): (Int, Int) = {
-    val nCent = math.max(16, math.min(4096, 2 * math.ceil(math.sqrt(n.toDouble)).toInt))
-    val nProbe = math.max(2, math.ceil(0.6 * nCent).toInt)
-    (nCent, nProbe)
+  private[graft] def ivfCells(n: Long): Int =
+    math.max(16, math.min(4096, 2 * math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Build-time probe calibration (the FAISS-autotune move): sample a
+    * calibration query set, compute its EXACT top-k once, and measure —
+    * for each true neighbor — the rank of its assigned cell in the
+    * query's centroid ordering. The smallest nProbe covering
+    * RECALL_TARGET of all truth rows is the calibrated setting. On a
+    * clustered corpus neighbors share their query's nearest cell and
+    * this lands at 1–10% of nCent (IndexSpec asserts ≤10% with
+    * recall@10 ≥ 0.9); on an adversarially isotropic corpus — where
+    * true neighbors sit ~72° away and scatter across cells, so low
+    * probe fractions are information-theoretically insufficient — it
+    * honestly climbs toward nCent rather than shipping silent recall
+    * loss. nProbe stays an explicit knob on queryIvfIndex; calibration
+    * only chooses the default. Cost: one extra corpus pass at build
+    * time (the exact truth for ≤ CALIB_QUERIES broadcast queries);
+    * the per-rank histogram collected to the driver is ≤ nCent rows
+    * (scalar calibration data, not a data collect).
+    */
+  private val CALIB_QUERIES = 48
+  private val RECALL_TARGET = 0.95
+
+  private[graft] def calibrateNProbe(corpus: DataFrame, cents: DataFrame,
+      assigned: DataFrame, n: Long, nCent: Int): Int = {
+    val fraction = math.min(1.0, CALIB_QUERIES.toDouble * 1.5 / math.max(1L, n))
+    val calib = corpus
+      .sample(withReplacement = false, fraction, seed = 11L)
+      .limit(CALIB_QUERIES)
+      .select(col("vec_id").as("cq_id"), col("embedding").as("cqvec"))
+      .localCheckpoint(true)
+    val truth = TopK.topKPerGroup(
+      corpus.crossJoin(broadcast(calib))
+        .filter(col("vec_id") =!= col("cq_id"))
+        .select(col("cq_id"), col("vec_id"),
+          Expr.dotProduct(col("cqvec"), col("embedding")).as("cos")),
+      Seq("cq_id"), Seq(("cos", true), ("vec_id", false)), TOPK)
+    val cw = Window.partitionBy(col("cq_id")).orderBy(col("cdist").desc, col("cent_id"))
+    val cellRank = calib.crossJoin(broadcast(cents))
+      .select(col("cq_id"), col("cent_id"),
+        Expr.dotProduct(col("cqvec"), col("cvec")).as("cdist"))
+      .withColumn("cell_rank", row_number().over(cw))
+      .select(col("cq_id"), col("cent_id"), col("cell_rank"))
+    val hist = truth
+      .join(assigned.select(col("vec_id"), col("cent_id")), "vec_id")
+      .join(cellRank, Seq("cq_id", "cent_id"))
+      .groupBy(col("cell_rank")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = hist.map(_._2).sum.toDouble
+    if (total == 0) return nCent // degenerate corpus: probe everything
+    var cum = 0L
+    for ((rank, c) <- hist) {
+      cum += c
+      if (cum / total >= RECALL_TARGET) return math.max(2, rank)
+    }
+    nCent
   }
 
   /** Sampled k-means, all DataFrame-side: assign sample→nearest
@@ -169,14 +213,25 @@ object Similarity {
     * clearTrainedState(), matching write-once index semantics.
     */
   private val centCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), (DataFrame, Int)]()
 
   val annIvf: Q = (s, d) => {
     val corpus = Tables.embeddings(s, d)
     val n = Dedup.corpusSize(corpus, s"$d/embeddings")
-    val (nCent, nProbe) = ivfGeometry(n)
-    val cents = centCache.computeIfAbsent((System.identityHashCode(s), d, nCent),
-      _ => trainCentroids(corpus, nCent, n))
+    val nCent = ivfCells(n)
+    val (cents, nProbe) = centCache.computeIfAbsent(
+      (System.identityHashCode(s), d, nCent), { _ =>
+        val trained = trainCentroids(corpus, nCent, n)
+        // calibration's assignment pass reuses the trained quantizer;
+        // the (lazy) assignment dataflow below recomputes it per query,
+        // matching write-once-index semantics where assignment is I/O
+        val assigned = TopK.topKPerGroup(
+          corpus.crossJoin(broadcast(trained))
+            .select(col("vec_id"), col("cent_id"),
+              Expr.dotProduct(col("embedding"), col("cvec")).as("cdist")),
+          Seq("vec_id"), Seq(("cdist", true), ("cent_id", false)), 1)
+        (trained, calibrateNProbe(corpus, trained, assigned, n, nCent))
+      })
     def assign(df: DataFrame, idCol: String, vecCol: String, probes: Int): DataFrame =
       TopK.topKPerGroup(
         df.crossJoin(broadcast(cents))
@@ -204,11 +259,15 @@ object Similarity {
   // of an inverted-list seek. IndexSpec asserts the pruning is in the
   // plan, not just hoped for.
 
-  /** Train + assign + persist. Returns (nCent, nProbe) used. */
+  /** Train + assign + persist + calibrate. Returns (nCent, nProbe):
+    * nProbe is the build-time-calibrated default (see calibrateNProbe),
+    * measured against the PERSISTED assignment so the number describes
+    * exactly the index a probe will read.
+    */
   def buildIvfIndex(corpus: DataFrame, path: String): (Int, Int) = {
     val s = corpus.sparkSession
     val n = corpus.count()
-    val (nCent, nProbe) = ivfGeometry(n)
+    val nCent = ivfCells(n)
     val cents = trainCentroids(corpus, nCent, n)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val trained = s.read.parquet(s"$path/centroids")
@@ -219,7 +278,8 @@ object Similarity {
         Seq("vec_id"), Seq(("cdist", true), ("cent_id", false)), 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/corpus")
-    (nCent, nProbe)
+    val assigned = s.read.parquet(s"$path/corpus")
+    (nCent, calibrateNProbe(corpus, trained, assigned, n, nCent))
   }
 
   /** Top-k over a persisted index: probe cells per query, join against

@@ -19,15 +19,26 @@ object Streaming {
 
   val SessionGapMicros: Long = 30L * 60 * 1000 * 1000 // 30 min
 
-  /** Tumbling-window counts with watermark — the canonical streaming
-    * agg. On a batch frame the watermark is a no-op.
+  /** Tumbling (or, with `slide`, sliding) window counts with
+    * watermark — the canonical streaming agg. On a batch frame the
+    * watermark is a no-op, which is what lets `stream_window_counts`
+    * put this exact function under the DuckDB oracle gate. The value
+    * sum accumulates in DECIMAL(18,2) (exact, order-independent) and
+    * casts back to double, so batch and oracle agree bit-for-bit.
     */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours", slide: Option[String] = None): DataFrame = {
+    val w = slide match {
+      case Some(sl) => window(col("ts"), window_, sl)
+      case None => window(col("ts"), window_)
+    }
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .groupBy(w.as("window"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+  }
 
   /** Streaming dedup on event_id within the watermark. */
   def streamDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
@@ -131,6 +142,45 @@ object Streaming {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** stream_window_counts: the oracle-gated anchor for the streaming
+    * windowed-agg surface. Runs the SAME windowedCounts function that
+    * StreamingSpec drives through MemoryStream — tumbling 1h and
+    * sliding 1h/30min, unioned with a `kind` tag — on the batch events
+    * frame (watermark semantics are a no-op on complete batch input:
+    * nothing is late relative to max(ts) - 2h once the data is at
+    * rest, so the batch result equals the stream's final state).
+    */
+  val streamWindowCounts: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    def shaped(kind: String, slide: Option[String]) =
+      windowedCounts(ev, "1 hour", "2 hours", slide)
+        .select(lit(kind).as("kind"),
+          col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("event_type"), col("n"), col("sum_value"))
+    shaped("tumbling", None)
+      .unionByName(shaped("sliding", Some("30 minutes")))
+      .orderBy(col("kind"), col("w_start"), col("event_type"))
+  }
+
+  val streamWindowCountsSql: String =
+    """WITH tumb AS (
+      |  SELECT 'tumbling' AS kind,
+      |    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start,
+      |    event_type, value
+      |  FROM events),
+      |slid AS (
+      |  SELECT 'sliding' AS kind,
+      |    unnest([
+      |      make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+      |      make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000)]) AS w_start,
+      |    event_type, value
+      |  FROM events),
+      |u AS (SELECT * FROM tumb UNION ALL SELECT * FROM slid)
+      |SELECT kind, w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
+      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM u GROUP BY kind, w_start, event_type
+      |ORDER BY kind, w_start, event_type""".stripMargin
+
   /** stream_dup_gate: batch twin of the incremental gate — 100 corpus
     * copies (must be flagged) + 100 reversed-text novels (must pass)
     * against the corpus index. Rows-only (custom minhash kernel);
@@ -152,6 +202,9 @@ object Streaming {
 
   val queries: Map[String, Q] = Map(
     "stream_sessionize" -> streamSessionize,
+    "stream_window_counts" -> streamWindowCounts,
     "stream_dup_gate" -> streamDupGate)
-  val oracles: Map[String, String] = Map("stream_sessionize" -> streamSessionizeSql)
+  val oracles: Map[String, String] = Map(
+    "stream_sessionize" -> streamSessionizeSql,
+    "stream_window_counts" -> streamWindowCountsSql)
 }

@@ -109,9 +109,9 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("ivf geometry scales as sqrt(n) and lsh planes as log(n)") {
-    assert(Similarity.ivfGeometry(2000L)._1 == 90)   // 2*ceil(sqrt(2000))
-    assert(Similarity.ivfGeometry(50L)._1 == 16)     // floor
-    assert(Similarity.ivfGeometry(100_000_000L)._1 == 4096) // cap
+    assert(Similarity.ivfCells(2000L) == 90)   // 2*ceil(sqrt(2000))
+    assert(Similarity.ivfCells(50L) == 16)     // floor
+    assert(Similarity.ivfCells(100_000_000L) == 4096) // cap
     assert(Dedup.planesFor(2000L) == 8)              // floor at small corpora
     val p20x = Dedup.planesFor(2000L * 1000)         // 1000x corpus
     assert(p20x > 8 && p20x <= 16, s"planes $p20x should grow with log(n)")

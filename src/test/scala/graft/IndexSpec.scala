@@ -27,6 +27,48 @@ class IndexSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"persisted-index recall@10 $recall below 0.9")
   }
 
+  test("clustered corpus: calibrated probe fraction <= 10% of cells at recall@10 >= 0.9") {
+    // A corpus with real cluster structure — the case IVF exists for
+    // (the sf testdata is adversarially isotropic, where low probe
+    // fractions are information-theoretically insufficient and
+    // calibration honestly climbs instead). 40 well-separated unit
+    // directions in 64-d, 50 members each, 10% relative noise.
+    import spark.implicits._
+    val rnd = new java.util.Random(42L)
+    val dim = 64
+    val centers = Array.fill(40) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = for {
+      c <- centers.indices
+      m <- 0 until 50
+    } yield {
+      val v = centers(c).map(x => x + 0.1 * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      ((c * 50 + m).toLong, v.map(x => (x / n).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cpath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_clustered"
+    val (nCent, nProbe) = Similarity.buildIvfIndex(corpus, cpath)
+    assert(nProbe <= math.ceil(0.1 * nCent).toInt,
+      s"calibrated nProbe $nProbe exceeds 10% of $nCent cells on clustered data")
+    val qs = corpus.filter(col("vec_id") % 50 === 0).limit(8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = Similarity.queryIvfIndex(spark, cpath, qs, nProbe, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = graft.plans.TopK.topKPerGroup(
+        corpus.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.Expr.dotProduct(col("qvec"), col("embedding")).as("cosine")),
+        Seq("query_id"), Seq(("cosine", true), ("vec_id", false)), 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered-index recall@10 $recall below 0.9 at nProbe $nProbe")
+  }
+
   test("index probe plan uses dynamic partition pruning on cent_id") {
     val qs = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

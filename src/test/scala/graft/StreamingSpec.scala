@@ -35,6 +35,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windowedCounts: stream final state equals the batch twin") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.5),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:35:00"), "click", 2.25),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), "view", 4.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:20:00"), "click", 8.0))
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.windowedCounts(df, "1 hour", "2 hours", Some("30 minutes"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("swc").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      def shape(r: org.apache.spark.sql.Row) =
+        (r.getAs[org.apache.spark.sql.Row]("window").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Double]("sum_value"))
+      val streamed = spark.table("swc").collect().map(shape).toSet
+      val batch = Streaming.windowedCounts(
+          data.toDF("ts", "event_type", "value"), "1 hour", "2 hours", Some("30 minutes"))
+        .collect().map(shape).toSet
+      assert(streamed == batch, "stream final state must equal the batch twin")
+      assert(streamed.size == 6, "each event lands in 2 sliding windows (minus merges)")
+    } finally q.stop()
+  }
+
   test("streamDedup drops duplicate event ids within watermark") {
     val spark2 = spark
     import spark2.implicits._
