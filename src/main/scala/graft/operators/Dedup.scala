@@ -277,52 +277,79 @@ object Dedup {
     // round is ONE join + ONE aggregation (the classic formulation
     // needs a second join to combine neighbor-min with the old label).
     val spark = pairs.sparkSession
-    val edges0 = pairs.select(explode(array(
+    // Dedupe IS the dst-partitioned shuffle: hash-partitioning by dst
+    // already co-locates identical (src,dst) rows, so dropDuplicates
+    // after repartition(dst) adds no exchange, and ONE eager
+    // checkpoint materializes pair generation + dedupe + the loop's
+    // join layout in a single pass (a separate distinct would pay a
+    // second shuffle and a second checkpoint pass). localCheckpoint
+    // preserves outputPartitioning, so every round's join shuffles
+    // only the (smaller) labels side.
+    val edges = pairs.select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")),
         struct(col(aCol).as("src"), col(aCol).as("dst")),
         struct(col(bCol).as("src"), col(bCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().localCheckpoint(true)
+      .repartition(col("dst"))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true)
     // The dup graph is bounded by near-dup pairs, not corpus size —
     // usually it is TINY relative to the session's shuffle width, and
     // an iterative loop pays per-task overhead every round. Size the
-    // loop's shuffles to the measured edge count (the count is free:
-    // edges are already materialized), and pre-hash edges by the join
-    // key ONCE — localCheckpoint preserves outputPartitioning, so
-    // every round's join shuffles only the (smaller) labels side.
-    val nEdges = edges0.count()
+    // loop's label-side shuffles to the measured edge count (the
+    // count is free: edges are already materialized).
+    val nEdges = edges.count()
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val np = math.max(1L, math.min(prevShuffle.toLong, nEdges / 500000L + 1L)).toInt
     spark.conf.set("spark.sql.shuffle.partitions", np.toString)
     try {
-      val edges = edges0.repartition(np, col("dst")).localCheckpoint(true)
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
       def hop(l: DataFrame): DataFrame =
         edges.join(l, col("dst") === col("id"))
           .groupBy(col("src")).agg(min(col("label")).as("label"))
           .select(col("src").as("id"), col("label"))
-      // Labels are monotonically non-increasing under min-propagation,
-      // so the label SUM is unchanged iff no label changed — convergence
-      // detection rides the same aggregation job that materializes the
-      // round's lazy checkpoint, with no extra join or filter pass.
-      // DECIMAL(38,0) keeps the sum exact at any corpus size (an int64
-      // sum could wrap at billions of 63-bit ids).
-      // TWO hops per materialized round: labels cross two edges before
-      // the convergence action, halving the number of Spark jobs (the
-      // dominant cost on small graphs) and the rounds-to-fixpoint on
-      // long chains. The extra hop after convergence is a no-op join.
-      var prevSum: java.math.BigDecimal = null
-      var i = 0
+      // Hop 1 fused with label init: over identity labels the
+      // neighbor-min is just min(dst) per src — one aggregation, no
+      // distinct-labels shuffle and no first join. (Self-loops make
+      // this cover every node and its own id.)
+      var labels = edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("label"))
+        .select(col("src").as("id"), col("label"))
+      // Each round: one hop, then a POINTER JUMP (label := label of
+      // one's label — the label value is itself a node id, so a
+      // self-join composes two resolution steps), then a final hop
+      // whose aggregation ALSO carries the pre-hop label through the
+      // self-loop row (min(label) WHERE dst = src is exactly the
+      // incoming label). Jumping makes covered distance grow
+      // geometrically — long chains converge in O(log d) rounds, the
+      // standard distributed-CC trick — and the carried __own column
+      // lets ONE aggregation job both materialize the round and
+      // decide convergence: labels are monotonically non-increasing,
+      // so sum(label) = sum(__own) iff the final hop changed nothing,
+      // i.e. the round that REACHES the fixpoint also CONFIRMS it
+      // with no separate no-op confirmation round (per-round job
+      // overhead dominates on the tiny dup graph). DECIMAL(38,0)
+      // keeps the sums exact at any corpus size (an int64 sum could
+      // wrap at billions of 63-bit ids); hop-fixpoint ⟹ uniform
+      // per-component labels, and the jump preserves monotonicity.
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      var i = 1
       var changed = true
       while (i < maxIter && changed) {
-        val next = hop(hop(labels)).localCheckpoint(false)
-        val s = next.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-          .first().getDecimal(0)
-        changed = s != null && (prevSum == null || s.compareTo(prevSum) != 0)
-        prevSum = s
-        labels = next
+        val h1 = hop(labels)
+        val jumped = h1.as("a").join(h1.as("b"), col("a.label") === col("b.id"))
+          .select(col("a.id").as("id"), col("b.label").as("label"))
+        val next = edges.join(jumped, col("dst") === col("id"))
+          .groupBy(col("src"))
+          .agg(min(col("label")).as("label"),
+            min(when(col("dst") === col("src"), col("label"))).as("__own"))
+          .localCheckpoint(false)
+        val sums = next
+          .agg(sum(col("label").cast(dec)), sum(col("__own").cast(dec)))
+          .first()
+        val (s1, s2) = (sums.getDecimal(0), sums.getDecimal(1))
+        changed = s1 != null && s2 != null && s1.compareTo(s2) != 0
+        labels = next.select(col("src").as("id"), col("label"))
         i += 2
       }
       labels.withColumnRenamed("label", "cluster_id")
