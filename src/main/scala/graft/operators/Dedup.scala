@@ -360,6 +360,17 @@ object Dedup {
     clusterPairs(dedupMinhash(s, d))
       .orderBy(col("id"))
 
+  // --- dedup_cluster_exact: the SAME clusterPairs iteration, under ---
+  // the hash gate. dedup_cluster's pairs come from the xxhash64
+  // minhash kernel (rows-only by nature), so this twin runs the
+  // identical pointer-jump min-label loop over the deterministic
+  // jaccard-block pairs and is verified against an INDEPENDENT DuckDB
+  // formulation (recursive-CTE label closure) — the iterative operator
+  // itself gains an oracle anchor, not just its pair source.
+  val dedupClusterExact: Q = (s, d) =>
+    clusterPairs(dedupJaccardBlock(s, d))
+      .orderBy(col("id"))
+
   // --- dedup_jaccard_block: min-shingle blocking + exact Jaccard -----
   // The oracle-checkable near-dup path: candidate pairs are docs that
   // share the SAME lexicographically-minimal shingle (classic
@@ -413,8 +424,44 @@ object Dedup {
       |SELECT doc_a, doc_b, jaccard FROM pairs
       |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Min-label connected components as a recursive label closure: the
+    * base term seeds every (node, neighbor) label candidate (self-loops
+    * included), the recursive term forwards labels across edges until
+    * no new (id, label) tuple appears, and the final aggregate takes
+    * each node's minimum — an independent fixpoint formulation of what
+    * clusterPairs computes iteratively.
+    */
+  val dedupClusterExactSql: String =
+    """WITH RECURSIVE n AS (SELECT doc_id,
+      |             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |           FROM documents),
+      |tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |           ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)]
+      |           END) AS s
+      |       FROM tk),
+      |b AS (SELECT doc_id, s, list_min(s) AS blk FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.s, b2.s))) AS DOUBLE) >= 0.8),
+      |e AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |  UNION SELECT doc_a, doc_a FROM pairs
+      |  UNION SELECT doc_b, doc_b FROM pairs),
+      |cc(id, label) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT e.src, cc.label FROM cc JOIN e ON e.dst = cc.id)
+      |SELECT id, CAST(MIN(label) AS BIGINT) AS cluster_id
+      |FROM cc GROUP BY id ORDER BY id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_cluster" -> dedupCluster,
+    "dedup_cluster_exact" -> dedupClusterExact,
     "dedup_jaccard_block" -> dedupJaccardBlock,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
@@ -428,5 +475,6 @@ object Dedup {
     */
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_cluster_exact" -> dedupClusterExactSql,
     "dedup_jaccard_block" -> dedupJaccardBlockSql)
 }

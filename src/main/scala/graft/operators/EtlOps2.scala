@@ -210,14 +210,54 @@ object EtlOps2 {
       |FROM marked m LEFT JOIN notes n ON m.doc_id = n.doc_id AND m.note_id = n.note_id
       |ORDER BY m.doc_id, m.param""".stripMargin
 
+  // --- etl_merge_upsert: CDC MERGE / upsert-with-deletes -------------
+  // The canonical incremental-ingest operator a 100 TB pipeline runs
+  // daily: a keyed change stream (insert/update/delete events) folds
+  // into a current-state table — last writer per key wins, a trailing
+  // delete removes the key. Orders serve as the change stream: key =
+  // o_custkey, event order = (o_orderdate, o_orderkey), deterministic
+  // delete marker on o_orderkey % 37 = 0. The plan is the scale shape
+  // MERGE compiles to in any table format: ONE shuffle by key (the
+  // row_number window), no join — at 1000 executors each key's events
+  // meet in exactly one task regardless of history depth.
+  val etlMergeUpsert: Q = (s, d) => {
+    val ev = Tables.orders(s, d).select(
+      col("o_custkey").as("k"),
+      col("o_orderdate").as("ts"),
+      col("o_orderkey").as("seq"),
+      col("o_totalprice").as("payload"),
+      when(col("o_orderkey") % 37 === 0, "D").otherwise("U").as("op"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ts").desc, col("seq").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("k").as("cust"), col("ts").as("last_update"),
+        col("seq").as("last_order"), col("payload").as("state"))
+      .orderBy(col("cust"))
+  }
+
+  val etlMergeUpsertSql: String =
+    """WITH ev AS (
+      |  SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS seq,
+      |    o_totalprice AS payload,
+      |    CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM orders),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY ts DESC, seq DESC) AS rn
+      |  FROM ev)
+      |SELECT k AS cust, ts AS last_update, seq AS last_order, payload AS state
+      |FROM r WHERE rn = 1 AND op = 'U' ORDER BY cust""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "etl_infer_category" -> etlInferCategory,
     "etl_category_header" -> etlCategoryHeader,
     "etl_header_merge" -> etlHeaderMerge,
-    "etl_footnote_link" -> etlFootnoteLink)
+    "etl_footnote_link" -> etlFootnoteLink,
+    "etl_merge_upsert" -> etlMergeUpsert)
   val oracles: Map[String, String] = Map(
     "etl_infer_category" -> etlInferCategorySql,
     "etl_category_header" -> etlCategoryHeaderSql,
     "etl_header_merge" -> etlHeaderMergeSql,
-    "etl_footnote_link" -> etlFootnoteLinkSql)
+    "etl_footnote_link" -> etlFootnoteLinkSql,
+    "etl_merge_upsert" -> etlMergeUpsertSql)
 }

@@ -123,6 +123,51 @@ object TextOps {
         Expr.simhash64(toks(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
 
+  // --- text_entropy: character-entropy quality signal ----------------
+  // Shannon entropy of the per-doc character distribution — the
+  // standard cheap detector for low-information text (keyboard mash,
+  // repeated boilerplate, base64 blobs score far from prose's ~4.2
+  // bits/char). Shuffle-free per-row array math: the char histogram is
+  // computed over the SORTED distinct char list so both engines sum
+  // the -p·log2(p) terms in the same order, and the final entropy is
+  // quantized floor(x*1e6+0.5)/1e6 on both sides (SURVEY §6 rule:
+  // never compare raw transcendentals). Empty-string chars are
+  // filtered because Spark's split("", "") yields [""] while DuckDB
+  // yields [].
+  val textEntropy: Q = (s, d) => {
+    val chars = filter(split(col("text"), ""), c => c =!= "")
+    val n = size(chars).cast("double")
+    val dchars = array_sort(array_distinct(chars))
+    val termOf = (c: Column) => {
+      val p = size(filter(chars, x => x === c)).cast("double") / n
+      -p * log2(p)
+    }
+    val ent = aggregate(dchars, lit(0.0d), (acc, c) => acc + termOf(c))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(chars).cast("long").as("n_chars_tot"),
+        size(dchars).cast("long").as("n_distinct"),
+        (floor(ent * 1e6 + 0.5) / 1e6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textEntropySql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    [ch FOR ch IN string_split(text, '') IF ch != ''] AS chars
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, chars, list_sort(list_distinct(chars)) AS dchars
+      |  FROM c)
+      |SELECT doc_id,
+      |  CAST(len(chars) AS BIGINT) AS n_chars_tot,
+      |  CAST(len(dchars) AS BIGINT) AS n_distinct,
+      |  floor(list_reduce(list_prepend(0.0, [
+      |      -(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))
+      |        * log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))
+      |      FOR ch IN dchars]), (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS entropy
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // --- pipe_clean_corpus: the end-to-end training-data clean ---------
   // quality filter → language filter → exact dedup, composed from the
   // operators above in one declarative plan (what a 100 TB corpus
@@ -180,6 +225,7 @@ object TextOps {
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
+    "text_entropy" -> textEntropy,
     "text_fingerprint" -> textFingerprint,
     "pipe_clean_corpus" -> pipeCleanCorpus)
 
@@ -188,5 +234,6 @@ object TextOps {
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
+    "text_entropy" -> textEntropySql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql)
 }

@@ -73,6 +73,31 @@ class DedupSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusterPairs converges on a long chain (pointer-jump rounds)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 30-node path graph: diameter 29 exercises the geometric jump —
+    // plain 2-hop rounds would exhaust the default hop budget
+    val pairs = (0L until 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labels.size == 30)
+    assert(labels.values.forall(_ == 0L), s"chain not fully collapsed: $labels")
+  }
+
+  test("dedup_cluster_exact clusters every jaccard-block pair together") {
+    val pairs = Dedup.dedupJaccardBlock(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val labels = Dedup.dedupClusterExact(spark, sf).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(pairs.nonEmpty || labels.isEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // every cluster label is a member of its own cluster (canonical min)
+    labels.values.toSet.foreach((l: Long) => assert(labels(l) == l))
+  }
+
   test("dedup_embedding pairs are ordered by cosine desc") {
     val rows = Dedup.dedupEmbedding(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -68,4 +68,27 @@ class TextAndMultiModalSpec extends AnyFunSuite {
       assert(r.getAs[Double]("feat_norm") >= 0.0)
     }
   }
+
+  test("text_entropy is bounded by log2 of the distinct-char count") {
+    val rows = graft.operators.TextOps.textEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ent = r.getAs[Double]("entropy")
+      val nd = r.getAs[Long]("n_distinct")
+      assert(ent >= 0.0, s"doc ${r.get(0)}: negative entropy $ent")
+      // +1e-6 slack for the quantization step
+      assert(ent <= math.log(nd.toDouble) / math.log(2.0) + 1e-6,
+        s"doc ${r.get(0)}: entropy $ent exceeds log2($nd)")
+    }
+  }
+
+  test("etl_merge_upsert keeps one live row per key, none delete-marked") {
+    val rows = graft.operators.EtlOps2.etlMergeUpsert(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val custs = rows.map(_.getAs[Long]("cust"))
+    assert(custs.distinct.length == custs.length, "duplicate keys after merge")
+    // a key whose LAST event is a delete must be absent
+    rows.foreach(r => assert(r.getAs[Long]("last_order") % 37 != 0,
+      s"cust ${r.get(0)} survived with a delete-marked last event"))
+  }
 }
