@@ -97,11 +97,64 @@ object Relational5 {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --- q_hierarchy: recursive hierarchy resolution (BOM explosion) ---
+  // The recursive-query surface: every part points at a synthetic
+  // parent (p_partkey / 7 — a forest of 7-ary trees rooted at keys
+  // 1..6), and the query resolves each node's ROOT and DEPTH. Spark
+  // has no recursive CTE, so this is POINTER DOUBLING: each round
+  // self-joins the state on ancestor = id, composing ancestor links
+  // and summing depths — covered depth grows 2^rounds. The round
+  // count comes from the DATA: max key K bounds the forest depth at
+  // floor(log7 K)+1, so ceil(log2 depth) rounds provably resolve
+  // everything (3 rounds at sf0.1; even a 4.7-trillion-part catalog
+  // needs only 4). Roots self-loop with depth 0, making the fixpoint
+  // stable — converged rows pass through unchanged. Each round is
+  // lazily checkpointed: the single final action materializes the
+  // rounds in sequence, each computed ONCE even though the next
+  // round's self-join references it twice — the only driver-side
+  // scalar is the max-key bound. The DuckDB oracle is an independent
+  // top-down recursive CTE over the same parent links.
+  val qHierarchy: Q = (s, d) => {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey").as("id"),
+        floor(col("p_partkey") / 7).cast("long").as("parent"))
+    val maxPk = math.max(1L, p.agg(max(col("id"))).first().getLong(0))
+    val maxDepth = math.floor(math.log(maxPk.toDouble) / math.log(7.0)).toInt + 1
+    val rounds = math.max(1, math.ceil(math.log(maxDepth.toDouble) / math.log(2.0)).toInt)
+    var st = p.select(col("id"),
+        when(col("parent") < 1, col("id")).otherwise(col("parent")).as("anc"),
+        when(col("parent") < 1, lit(0L)).otherwise(lit(1L)).as("depth"))
+      .localCheckpoint(false)
+    for (_ <- 0 until rounds) {
+      st = st.as("a").join(st.as("b"), col("a.anc") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.anc").as("anc"),
+          (col("a.depth") + col("b.depth")).as("depth"))
+        .localCheckpoint(false)
+    }
+    st.select(col("id"), col("anc").as("root"), col("depth"))
+      .orderBy(col("id"))
+  }
+
+  val qHierarchySql: String =
+    """WITH RECURSIVE pr AS (
+      |  SELECT p_partkey AS id, CAST(p_partkey // 7 AS BIGINT) AS parent
+      |  FROM part),
+      |cc(id, anc, depth) AS (
+      |  SELECT id, id, 0 FROM pr WHERE parent < 1
+      |  UNION ALL
+      |  SELECT pr.id, cc.anc, cc.depth + 1
+      |  FROM pr JOIN cc ON pr.parent = cc.id
+      |  WHERE pr.parent >= 1)
+      |SELECT id, anc AS root, CAST(depth AS BIGINT) AS depth
+      |FROM cc ORDER BY id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_window_frames" -> qWindowFrames,
-    "q_multi_distinct" -> qMultiDistinct)
+    "q_multi_distinct" -> qMultiDistinct,
+    "q_hierarchy" -> qHierarchy)
 
   val oracles: Map[String, String] = Map(
     "q_window_frames" -> qWindowFramesSql,
-    "q_multi_distinct" -> qMultiDistinctSql)
+    "q_multi_distinct" -> qMultiDistinctSql,
+    "q_hierarchy" -> qHierarchySql)
 }
