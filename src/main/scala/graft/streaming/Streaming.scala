@@ -181,6 +181,39 @@ object Streaming {
       |FROM u GROUP BY kind, w_start, event_type
       |ORDER BY kind, w_start, event_type""".stripMargin
 
+  /** stream_interval_join: oracle-gated anchor for the stream-stream
+    * join surface — the SAME streamStreamJoin function StreamingSpec
+    * drives through two MemoryStreams, run on batch purchase/click
+    * frames (watermarks are no-ops at rest; the batch join equals the
+    * stream's final state because the interval condition is the same
+    * predicate the state store enforces incrementally).
+    */
+  val streamIntervalJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    streamStreamJoin(p, c)
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"), col("p_value"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
+  val streamIntervalJoinSql: String =
+    """WITH p AS (
+      |  SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id, value AS p_value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p_id, c_id, p_user AS user_id, p_ts, c_ts, p_value
+      |FROM p JOIN c ON p_user = c_user
+      |  AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+      |ORDER BY p_id, c_id""".stripMargin
+
   /** stream_dup_gate: batch twin of the incremental gate — 100 corpus
     * copies (must be flagged) + 100 reversed-text novels (must pass)
     * against the corpus index. Rows-only (custom minhash kernel);
@@ -203,8 +236,10 @@ object Streaming {
   val queries: Map[String, Q] = Map(
     "stream_sessionize" -> streamSessionize,
     "stream_window_counts" -> streamWindowCounts,
+    "stream_interval_join" -> streamIntervalJoin,
     "stream_dup_gate" -> streamDupGate)
   val oracles: Map[String, String] = Map(
     "stream_sessionize" -> streamSessionizeSql,
-    "stream_window_counts" -> streamWindowCountsSql)
+    "stream_window_counts" -> streamWindowCountsSql,
+    "stream_interval_join" -> streamIntervalJoinSql)
 }
