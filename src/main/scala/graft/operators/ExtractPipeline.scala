@@ -64,8 +64,17 @@ object ExtractPipeline {
   }
 
   /** pipe_extract_e2e: summary per document with review-queue priority
-    * (null when not queued). Rows-only correctness (the primary run
-    * rides the stubbed inference kernel); behavior asserted in
+    * (null when not queued). Oracle-gated since r4: the inference stub
+    * is a deterministic function of doc_id (transient failures always
+    * recover within the retry budget; only the id%31 truncated-JSON
+    * rows drop at validation), so the DuckDB oracle re-derives the
+    * full flow — stub outputs, rule derivation, comparator chain,
+    * severity tiers, decimal penalty sums, status, and the
+    * review-queue flag (empty for this input: no critical fields, min
+    * confidence 0.94 ≥ 0.60) — independently in SQL. Cross-engine
+    * FP verified: all 50 possible round(v,4) voltage values and their
+    * string renderings agree bit-for-bit (HALF_UP vs HALF_EVEN never
+    * ties on these doubles). Behavior also asserted in
     * ExtractPipelineSpec.
     */
   val pipeExtractE2E: Q = (s, d) => {
@@ -81,6 +90,75 @@ object ExtractPipeline {
       .orderBy(col("doc_id"))
   }
 
+  val pipeExtractE2ESql: String =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |vision AS (
+      |  SELECT doc_id, 'device' AS param, 'mpn' AS field,
+      |    'MPN-' || doc_id AS value
+      |  FROM ids WHERE doc_id % 31 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, 'device', 'voltage_typ',
+      |    CAST(CAST(doc_id % 50 AS DOUBLE) / 10.0 AS VARCHAR) || ' V'
+      |  FROM ids WHERE doc_id % 31 <> 0),
+      |rule AS (
+      |  SELECT doc_id, 'device' AS param, 'mpn' AS field,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'MPN-' || (2 * doc_id + 1)
+      |         ELSE 'MPN-' || doc_id END AS value
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT doc_id, 'device', 'voltage_typ',
+      |    CAST(round(CASE WHEN doc_id % 7 = 0
+      |            THEN (CAST(doc_id % 50 AS DOUBLE) / 10.0) * 1.031
+      |            ELSE CAST(doc_id % 50 AS DOUBLE) / 10.0 END, 4) AS VARCHAR)
+      |      || ' V'
+      |  FROM ids),
+      |c AS (
+      |  SELECT v.doc_id,
+      |    regexp_matches(lower(v.field) || '|' || lower(v.param),
+      |      'vin|vout|iout|iq|efficiency|power|frequency') AS crit,
+      |    TRY_CAST(NULLIF(regexp_replace(trim(v.value), '[^0-9.eE+-]', '', 'g'), '') AS DOUBLE) AS n1,
+      |    TRY_CAST(NULLIF(regexp_replace(trim(r.value), '[^0-9.eE+-]', '', 'g'), '') AS DOUBLE) AS n2,
+      |    trim(v.value) = trim(r.value) AS unit_eq,
+      |    regexp_replace(regexp_replace(lower(trim(v.value)), '\s+', ' ', 'g'), '[.,;:!?]', '', 'g') =
+      |    regexp_replace(regexp_replace(lower(trim(r.value)), '\s+', ' ', 'g'), '[.,;:!?]', '', 'g') AS text_eq
+      |  FROM vision v JOIN rule r
+      |    ON v.doc_id = r.doc_id AND v.param = r.param AND v.field = r.field),
+      |m AS (
+      |  SELECT doc_id, crit,
+      |    CASE WHEN n1 IS NOT NULL AND n2 IS NOT NULL
+      |              AND ((n1 = 0 AND n2 = 0)
+      |                   OR abs(n1 - n2) / greatest(abs(n1), abs(n2)) <= 0.01) THEN TRUE
+      |         WHEN unit_eq OR text_eq THEN TRUE ELSE FALSE END AS is_match,
+      |    CASE WHEN n1 IS NULL OR n2 IS NULL OR greatest(abs(n1), abs(n2)) = 0 THEN NULL
+      |         ELSE abs(n1 - n2) / greatest(abs(n1), abs(n2)) END AS rel_diff
+      |  FROM c),
+      |p AS (
+      |  SELECT doc_id, is_match, crit, rel_diff,
+      |    CASE WHEN is_match THEN CAST(0.000 AS DECIMAL(6,3))
+      |         WHEN crit THEN CAST(0.100 AS DECIMAL(6,3))
+      |         WHEN rel_diff IS NOT NULL AND rel_diff > 0.1 THEN CAST(0.050 AS DECIMAL(6,3))
+      |         WHEN rel_diff IS NOT NULL AND rel_diff > 0.05 THEN CAST(0.025 AS DECIMAL(6,3))
+      |         ELSE CAST(0.010 AS DECIMAL(6,3)) END AS pen
+      |  FROM m),
+      |summary AS (
+      |  SELECT doc_id, COUNT(*) AS n_fields,
+      |    CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts,
+      |    greatest(0.0, least(1.0, CAST(CAST(1.00 AS DECIMAL(3,2)) - SUM(pen) AS DOUBLE))) AS confidence,
+      |    CASE WHEN max(CASE WHEN NOT is_match AND crit AND rel_diff > 0.1
+      |                       THEN 1 ELSE 0 END) = 1 THEN 'needs_review'
+      |         WHEN greatest(0.0, least(1.0, CAST(CAST(1.00 AS DECIMAL(3,2)) - SUM(pen) AS DOUBLE))) < 0.60
+      |              THEN 'conflict'
+      |         ELSE 'verified' END AS status
+      |  FROM p GROUP BY doc_id),
+      |queued AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY confidence ASC, doc_id ASC) AS BIGINT) AS priority
+      |  FROM summary
+      |  WHERE confidence < 0.60 OR status = 'needs_review')
+      |SELECT s.doc_id, s.n_fields, s.n_conflicts, s.confidence, s.status, q.priority
+      |FROM summary s LEFT JOIN queued q ON s.doc_id = q.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map("pipe_extract_e2e" -> pipeExtractE2E)
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map("pipe_extract_e2e" -> pipeExtractE2ESql)
 }
