@@ -176,8 +176,15 @@ object Inference {
     StructField("pages", LongType)))
 
   /** infer_extract: documents → prompts → batched stub inference →
-    * schema-validated structured rows. Rows-only correctness (the
-    * kernel is a stub); retry/malformed/budget paths are asserted in
+    * schema-validated structured rows. Oracle-gated since r4: every
+    * output column is a closed-form function of doc_id and the text
+    * length — a row fails at attempt a iff (id+a)%7==3, so id%7==3
+    * rows retry exactly once (attempts=2) and everything else
+    * succeeds first call; token counts derive from the prompt/content
+    * string lengths; only id%31 truncated-JSON rows drop at
+    * validation. The DuckDB oracle re-derives all of it independently,
+    * putting the retry/validation/accounting plumbing itself under the
+    * hash gate. Retry/malformed/budget paths also asserted in
     * InferenceSpec.
     */
   val inferExtract: Q = (s, d) => {
@@ -192,6 +199,29 @@ object Inference {
       .orderBy(col("doc_id"))
   }
 
+  val inferExtractSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    26 + length(substring(text, 1, 256)) AS plen,
+      |    '{"mpn": "MPN-' || doc_id || '", "voltage": ' ||
+      |      CAST(CAST(doc_id % 50 AS DOUBLE) / 10.0 AS VARCHAR) ||
+      |      ', "pages": ' || (doc_id % 7) || '}' AS body
+      |  FROM documents),
+      |shaped AS (
+      |  SELECT doc_id, plen,
+      |    CASE WHEN doc_id % 31 = 0 THEN length(body) - 2
+      |         WHEN doc_id % 5 = 0 THEN length(body) + 12
+      |         ELSE length(body) END AS clen,
+      |    doc_id % 31 <> 0 AS valid
+      |  FROM base)
+      |SELECT doc_id, valid,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN 2 ELSE 1 END AS BIGINT) AS attempts,
+      |  CASE WHEN valid THEN 'MPN-' || doc_id END AS mpn,
+      |  CASE WHEN valid THEN CAST(doc_id % 50 AS DOUBLE) / 10.0 END AS voltage,
+      |  CAST(plen // 4 + 1 AS BIGINT) AS tokens_in,
+      |  CAST(clen // 4 AS BIGINT) AS tokens_out
+      |FROM shaped ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map("infer_extract" -> inferExtract)
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map("infer_extract" -> inferExtractSql)
 }
