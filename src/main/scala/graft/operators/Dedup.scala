@@ -383,27 +383,48 @@ object Dedup {
   // Scale shape: one groupBy-style shuffle on the block key; pair
   // generation is block-local (expected block size ≈ 1 for prose — a
   // min-shingle collision between non-dups needs the same rarest
-  // 3-token run). Skewed blocks (boilerplate corpora) would be capped
-  // the same way cappedBuckets does for LSH.
+  // 3-token run). Skewed blocks (boilerplate corpora sharing one
+  // minimal shingle) are SUB-SPLIT by the second-minimal shingle once
+  // they exceed JACCARD_BLOCK_CAP docs — near-identical docs agree on
+  // their second-min too (an 0.8-Jaccard pair shares most shingles),
+  // so recall inside real dup groups survives while the block-local
+  // self-join stays bounded at CAP²-ish work. Same conditional shape
+  // in the DuckDB oracle; StressSpec plants a 2k-doc boilerplate
+  // block and asserts the bound.
   val JACCARD_THRESH = 0.8
+  val JACCARD_BLOCK_CAP = 256L
 
-  val dedupJaccardBlock: Q = (s, d) => {
+  private[graft] def jaccardBlockedDocs(docs: DataFrame): DataFrame = {
     // cached: the self-join reads the shingle frame twice, and the
     // pushed-down IsNotNull(blk) filter would otherwise re-expand the
     // whole shingle pipeline a third time under the scan
-    val sh = cached(Tables.documents(s, d)
+    val base = docs
       .select(col("doc_id"), shingles(normText(col("text"))).as("sh"))
-      .withColumn("blk", array_min(col("sh"))))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("blk"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("blk"))
-    a.join(b, Seq("blk"))
+      .withColumn("blk", array_min(col("sh")))
+    val sizes = base.groupBy(col("blk")).agg(count(lit(1)).as("__bsz"))
+    cached(base.join(sizes, "blk")
+      .withColumn("sub",
+        when(col("__bsz") > JACCARD_BLOCK_CAP,
+          coalesce(element_at(array_sort(col("sh")), 2), lit("")))
+          .otherwise(lit("")))
+      .drop("__bsz"))
+  }
+
+  private[graft] def jaccardBlockPairs(docs: DataFrame): DataFrame = {
+    val sh = jaccardBlockedDocs(docs)
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("blk"), col("sub"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("blk"), col("sub"))
+    a.join(b, Seq("blk", "sub"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= JACCARD_THRESH)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  val dedupJaccardBlock: Q = (s, d) =>
+    jaccardBlockPairs(Tables.documents(s, d))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   val dedupJaccardBlockSql: String =
     """WITH n AS (SELECT doc_id,
@@ -415,12 +436,18 @@ object Dedup {
       |           ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)]
       |           END) AS s
       |       FROM tk),
-      |b AS (SELECT doc_id, s, list_min(s) AS blk FROM sh),
+      |b0 AS (SELECT doc_id, s, list_min(s) AS blk FROM sh),
+      |sz AS (SELECT blk, COUNT(*) AS bsz FROM b0 GROUP BY blk),
+      |b AS (
+      |  SELECT b0.doc_id, b0.s, b0.blk,
+      |    CASE WHEN sz.bsz > 256 THEN coalesce(list_sort(b0.s)[2], '')
+      |         ELSE '' END AS sub
+      |  FROM b0 JOIN sz ON b0.blk = sz.blk),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
       |     CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE) /
       |     CAST(len(list_distinct(list_concat(a.s, b2.s))) AS DOUBLE) AS jaccard
-      |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id)
+      |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.sub = b2.sub AND a.doc_id < b2.doc_id)
       |SELECT doc_a, doc_b, jaccard FROM pairs
       |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
 
@@ -441,10 +468,16 @@ object Dedup {
       |           ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)]
       |           END) AS s
       |       FROM tk),
-      |b AS (SELECT doc_id, s, list_min(s) AS blk FROM sh),
+      |b0 AS (SELECT doc_id, s, list_min(s) AS blk FROM sh),
+      |sz AS (SELECT blk, COUNT(*) AS bsz FROM b0 GROUP BY blk),
+      |b AS (
+      |  SELECT b0.doc_id, b0.s, b0.blk,
+      |    CASE WHEN sz.bsz > 256 THEN coalesce(list_sort(b0.s)[2], '')
+      |         ELSE '' END AS sub
+      |  FROM b0 JOIN sz ON b0.blk = sz.blk),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
-      |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+      |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.sub = b2.sub AND a.doc_id < b2.doc_id
       |  WHERE CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE) /
       |        CAST(len(list_distinct(list_concat(a.s, b2.s))) AS DOUBLE) >= 0.8),
       |e AS (

@@ -42,6 +42,31 @@ class StressSpec extends AnyFunSuite {
     assert(pairs >= 190L, s"only $pairs/200 planted near-dup pairs recovered")
   }
 
+  test("jaccard-block cap sub-splits a planted boilerplate block") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 600 docs sharing one minimal shingle ("aaa aaa aaa" prefix sorts
+    // below every other shingle) — an uncapped block would self-join
+    // 600² rows. 20 exact-dup pairs planted on top must survive the
+    // sub-split (identical docs agree on their second-min shingle too).
+    val base = (0 until 600).map { i =>
+      (i.toLong, s"aaa aaa aaa filler$i words beyond the common prefix run $i")
+    }
+    val dups = (0 until 20).map { i =>
+      ((1000 + i).toLong, s"aaa aaa aaa filler$i words beyond the common prefix run $i")
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val blocked = Dedup.jaccardBlockedDocs(docs)
+    val maxGroup = blocked.groupBy(col("blk"), col("sub"))
+      .agg(count(lit(1)).as("sz")).agg(max(col("sz"))).collect()(0).getLong(0)
+    assert(maxGroup <= Dedup.JACCARD_BLOCK_CAP,
+      s"sub-split failed: a (blk,sub) group still has $maxGroup docs")
+    val pairs = Dedup.jaccardBlockPairs(docs)
+      .filter(col("doc_b") === col("doc_a") + 1000L).count()
+    assert(pairs == 20L, s"only $pairs/20 planted exact dups survived the cap")
+    Dedup.releaseCaches(blocking = true)
+  }
+
   test("dedup_minhash finds the planted duplicate clusters at 20x") {
     assume(haveStress, "stress corpus not generated")
     // doc N and N+10000 are near-identical by construction
