@@ -78,11 +78,57 @@ object ScaleOps {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY s_name""".stripMargin
 
+  // --- profile_table: per-column data profiling -----------------------
+  // The standard first query against a new 100 TB table: per column —
+  // row count, null count, EXACT distinct count, lexicographic
+  // min/max (values compared as strings, binary collation in both
+  // engines). One explode to long form + one shuffle by column name;
+  // the n_cols× row expansion is the same cost shape a multi-distinct
+  // Expand would pay, and it profiles every column in a single pass
+  // over the table.
+  private val ProfileCols = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+  val profileTable: Q = (s, d) => {
+    val kvs = ProfileCols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v")))
+    Tables.orders(s, d)
+      .select(explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy(col("col_name"))
+  }
+
+  val profileTableSql: String =
+    """WITH s AS (
+      |  SELECT kv.col_name, kv.v FROM orders, UNNEST([
+      |    {'col_name': 'o_orderkey', 'v': CAST(o_orderkey AS VARCHAR)},
+      |    {'col_name': 'o_custkey', 'v': CAST(o_custkey AS VARCHAR)},
+      |    {'col_name': 'o_orderstatus', 'v': CAST(o_orderstatus AS VARCHAR)},
+      |    {'col_name': 'o_totalprice', 'v': CAST(o_totalprice AS VARCHAR)},
+      |    {'col_name': 'o_orderpriority', 'v': CAST(o_orderpriority AS VARCHAR)}
+      |  ]) AS t(kv))
+      |SELECT col_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+      |  min(v) AS min_v,
+      |  max(v) AS max_v
+      |FROM s GROUP BY col_name ORDER BY col_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_topk_group" -> qTopkGroup,
-    "q_skew_join" -> qSkewJoin)
+    "q_skew_join" -> qSkewJoin,
+    "profile_table" -> profileTable)
 
   val oracles: Map[String, String] = Map(
     "q_topk_group" -> qTopkGroupSql,
-    "q_skew_join" -> qSkewJoinSql)
+    "q_skew_join" -> qSkewJoinSql,
+    "profile_table" -> profileTableSql)
 }
