@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, DiagramOps, EtlOps, EtlOps2, ExtractPipeline, Inference, MultiModal, RegionOps, Relational, Relational2, Relational3, Relational4, Relational5, ScaleOps, Similarity, TableAssembly, TextOps, TrainOps, TrainOps2}
+import graft.operators.{AsOf, Dedup, DiagramOps, EtlOps, EtlOps2, ExtractPipeline, Inference, MultiModal, RegionOps, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, ScaleOps, Similarity, TableAssembly, TextOps, TrainOps, TrainOps2}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -14,7 +14,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
-      Relational4.queries ++ Relational5.queries ++ AsOf.queries ++
+      Relational4.queries ++ Relational5.queries ++ Relational6.queries ++ AsOf.queries ++
       EtlOps.queries ++ EtlOps2.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ MultiModal.queries ++
       Inference.queries ++ TableAssembly.queries ++ DiagramOps.queries ++
@@ -25,7 +25,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
-      Relational4.oracles ++ Relational5.oracles ++ AsOf.oracles ++
+      Relational4.oracles ++ Relational5.oracles ++ Relational6.oracles ++ AsOf.oracles ++
       EtlOps.oracles ++ EtlOps2.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ MultiModal.oracles ++
       Inference.oracles ++ TableAssembly.oracles ++ DiagramOps.oracles ++
