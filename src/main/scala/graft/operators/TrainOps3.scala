@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.Tables
+import graft.plans.TopK
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators, batch 3: span-level duplication,
+  * unigram-LM rarity scoring, corpus vocabulary statistics,
+  * incremental batch dedup, and k-NN graph construction. All five are
+  * hash-gated — every score is integer or exact-decimal math, so the
+  * DuckDB oracle matches bit-for-bit.
+  */
+object TrainOps3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  // --- dedup_substring: duplicated n-gram span detection --------------
+  // Corpus-wide substring-level duplication (the signal behind
+  // span-level dedup of training corpora: a doc can be unique as a
+  // whole yet consist mostly of boilerplate spans seen elsewhere).
+  // 8-token shingles at every position; a span is "duplicated" when
+  // its gram occurs ≥2 times across the corpus. Per doc: span count,
+  // duplicated-span count, and a ppm fraction — all integer math.
+  // Scale: two shuffles (gram count, doc re-agg). The join key is the
+  // gram string here because the oracle must reproduce it; at 100 TB
+  // the key would be xxhash64(gram) — same plan, 8-byte keys. Count
+  // skew on ultra-common grams is bounded by the join being
+  // gram→count (a broadcast-size side after aggregation, AQE decides).
+  val dedupSubstring: Q = (s, d) => {
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 8)
+    val sh = w.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' '))"))
+      .as("gram"))
+    val gc = sh.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    sh.join(gc, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        expr("(n_dup_spans * 1000000) div n_spans").as("dup_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSubstringSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |sh AS (SELECT doc_id,
+      |         unnest([array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]) AS gram
+      |       FROM w),
+      |gc AS (SELECT gram, COUNT(*) AS c FROM sh GROUP BY gram)
+      |SELECT doc_id, COUNT(*) AS n_spans,
+      |  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      |  CAST((CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |       // COUNT(*) AS BIGINT) AS dup_ppm
+      |FROM sh JOIN gc USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- text_lm_rarity: unigram-LM surprisal proxy ----------------------
+  // The perplexity-style quality signal: rare-token-heavy documents
+  // score high. Token rarity = corpus_total/count as a ppm integer
+  // ((T·1e6) div c — integer division is bit-identical across
+  // engines, unlike log/double math). Per doc: token count, total
+  // rarity, mean rarity. Scale: one token-count shuffle; the
+  // counts side joins back by token — post-aggregation it is
+  // vocabulary-sized, AQE broadcasts it; the scalar total rides a
+  // broadcast. No doubles anywhere.
+  val textLmRarity: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val cnt = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("t"))
+    tok.join(cnt, "tok").crossJoin(broadcast(tot))
+      .select(col("doc_id"), expr("(t * 1000000) div c").as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("sum_rarity"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_rarity"),
+        expr("sum_rarity div n_tokens").as("mean_rarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLmRaritySql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+      |r AS (SELECT doc_id, (t * 1000000) // c AS r FROM tok JOIN cnt USING (tok), tot)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(r) AS BIGINT) AS sum_rarity,
+      |  CAST(CAST(SUM(r) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_rarity
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- corpus_token_hist: vocabulary head + coverage curve ------------
+  // Tokenizer/vocab planning view: top-50 tokens by frequency with
+  // the cumulative corpus-coverage fraction (ppm integer). The global
+  // top-50 is TakeOrdered (per-partition heads → driver merge of 50
+  // rows, never a global sort); the running sum's unpartitioned
+  // window is over the ALREADY-LIMITED 50 rows — bounded by
+  // construction, not by data size.
+  val corpusTokenHist: Q = (s, d) => {
+    val cnt = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("t"))
+    val top = cnt.orderBy(col("c").desc, col("tok")).limit(50)
+    val wOrd = Window.orderBy(col("c").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("tok"))).cast("long"))
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .select(col("rank"), col("tok"), col("c"), col("cum"),
+        expr("(cum * 1000000) div t").as("cov_ppm"))
+      .orderBy(col("rank"))
+  }
+
+  val corpusTokenHistSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+      |top AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 50)
+      |SELECT CAST(row_number() OVER w AS BIGINT) AS rank, tok, c,
+      |  CAST(SUM(c) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |  CAST((CAST(SUM(c) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000)
+      |       // t AS BIGINT) AS cov_ppm
+      |FROM top, tot
+      |WINDOW w AS (ORDER BY c DESC, tok)
+      |ORDER BY rank""".stripMargin
+
+  // --- dedup_incremental: new batch vs existing corpus ----------------
+  // The incremental-ingest dedup path: a new batch (stand-in: doc_id
+  // ≡ 9 mod 10) lands against the already-ingested corpus. Content
+  // key = md5 of the sorted DISTINCT token set (bag-of-words
+  // signature — catches shuffled near-copies exact-text dedup
+  // misses). Each new doc is classified dup_corpus (content already
+  // ingested), dup_batch (an earlier doc in the same batch has it),
+  // or unique; match_id names the kept canonical doc. Scale: the
+  // corpus side reduces to (signature, min id) before the join — one
+  // shuffle each side on a shuffle-friendly 32-byte key; the
+  // batch-internal check is the same aggregation on the small side.
+  val dedupIncremental: Q = (s, d) => {
+    val sig = md5(array_join(array_sort(array_distinct(toks(col("text")))), " "))
+    val docs = Tables.documents(s, d).select(col("doc_id"), sig.as("h"))
+    val batch = docs.filter(col("doc_id") % 10 === 9)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("corpus_match"))
+    val batchMin = batch.groupBy(col("h")).agg(min(col("doc_id")).as("batch_min"))
+    batch.join(corpus, Seq("h"), "left")
+      .join(batchMin, "h")
+      .select(col("doc_id"),
+        when(col("corpus_match").isNotNull, lit("dup_corpus"))
+          .when(col("doc_id") > col("batch_min"), lit("dup_batch"))
+          .otherwise(lit("unique")).as("status"),
+        coalesce(col("corpus_match"),
+          when(col("doc_id") > col("batch_min"), col("batch_min"))).as("match_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH sigs AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+      |  FROM documents),
+      |batch AS (SELECT * FROM sigs WHERE doc_id % 10 = 9),
+      |corpus AS (SELECT h, min(doc_id) AS corpus_match FROM sigs
+      |           WHERE doc_id % 10 <> 9 GROUP BY h),
+      |bmin AS (SELECT h, min(doc_id) AS batch_min FROM batch GROUP BY h)
+      |SELECT b.doc_id,
+      |  CASE WHEN corpus_match IS NOT NULL THEN 'dup_corpus'
+      |       WHEN b.doc_id > batch_min THEN 'dup_batch'
+      |       ELSE 'unique' END AS status,
+      |  COALESCE(corpus_match,
+      |           CASE WHEN b.doc_id > batch_min THEN batch_min END) AS match_id
+      |FROM batch b LEFT JOIN corpus USING (h) JOIN bmin USING (h)
+      |ORDER BY b.doc_id""".stripMargin
+
+  // --- knn_graph: blocked exact k-NN graph with mutual edges ----------
+  // Neighbor-graph construction (the backbone of graph clustering and
+  // mutual-kNN near-dup mining): within each label block, exact
+  // integer-quantized dot-product top-5 neighbors per vector, plus a
+  // mutuality flag (edge kept by both endpoints). Scores use the
+  // ann_quantized scheme — floor(x·1e6) int64 terms, drift-free, so
+  // the FULL graph hash-matches DuckDB. Scale: block-local quadratic
+  // — the standard candidate-blocking shape (here the label; at
+  // 100 TB an LSH/IVF cell with a size cap, same plan). Top-5 runs
+  // through the bounded-heap TopKPerGroup physical operator, so the
+  // shuffle carries ≤5 rows per vector; the mutual check is a
+  // self-join of the already-k-bounded edge list.
+  val knnGraph: Q = (s, d) => {
+    def quant(c: Column): Column = transform(c, x => floor(x * 1e6).cast("long"))
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        col("a.label").as("label"),
+        aggregate(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("score"))
+    val edges = TopK.topKPerGroup(pairs, Seq("src"),
+        Seq(("score", true), ("dst", false)), 5)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("score").desc, col("dst"))).cast("long"))
+    edges.as("e")
+      .join(edges.select(col("src").as("rs"), col("dst").as("rd")).as("r"),
+        col("e.src") === col("r.rd") && col("e.dst") === col("r.rs"), "left")
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.label").as("label"),
+        col("e.score").as("score"), col("e.rank").as("rank"),
+        col("r.rs").isNotNull.as("is_mutual"))
+      .orderBy(col("src"), col("rank"))
+  }
+
+  val knnGraphSql: String =
+    """WITH v AS (SELECT vec_id, label,
+      |             [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS qv
+      |           FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
+      |    CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1, len(a.qv)+1)]) AS BIGINT) AS score
+      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      |edges AS (
+      |  SELECT src, dst, label, score,
+      |    CAST(row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS BIGINT) AS rank
+      |  FROM pairs QUALIFY rank <= 5)
+      |SELECT e.src, e.dst, e.label, e.score, e.rank,
+      |  (r.src IS NOT NULL) AS is_mutual
+      |FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
+      |ORDER BY e.src, e.rank""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "dedup_substring" -> dedupSubstring,
+    "text_lm_rarity" -> textLmRarity,
+    "corpus_token_hist" -> corpusTokenHist,
+    "dedup_incremental" -> dedupIncremental,
+    "knn_graph" -> knnGraph)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_substring" -> dedupSubstringSql,
+    "text_lm_rarity" -> textLmRaritySql,
+    "corpus_token_hist" -> corpusTokenHistSql,
+    "dedup_incremental" -> dedupIncrementalSql,
+    "knn_graph" -> knnGraphSql)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TrainOps3
+
+class TrainOps3Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dedup_substring: one row per ≥8-token doc, ppm bounded, dups found") {
+    val rows = TrainOps3.dedupSubstring(spark, sf).collect()
+    val want = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 8).count()
+    assert(rows.length == want)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "dup spans ⊆ spans")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000)
+    }
+    assert(rows.map(_.getLong(2)).sum > 0, "synthetic corpus has duplicated spans")
+  }
+
+  test("text_lm_rarity: mean lies in [min,max] token rarity, floor ≥ 1e6") {
+    val rows = TrainOps3.textLmRarity(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (n, sum, mean) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(mean >= 1000000L, "rarity T/c ≥ 1 → ppm ≥ 1e6")
+      assert(mean * n <= sum && sum < (mean + 1) * n, "mean is floor(sum/n)")
+    }
+  }
+
+  test("corpus_token_hist: coverage is monotone and ends at 100%") {
+    val rows = TrainOps3.corpusTokenHist(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val cov = rows.map(_.getLong(4))
+    assert(cov.toSeq == cov.sorted.toSeq, "cumulative coverage is monotone")
+    if (rows.length < 50) // whole vocabulary fits → exact full coverage
+      assert(cov.last == 1000000L)
+  }
+
+  test("dedup_incremental: statuses are consistent with the signature sets") {
+    val rows = TrainOps3.dedupIncremental(spark, sf).collect()
+    val batchIds = rows.map(_.getLong(0)).toSet
+    assert(batchIds.forall(_ % 10 == 9))
+    rows.foreach { r =>
+      r.getString(1) match {
+        case "unique"     => assert(r.isNullAt(2))
+        case "dup_corpus" => assert(r.getLong(2) % 10 != 9, "matches a corpus doc")
+        case "dup_batch"  => assert(r.getLong(2) % 10 == 9 && r.getLong(2) < r.getLong(0))
+      }
+    }
+    assert(rows.exists(_.getString(1) != "unique"), "bag-of-words sigs collide by design")
+  }
+
+  test("knn_graph: 5 in-label edges per vector via TopKPerGroup; mutuality is symmetric") {
+    val df = TrainOps3.knnGraph(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "top-5 must run through the bounded-heap physical operator")
+    val rows = df.collect()
+    val bySrc = rows.groupBy(_.getLong(0))
+    assert(bySrc.values.forall(_.length == 5))
+    val edgeSet = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      assert(r.getBoolean(5) == edgeSet.contains((r.getLong(1), r.getLong(0))),
+        "is_mutual ⇔ reverse edge kept")
+    }
+    assert(rows.exists(_.getBoolean(5)), "planted clusters produce mutual edges")
+  }
+}
