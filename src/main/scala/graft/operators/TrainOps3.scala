@@ -183,17 +183,27 @@ object TrainOps3 {
   // mutuality flag (edge kept by both endpoints). Scores use the
   // ann_quantized scheme — floor(x·1e6) int64 terms, drift-free, so
   // the FULL graph hash-matches DuckDB. Scale: block-local quadratic
-  // — the standard candidate-blocking shape (here the label; at
-  // 100 TB an LSH/IVF cell with a size cap, same plan). Top-5 runs
-  // through the bounded-heap TopKPerGroup physical operator, so the
-  // shuffle carries ≤5 rows per vector; the mutual check is a
-  // self-join of the already-k-bounded edge list.
+  // with a HARD CAP — a label block past KNN_BLOCK_CAP vectors is
+  // deterministically sub-split (vec_id mod ⌈size/cap⌉, mirrored in
+  // the oracle), so per-block work is bounded regardless of corpus
+  // size: the standard capped-blocking trade (bounded work, neighbors
+  // confined to the sub-block) every production kNN-graph build
+  // makes; at 100 TB the block key is an LSH/IVF cell, same plan.
+  // Top-5 runs through the bounded-heap TopKPerGroup physical
+  // operator, so the shuffle carries ≤5 rows per vector; the mutual
+  // check is a self-join of the already-k-bounded edge list.
+  val KNN_BLOCK_CAP = 512
   val knnGraph: Q = (s, d) => {
     def quant(c: Column): Column = transform(c, x => floor(x * 1e6).cast("long"))
+    val sizes = Tables.embeddings(s, d).groupBy(col("label"))
+      .agg(count(lit(1)).as("lsz"))
     val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
+      .join(broadcast(sizes), "label")
+      .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"),
+        pmod(col("vec_id"), ceil(col("lsz") / KNN_BLOCK_CAP)).as("sub"))
     val pairs = v.as("a").join(v.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        col("a.label") === col("b.label") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
         col("a.label").as("label"),
         aggregate(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y),
@@ -212,13 +222,16 @@ object TrainOps3 {
   }
 
   val knnGraphSql: String =
-    """WITH v AS (SELECT vec_id, label,
-      |             [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS qv
-      |           FROM embeddings),
+    """WITH sz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY label),
+      |v AS (SELECT vec_id, e.label,
+      |        [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS qv,
+      |        vec_id % CAST(ceil(lsz / 512.0) AS BIGINT) AS sub
+      |      FROM embeddings e JOIN sz ON e.label = sz.label),
       |pairs AS (
       |  SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
       |    CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1, len(a.qv)+1)]) AS BIGINT) AS score
-      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      |  FROM v a JOIN v b ON a.label = b.label AND a.sub = b.sub
+      |    AND a.vec_id <> b.vec_id),
       |edges AS (
       |  SELECT src, dst, label, score,
       |    CAST(row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS BIGINT) AS rank
@@ -228,17 +241,81 @@ object TrainOps3 {
       |FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
       |ORDER BY e.src, e.rank""".stripMargin
 
+  // --- pipe_quality_funnel: staged curation funnel report -------------
+  // The per-stage accounting every corpus-curation run ships with:
+  // four sequential gates (length → language → token repetition →
+  // lexical diversity), each reporting docs in, dropped, surviving,
+  // and a ppm drop rate — the numbers that tell an operator WHICH
+  // stage ate the corpus. One exploded token pass feeds a per-doc
+  // aggregate (sum/max/distinct-count in the same shuffle); the four
+  // gates are then one single-row aggregate stacked to four rows —
+  // no per-stage rescans. All thresholds are integer algebra
+  // (maxc·8 ≤ n, nd·5 ≥ 2n) so both engines agree bit-for-bit.
+  val pipeQualityFunnel: Q = (s, d) => {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n"), max(col("c")).as("maxc"), count(lit(1)).as("nd"))
+      .select(
+        (col("n") >= 20 && col("n") <= 1000).as("f1"),
+        (col("lang") === "en").as("f2"),
+        (col("maxc") * 8 <= col("n")).as("f3"),
+        (col("nd") * 5 >= col("n") * 2).as("f4"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    perDoc.agg(
+        count(lit(1)).as("s0"),
+        cnt(col("f1")).as("s1"),
+        cnt(col("f1") && col("f2")).as("s2"),
+        cnt(col("f1") && col("f2") && col("f3")).as("s3"),
+        cnt(col("f1") && col("f2") && col("f3") && col("f4")).as("s4"))
+      .selectExpr(
+        """stack(4,
+          |  1L, 'length',     s0, s0 - s1, s1,
+          |  2L, 'language',   s1, s1 - s2, s2,
+          |  3L, 'repetition', s2, s2 - s3, s3,
+          |  4L, 'diversity',  s3, s3 - s4, s4
+          |) AS (stage, gate, n_in, n_dropped, n_out)""".stripMargin)
+      .withColumn("drop_ppm", expr("(n_dropped * 1000000) div n_in"))
+      .orderBy(col("stage"))
+  }
+
+  val pipeQualityFunnelSql: String =
+    """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |g AS (SELECT doc_id, lang, tok, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
+      |pd AS (SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n,
+      |         CAST(MAX(c) AS BIGINT) AS maxc, COUNT(*) AS nd
+      |       FROM g GROUP BY 1, 2),
+      |f AS (SELECT (n >= 20 AND n <= 1000) AS f1, (lang = 'en') AS f2,
+      |        (maxc * 8 <= n) AS f3, (nd * 5 >= n * 2) AS f4 FROM pd),
+      |c AS (SELECT COUNT(*) AS s0,
+      |        CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+      |        CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+      |        CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+      |        CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+      |      FROM f),
+      |st AS (
+      |  SELECT 1 AS stage, 'length' AS gate, s0 AS n_in, s0 - s1 AS n_dropped, s1 AS n_out FROM c
+      |  UNION ALL SELECT 2, 'language', s1, s1 - s2, s2 FROM c
+      |  UNION ALL SELECT 3, 'repetition', s2, s2 - s3, s3 FROM c
+      |  UNION ALL SELECT 4, 'diversity', s3, s3 - s4, s4 FROM c)
+      |SELECT CAST(stage AS BIGINT) AS stage, gate, n_in, n_dropped, n_out,
+      |  CAST((n_dropped * 1000000) // n_in AS BIGINT) AS drop_ppm
+      |FROM st ORDER BY stage""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_substring" -> dedupSubstring,
     "text_lm_rarity" -> textLmRarity,
     "corpus_token_hist" -> corpusTokenHist,
     "dedup_incremental" -> dedupIncremental,
-    "knn_graph" -> knnGraph)
+    "knn_graph" -> knnGraph,
+    "pipe_quality_funnel" -> pipeQualityFunnel)
 
   val oracles: Map[String, String] = Map(
     "dedup_substring" -> dedupSubstringSql,
     "text_lm_rarity" -> textLmRaritySql,
     "corpus_token_hist" -> corpusTokenHistSql,
     "dedup_incremental" -> dedupIncrementalSql,
-    "knn_graph" -> knnGraphSql)
+    "knn_graph" -> knnGraphSql,
+    "pipe_quality_funnel" -> pipeQualityFunnelSql)
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-corpus generator (test scope, not shipped).
+  *
+  * Rebuilds the two synthetic corpora the scale checks use, so
+  * StressSpec and the BASELINE 10× numbers are reproducible in a
+  * fresh checkout:
+  *
+  *   Test/runMain graft.ScaleData scale10 /tmp/scale10   (from sf0.1)
+  *   Test/runMain graft.ScaleData stress  /tmp/stress
+  *
+  * scale10 — every table at 10× via key-offset copies. Copied
+  * documents get alternate tokens salted with the copy index so
+  * cross-copy Jaccard stays far below near-dup thresholds (pair ops
+  * must scale ~linearly in the copy count, not quadratically);
+  * copied embeddings are circularly shifted so copies decorrelate
+  * while preserving norms and the per-label distribution.
+  *
+  * stress — the 20×/40× near-dup corpus StressSpec expects:
+  * documents 0..9999 mutually distinct, doc N+10000 a near-identical
+  * copy of doc N (one appended token); embeddings: 20 000 64-dim
+  * vectors where vec N+1000 = vec N + 1e-3 deterministic noise for
+  * N < 1000, the rest decorrelated shifts. All noise is hash-derived
+  * from ids — no RNG state, same bytes on every run.
+  */
+object ScaleData {
+  private val COPIES = 10
+
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val outDir = args(1)
+    val srcDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    mode match {
+      case "scale10" => scale10(spark, srcDir, outDir)
+      case "stress"  => stress(spark, srcDir, outDir)
+    }
+    spark.stop()
+  }
+
+  /** Union of `copies` key-offset copies of `df`. Offsets are
+    * max(key)+1 per key column so copies never collide.
+    */
+  private def copied(df: DataFrame, keyCols: Seq[String], copies: Int)
+      (tweak: (DataFrame, Int) => DataFrame): DataFrame = {
+    val offsets: Map[String, Long] = keyCols.map { k =>
+      k -> (df.agg(max(col(k))).first().getLong(0) + 1L)
+    }.toMap
+    (0 until copies).map { i =>
+      val shifted = keyCols.foldLeft(df) { (acc, k) =>
+        acc.withColumn(k, col(k) + lit(i * offsets(k)))
+      }
+      tweak(shifted, i)
+    }.reduce(_ unionByName _)
+  }
+
+  private def noTweak(df: DataFrame, i: Int): DataFrame = df
+
+  def scale10(s: SparkSession, src: String, out: String): Unit = {
+    def w(df: DataFrame, name: String): Unit =
+      df.repartition(8).write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    w(Tables.region(s, src), "region")
+    w(Tables.nation(s, src), "nation")
+    w(copied(Tables.customer(s, src), Seq("c_custkey"), COPIES)(noTweak), "customer")
+    w(copied(Tables.supplier(s, src), Seq("s_suppkey"), COPIES)(noTweak), "supplier")
+    w(copied(Tables.part(s, src), Seq("p_partkey"), COPIES)(noTweak), "part")
+    w(copied(Tables.orders(s, src), Seq("o_orderkey", "o_custkey"), COPIES)(noTweak),
+      "orders")
+    w(copied(Tables.lineitem(s, src),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"), COPIES)(noTweak), "lineitem")
+    w(copied(Tables.events(s, src), Seq("event_id", "user_id"), COPIES)(noTweak),
+      "events")
+    // Salt alternate tokens with the copy index: copies stay ~0 Jaccard
+    // to each other, so near-dup pair counts scale with the data, not
+    // quadratically with the copy count.
+    w(copied(Tables.documents(s, src), Seq("doc_id"), COPIES) { (df, i) =>
+      if (i == 0) df
+      else df.withColumn("text", array_join(
+        expr(s"transform(split(text, ' '), (t, p) -> IF(p % 2 = 0, concat(t, 'x$i'), t))"),
+        " "))
+    }, "documents")
+    // Circular shift per copy: same norms/labels, decorrelated copies.
+    w(copied(Tables.embeddings(s, src), Seq("vec_id"), COPIES) { (df, i) =>
+      if (i == 0) df
+      else {
+        val k = i % 64
+        df.withColumn("embedding",
+          expr(s"concat(slice(embedding, ${k + 1}, ${64 - k}), slice(embedding, 1, $k))"))
+      }
+    }, "embeddings")
+    println(s"[scaledata] scale10 written to $out")
+  }
+
+  def stress(s: SparkSession, src: String, out: String): Unit = {
+    // documents: 10 000 mutually-distinct base docs (20× sf0.01 via the
+    // salted-copy scheme over sf0.1's 5 000), then near-identical
+    // +10000 twins (one appended token keeps Jaccard ≈ n/(n+1)).
+    val baseDocs = copied(Tables.documents(s, src), Seq("doc_id"), 2) { (df, i) =>
+      if (i == 0) df
+      else df.withColumn("text", array_join(
+        expr(s"transform(split(text, ' '), (t, p) -> IF(p % 2 = 0, concat(t, 'x$i'), t))"),
+        " "))
+    }.filter(col("doc_id") < 10000)
+    val twins = baseDocs
+      .withColumn("doc_id", col("doc_id") + 10000L)
+      .withColumn("text", concat(col("text"), lit(" twintoken")))
+    baseDocs.unionByName(twins)
+      .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: 20 000 vectors. Base 0..999 from the source corpus;
+    // 1000..1999 = base + 1e-3 hash-noise (planted near-identicals);
+    // 2000..19999 decorrelated circular shifts of the source.
+    val e = Tables.embeddings(s, src)
+    val base1k = e.filter(col("vec_id") < 1000)
+    val planted = base1k.withColumn("vec_id", col("vec_id") + 1000L)
+      .withColumn("embedding",
+        expr("transform(embedding, (x, i) -> CAST(x + (pmod(xxhash64(vec_id, i), 2000) - 1000) / 1e6 AS FLOAT))"))
+    val rest = (1 to 9).map { i =>
+      val k = (i * 7) % 64
+      e.withColumn("vec_id", col("vec_id") + lit(i * 2000L))
+        .withColumn("embedding",
+          expr(s"concat(slice(embedding, ${k + 1}, ${64 - k}), slice(embedding, 1, $k))"))
+    }.reduce(_ unionByName _).filter(col("vec_id") >= 2000)
+    base1k.unionByName(planted).unionByName(rest)
+      .repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scaledata] stress written to $out")
+  }
+}

@@ -52,6 +52,19 @@ class TrainOps3Spec extends AnyFunSuite {
     assert(rows.exists(_.getString(1) != "unique"), "bag-of-words sigs collide by design")
   }
 
+  test("pipe_quality_funnel: stages chain exactly (n_out == next n_in), all gates active") {
+    val rows = TrainOps3.pipeQualityFunnel(spark, sf).collect()
+    assert(rows.length == 4)
+    assert(rows.head.getLong(2) == Tables.documents(spark, sf).count())
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) == b.getLong(2), "stage k survivors feed stage k+1")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) + r.getLong(4), "in = dropped + out")
+      assert(r.getLong(3) > 0, s"gate ${r.getString(1)} must be active on this corpus")
+    }
+  }
+
   test("knn_graph: 5 in-label edges per vector via TopKPerGroup; mutuality is symmetric") {
     val df = TrainOps3.knnGraph(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
