@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => Expr.CosineSimilarity(es.head, es(1))))
     ext.injectFunction(fn("dot_product",
       es => Expr.DotProduct(es.head, es(1))))
+    ext.injectFunction(fn("long_dot_product",
+      es => Expr.LongDotProduct(es.head, es(1))))
     ext.injectFunction(fn("simhash64", es => Expr.SimHash64(es.head)))
     ext.injectFunction(fn("hamming64",
       es => Expr.HammingDistance64(es.head, es(1))))

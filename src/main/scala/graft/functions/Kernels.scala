@@ -20,6 +20,17 @@ object Kernels {
     dot
   }
 
+  /** Exact int64 dot product of two pre-quantized long vectors (the
+    * ann_quantized / knn_graph scoring loop — drift-free and
+    * codegen'd, vs interpreted zip_with/aggregate lambdas).
+    */
+  def longDot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L; var i = 0
+    while (i < n) { dot += a.getLong(i) * b.getLong(i); i += 1 }
+    dot
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0

@@ -13,6 +13,8 @@ object Registry {
       es => Expr.CosineSimilarity(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
       es => Expr.DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("long_dot_product",
+      es => Expr.LongDotProduct(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       es => Expr.SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("hamming64",

@@ -47,6 +47,23 @@ object Expr {
       copy(left = l, right = r)
   }
 
+  /** Exact int64 dot product over pre-quantized long vectors — the
+    * scoring kernel for the hash-gated similarity ops (whole-stage
+    * codegen; the zip_with/aggregate formulation evaluates its
+    * lambdas interpreted, per pair).
+    */
+  case class LongDotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "long_dot_product"
+    override def nullSafeEval(l: Any, r: Any): Any =
+      Kernels.longDot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.longDot($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** MinHash signature of a string array: k 64-bit min-hashes via the
     * Kirsch–Mitzenmacher construction h_i = h1 + i·h2 over two xxhash64
     * seeds — one hash pass per element regardless of k. Signature of
@@ -145,6 +162,7 @@ object Expr {
 
   def cosineSimilarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
   def dotProduct(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def longDot(a: Column, b: Column): Column = c(LongDotProduct(e(a), e(b)))
   def minhashSignature(tokens: Column, k: Int): Column = c(MinHashSignature(e(tokens), k))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def trigramShingles(text: Column): Column = c(TrigramShingles(e(text)))

@@ -345,8 +345,7 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("qdot"))
+        Expr.longDot(col("qv"), col("cv")).as("qdot"))
     val top = TopK.topKPerGroup(scored, Seq("query_id"),
       Seq(("qdot", true), ("vec_id", false)), TOPK)
     val w = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("vec_id"))

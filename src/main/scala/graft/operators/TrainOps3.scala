@@ -206,8 +206,7 @@ object TrainOps3 {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
         col("a.label").as("label"),
-        aggregate(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).as("score"))
+        graft.functions.Expr.longDot(col("a.qv"), col("b.qv")).as("score"))
     val edges = TopK.topKPerGroup(pairs, Seq("src"),
         Seq(("score", true), ("dst", false)), 5)
       .withColumn("rank", row_number().over(

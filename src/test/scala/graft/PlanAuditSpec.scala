@@ -43,6 +43,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cartesian"), plan.take(1000))
   }
 
+  test("q19_disjunctive pushes the quantity bounds into the parquet scan") {
+    val plan = executedPlan("q19_disjunctive")
+    // the OR-chain shares l_quantity ∈ [1,30]; at minimum the scan must
+    // carry pushed filters rather than reading bare
+    assert(plan.contains("PushedFilters: ["), s"no pushdown:\n${plan.take(1200)}")
+    assert(!plan.contains("PushedFilters: []"),
+      s"empty pushdown on the lineitem scan:\n${plan.take(1200)}")
+  }
+
+  test("q4_priority reads only the order columns it needs") {
+    val plan = executedPlan("q4_priority")
+    assert(!plan.contains("o_totalprice") && !plan.contains("o_orderstatus"),
+      s"unpruned orders columns:\n${plan.take(1500)}")
+  }
+
+  test("q8_market_share broadcasts only bounded dimensions") {
+    val optimized = SparkEntry.queries("q8_market_share")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // static hints exist only on the three nation/region-derived frames
+    // (region→asia, asia, supp-nation); the four linear-scale joins must
+    // carry no ResolvedHint in the optimized plan
+    val hints = "(?i)broadcast".r.findAllIn(optimized).length
+    assert(hints <= 3, s"more broadcast hints than the three dimension sides:\n$optimized")
+  }
+
+  test("knn_graph block sub-split bounds pair counts on a skewed label") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 2000 same-label vectors: uncapped would self-join 2000² = 4M pairs;
+    // the 512-cap must split into ≥4 sub-blocks
+    val sizes = Tables.embeddings(spark, sf)
+      .groupBy(col("label")).agg(count(lit(1)).as("lsz"))
+    val maxBlock = Tables.embeddings(spark, sf).join(broadcast(sizes), "label")
+      .select(col("label"), pmod(col("vec_id"),
+        ceil(col("lsz") / graft.operators.TrainOps3.KNN_BLOCK_CAP)).as("sub"))
+      .groupBy(col("label"), col("sub")).agg(count(lit(1)).as("sz"))
+      .agg(max(col("sz"))).first().getLong(0)
+    assert(maxBlock <= graft.operators.TrainOps3.KNN_BLOCK_CAP,
+      s"sub-split failed: block of $maxBlock")
+  }
+
+  test("pipe_quality_funnel is one token shuffle + scalar aggregate (no rescans)") {
+    val plan = executedPlan("pipe_quality_funnel")
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"funnel must scan documents exactly once, saw $scans")
+  }
+
   test("text_entropy plan is shuffle-free up to the final sort") {
     val physical = SparkEntry.queries("text_entropy")(spark, sf)
       .queryExecution.executedPlan.toString
