@@ -302,13 +302,84 @@ object TrainOps3 {
       |  CAST((n_dropped * 1000000) // n_in AS BIGINT) AS drop_ppm
       |FROM st ORDER BY stage""".stripMargin
 
+  // --- eval_split: deterministic train/val/test assignment ------------
+  // Reproducible 90/5/5 split with per-split accounting. Assignment
+  // hashes the doc id (salted), never RNG state — the same doc lands
+  // in the same split on any engine, cluster size, or rerun, which is
+  // what makes held-out sets trustworthy across pipeline versions.
+  // Thresholds are exact hex bounds (0.05·2³² = 0x0CCCCCCC); the
+  // comparison is plain lexicographic on the md5 prefix, as in
+  // sample_stratified. One aggregation; the total rides a broadcast.
+  val evalSplit: Q = (s, d) => {
+    val h = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8)
+    val tagged = Tables.documents(s, d).select(
+      when(h < "0ccccccc", "test").when(h < "19999999", "val")
+        .otherwise("train").as("split"),
+      size(toks(col("text"))).cast("long").as("n_tok"), col("n_chars"))
+    val per = tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+    val tot = per.agg(sum(col("n_docs")).as("t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("split"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("(n_docs * 1000000) div t").as("share_ppm"))
+      .orderBy(col("split"))
+  }
+
+  val evalSplitSql: String =
+    """WITH tagged AS (
+      |  SELECT CASE WHEN md5('split:' || CAST(doc_id AS VARCHAR))[1:8] < '0ccccccc' THEN 'test'
+      |              WHEN md5('split:' || CAST(doc_id AS VARCHAR))[1:8] < '19999999' THEN 'val'
+      |              ELSE 'train' END AS split,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, n_chars
+      |  FROM documents),
+      |per AS (SELECT split, COUNT(*) AS n_docs,
+      |          CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |          CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |        FROM tagged GROUP BY split),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM per)
+      |SELECT split, n_docs, n_tokens, n_chars,
+      |  CAST((n_docs * 1000000) // t AS BIGINT) AS share_ppm
+      |FROM per, tot ORDER BY split""".stripMargin
+
+  // --- bpe_pair_counts: tokenizer-training pair statistics ------------
+  // The first BPE merge iteration's input: corpus-wide counts of
+  // adjacent character pairs inside tokens, top-20. (A full BPE train
+  // iterates this against a shrinking symbol table; the per-iteration
+  // dataflow is exactly this one aggregation, so the shape is the
+  // interesting part.) The rank window is bounded post-limit.
+  val bpePairCounts: Q = (s, d) => {
+    val cnt = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c"))
+    cnt.orderBy(col("c").desc, col("pair")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("pair"))).cast("long"))
+      .select(col("rank"), col("pair"), col("c"))
+      .orderBy(col("rank"))
+  }
+
+  val bpePairCountsSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |p AS (SELECT unnest([substr(tok, i, 2) FOR i IN range(1, len(tok))]) AS pair
+      |      FROM tok WHERE len(tok) >= 2),
+      |cnt AS (SELECT pair, COUNT(*) AS c FROM p GROUP BY pair),
+      |top AS (SELECT pair, c FROM cnt ORDER BY c DESC, pair LIMIT 20)
+      |SELECT CAST(row_number() OVER (ORDER BY c DESC, pair) AS BIGINT) AS rank, pair, c
+      |FROM top ORDER BY rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_substring" -> dedupSubstring,
     "text_lm_rarity" -> textLmRarity,
     "corpus_token_hist" -> corpusTokenHist,
     "dedup_incremental" -> dedupIncremental,
     "knn_graph" -> knnGraph,
-    "pipe_quality_funnel" -> pipeQualityFunnel)
+    "pipe_quality_funnel" -> pipeQualityFunnel,
+    "eval_split" -> evalSplit,
+    "bpe_pair_counts" -> bpePairCounts)
 
   val oracles: Map[String, String] = Map(
     "dedup_substring" -> dedupSubstringSql,
@@ -316,5 +387,7 @@ object TrainOps3 {
     "corpus_token_hist" -> corpusTokenHistSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "knn_graph" -> knnGraphSql,
-    "pipe_quality_funnel" -> pipeQualityFunnelSql)
+    "pipe_quality_funnel" -> pipeQualityFunnelSql,
+    "eval_split" -> evalSplitSql,
+    "bpe_pair_counts" -> bpePairCountsSql)
 }

@@ -65,6 +65,27 @@ class TrainOps3Spec extends AnyFunSuite {
     }
   }
 
+  test("eval_split: partitions the corpus, shares near 90/5/5, assignment is id-stable") {
+    val rows = TrainOps3.evalSplit(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "splits partition the corpus")
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("train") > byName("val") * 5 && byName("train") > byName("test") * 5)
+    // stability: re-evaluating yields the identical assignment
+    val again = TrainOps3.evalSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == byName)
+  }
+
+  test("bpe_pair_counts: ranks are dense, counts monotone, pairs are 2 chars") {
+    val rows = TrainOps3.bpePairCounts(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 20L))
+    val counts = rows.map(_.getLong(2)).toSeq
+    assert(counts == counts.sorted(Ordering[Long].reverse))
+    assert(rows.forall(_.getString(1).length == 2))
+  }
+
   test("knn_graph: 5 in-label edges per vector via TopKPerGroup; mutuality is symmetric") {
     val df = TrainOps3.knnGraph(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
