@@ -233,13 +233,48 @@ object Streaming {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-window top-k of the windowed aggregate. Streams can't rank
+    * inside an append-mode aggregation (the rank of an open window is
+    * not final until the watermark closes it), so the streaming shape
+    * is windowedCounts in update/complete mode with this rank applied
+    * to the materialized state per trigger — exactly what
+    * StreamingSpec drives; the batch run of the same composition is
+    * the oracle-gated anchor (`stream_topk_types`).
+    */
+  def topkPerWindow(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w_start")).orderBy(col("n").desc, col("event_type"))
+    counts
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  val streamTopkTypes: Q = (s, d) =>
+    topkPerWindow(windowedCounts(Tables.events(s, d), "1 hour", "2 hours", None), 3)
+      .orderBy(col("w_start"), col("rank"))
+
+  val streamTopkTypesSql: String =
+    """WITH c AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT w_start, event_type, n,
+      |        CAST(row_number() OVER (PARTITION BY w_start
+      |          ORDER BY n DESC, event_type) AS BIGINT) AS rank
+      |      FROM c)
+      |SELECT w_start, event_type, n, rank
+      |FROM r WHERE rank <= 3 ORDER BY w_start, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "stream_sessionize" -> streamSessionize,
     "stream_window_counts" -> streamWindowCounts,
     "stream_interval_join" -> streamIntervalJoin,
+    "stream_topk_types" -> streamTopkTypes,
     "stream_dup_gate" -> streamDupGate)
   val oracles: Map[String, String] = Map(
     "stream_sessionize" -> streamSessionizeSql,
     "stream_window_counts" -> streamWindowCountsSql,
-    "stream_interval_join" -> streamIntervalJoinSql)
+    "stream_interval_join" -> streamIntervalJoinSql,
+    "stream_topk_types" -> streamTopkTypesSql)
 }

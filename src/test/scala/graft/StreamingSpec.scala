@@ -64,6 +64,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("topkPerWindow over the streamed aggregate equals the batch twin") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:07:00"), "view", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:08:00"), "view", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:09:00"), "buy", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), "scroll", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:09:00"), "buy", 1.0))
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    // the streaming shape: aggregate in complete mode; rank the
+    // materialized state (the rank of an open window isn't final, so
+    // it is applied per trigger, not inside the streaming agg)
+    val q = Streaming.windowedCounts(df, "1 hour", "2 hours")
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("tkw").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      def shape(r: org.apache.spark.sql.Row) =
+        (r.getAs[java.sql.Timestamp]("w_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Long]("rank"))
+      val streamed = Streaming.topkPerWindow(spark.table("tkw"), 3)
+        .collect().map(shape).toSet
+      val batch = Streaming.topkPerWindow(
+          Streaming.windowedCounts(data.toDF("ts", "event_type", "value"), "1 hour", "2 hours"), 3)
+        .collect().map(shape).toSet
+      assert(streamed == batch, "ranked stream state must equal the batch twin")
+      assert(streamed.count(_._1 == java.sql.Timestamp.valueOf("2024-01-01 10:00:00")) == 3,
+        "4 types in the 10:00 window must cut to top-3")
+    } finally q.stop()
+  }
+
   test("streamDedup drops duplicate event ids within watermark") {
     val spark2 = spark
     import spark2.implicits._
