@@ -24,11 +24,13 @@ object TrainOps3 {
   // 8-token shingles at every position; a span is "duplicated" when
   // its gram occurs ≥2 times across the corpus. Per doc: span count,
   // duplicated-span count, and a ppm fraction — all integer math.
-  // Scale: two shuffles (gram count, doc re-agg). The join key is the
-  // gram string here because the oracle must reproduce it; at 100 TB
-  // the key would be xxhash64(gram) — same plan, 8-byte keys. Count
-  // skew on ultra-common grams is bounded by the join being
-  // gram→count (a broadcast-size side after aggregation, AQE decides).
+  // Scale: per-doc span counts never join anything (one aggregation);
+  // only the DUPLICATED grams (count ≥ 2 after the gram aggregation —
+  // a tiny fraction of the gram space in a healthy corpus) join back
+  // against the spans, so the wide join's build side is small and AQE
+  // broadcasts it. The join key is the gram string because the oracle
+  // must reproduce it; at 100 TB the key would be xxhash64(gram) —
+  // same plan, 8-byte keys.
   val dedupSubstring: Q = (s, d) => {
     val w = Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("w"))
@@ -36,13 +38,15 @@ object TrainOps3 {
     val sh = w.select(col("doc_id"), explode(expr(
       "transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' '))"))
       .as("gram"))
-    val gc = sh.groupBy(col("gram")).agg(count(lit(1)).as("c"))
-    sh.join(gc, "gram")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
-      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
-        expr("(n_dup_spans * 1000000) div n_spans").as("dup_ppm"))
+    val spans = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val dupGrams = sh.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("gram"))
+    val dupSpans = sh.join(dupGrams, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_c"))
+    spans.join(dupSpans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup_c"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_ppm", expr("(n_dup_spans * 1000000) div n_spans"))
       .orderBy(col("doc_id"))
   }
 
@@ -52,13 +56,16 @@ object TrainOps3 {
       |sh AS (SELECT doc_id,
       |         unnest([array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]) AS gram
       |       FROM w),
-      |gc AS (SELECT gram, COUNT(*) AS c FROM sh GROUP BY gram)
-      |SELECT doc_id, COUNT(*) AS n_spans,
-      |  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-      |  CAST((CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
-      |       // COUNT(*) AS BIGINT) AS dup_ppm
-      |FROM sh JOIN gc USING (gram)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |spans AS (SELECT doc_id, COUNT(*) AS n_spans FROM sh GROUP BY doc_id),
+      |dg AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM sh GROUP BY gram)
+      |       WHERE c >= 2),
+      |ds AS (SELECT doc_id, COUNT(*) AS dup_c FROM sh JOIN dg USING (gram)
+      |       GROUP BY doc_id)
+      |SELECT spans.doc_id, n_spans,
+      |  CAST(COALESCE(dup_c, 0) AS BIGINT) AS n_dup_spans,
+      |  CAST((CAST(COALESCE(dup_c, 0) AS BIGINT) * 1000000) // n_spans AS BIGINT) AS dup_ppm
+      |FROM spans LEFT JOIN ds ON spans.doc_id = ds.doc_id
+      |ORDER BY spans.doc_id""".stripMargin
 
   // --- text_lm_rarity: unigram-LM surprisal proxy ----------------------
   // The perplexity-style quality signal: rare-token-heavy documents
