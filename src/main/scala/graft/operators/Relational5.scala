@@ -118,7 +118,10 @@ object Relational5 {
     val p = Tables.part(s, d)
       .select(col("p_partkey").as("id"),
         floor(col("p_partkey") / 7).cast("long").as("parent"))
-    val maxPk = math.max(1L, p.agg(max(col("id"))).first().getLong(0))
+    // max over an empty table is NULL — degenerate inputs resolve in
+    // one round over zero rows
+    val maxRow = p.agg(max(col("id"))).first()
+    val maxPk = if (maxRow.isNullAt(0)) 1L else math.max(1L, maxRow.getLong(0))
     val maxDepth = math.floor(math.log(maxPk.toDouble) / math.log(7.0)).toInt + 1
     val rounds = math.max(1, math.ceil(math.log(maxDepth.toDouble) / math.log(2.0)).toInt)
     var st = p.select(col("id"),

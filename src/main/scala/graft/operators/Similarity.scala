@@ -270,15 +270,18 @@ object Similarity {
     val nCent = ivfCells(n)
     val cents = trainCentroids(corpus, nCent, n)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    val trained = s.read.parquet(s"$path/centroids")
-    TopK.topKPerGroup(
+    // explicit schemas on the read-back: a zero-row corpus writes no
+    // parquet files, and schema inference over an empty directory
+    // throws — the index of an empty corpus must be a valid empty index
+    val trained = s.read.schema(cents.schema).parquet(s"$path/centroids")
+    val toWrite = TopK.topKPerGroup(
         corpus.crossJoin(broadcast(trained))
           .select(col("vec_id"), col("embedding"), col("cent_id"),
             Expr.dotProduct(col("embedding"), col("cvec")).as("cdist")),
         Seq("vec_id"), Seq(("cdist", true), ("cent_id", false)), 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/corpus")
-    val assigned = s.read.parquet(s"$path/corpus")
+    toWrite.write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/corpus")
+    val assigned = s.read.schema(toWrite.schema).parquet(s"$path/corpus")
     (nCent, calibrateNProbe(corpus, trained, assigned, n, nCent))
   }
 
@@ -288,8 +291,14 @@ object Similarity {
     */
   def queryIvfIndex(s: SparkSession, path: String, queriesDf: DataFrame,
       nProbe: Int, k: Int): DataFrame = {
-    val cents = s.read.parquet(s"$path/centroids")
-    val indexed = s.read.parquet(s"$path/corpus")
+    // explicit schemas: an empty index directory has no files to infer
+    // from, but probing an empty index is well-defined (zero rows)
+    val centSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "cent_id BIGINT, cvec ARRAY<FLOAT>")
+    val corpusSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, cent_id BIGINT")
+    val cents = s.read.schema(centSchema).parquet(s"$path/centroids")
+    val indexed = s.read.schema(corpusSchema).parquet(s"$path/corpus")
     val probes = TopK.topKPerGroup(
         queriesDf.crossJoin(broadcast(cents))
           .select(col("query_id"), col("qvec"), col("cent_id"),
