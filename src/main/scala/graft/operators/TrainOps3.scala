@@ -378,6 +378,66 @@ object TrainOps3 {
       |SELECT CAST(row_number() OVER (ORDER BY c DESC, pair) AS BIGINT) AS rank, pair, c
       |FROM top ORDER BY rank""".stripMargin
 
+  // --- dedup_semantic_keep: near-dup resolution with canonical pick ---
+  // The step AFTER near-dup detection: for every document whose
+  // embedding has an in-block neighbor above the similarity threshold,
+  // decide WHICH copy survives. A doc is dropped when a neighbor
+  // dominates it (longer text, ties to the lower id); the output maps
+  // each dropped doc to its dominating keeper. Embedding similarity is
+  // the exact int64-quantized dot product (normalized vectors →
+  // qdot ≈ cosine·1e12), blocks are the capped (label, sub) scheme
+  // knn_graph uses, and the keeper pick is a deterministic window —
+  // so the whole resolution is hash-gated. Only docs that HAVE an
+  // embedding participate (inner join on vec_id = doc_id): the
+  // realistic shape, since embedding coverage lags ingestion.
+  val SEMANTIC_THRESH = 300000000000L // qdot ≥ 0.30·1e12
+
+  val dedupSemanticKeep: Q = (s, d) => {
+    def quant(c: Column): Column = transform(c, x => floor(x * 1e6).cast("long"))
+    val sizes = Tables.embeddings(s, d).groupBy(col("label"))
+      .agg(count(lit(1)).as("lsz"))
+    val v = Tables.embeddings(s, d)
+      .join(broadcast(sizes), "label")
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"),
+        col("n_chars"), pmod(col("vec_id"), ceil(col("lsz") / KNN_BLOCK_CAP)).as("sub"))
+    val dominated = v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          (col("b.n_chars") > col("a.n_chars") ||
+            (col("b.n_chars") === col("a.n_chars") && col("b.vec_id") < col("a.vec_id"))))
+      .select(col("a.vec_id").as("doc_id"), col("b.vec_id").as("keep_id"),
+        col("b.n_chars").as("keep_chars"),
+        graft.functions.Expr.longDot(col("a.qv"), col("b.qv")).as("score"))
+      .filter(col("score") >= SEMANTIC_THRESH)
+    val pick = Window.partitionBy(col("doc_id"))
+      .orderBy(col("keep_chars").desc, col("keep_id"))
+    dominated.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("keep_id"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSemanticKeepSql: String =
+    """WITH sz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY label),
+      |v AS (SELECT vec_id, e.label,
+      |        [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS qv,
+      |        n_chars, vec_id % CAST(ceil(lsz / 512.0) AS BIGINT) AS sub
+      |      FROM embeddings e JOIN sz ON e.label = sz.label
+      |        JOIN documents d ON e.vec_id = d.doc_id),
+      |dom AS (
+      |  SELECT a.vec_id AS doc_id, b.vec_id AS keep_id, b.n_chars AS keep_chars,
+      |    CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1, len(a.qv)+1)]) AS BIGINT) AS score
+      |  FROM v a JOIN v b ON a.label = b.label AND a.sub = b.sub
+      |    AND a.vec_id <> b.vec_id
+      |    AND (b.n_chars > a.n_chars
+      |         OR (b.n_chars = a.n_chars AND b.vec_id < a.vec_id)))
+      |SELECT doc_id, keep_id, score FROM dom
+      |WHERE score >= 300000000000
+      |QUALIFY row_number() OVER (PARTITION BY doc_id
+      |  ORDER BY keep_chars DESC, keep_id) = 1
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_substring" -> dedupSubstring,
     "text_lm_rarity" -> textLmRarity,
@@ -386,7 +446,8 @@ object TrainOps3 {
     "knn_graph" -> knnGraph,
     "pipe_quality_funnel" -> pipeQualityFunnel,
     "eval_split" -> evalSplit,
-    "bpe_pair_counts" -> bpePairCounts)
+    "bpe_pair_counts" -> bpePairCounts,
+    "dedup_semantic_keep" -> dedupSemanticKeep)
 
   val oracles: Map[String, String] = Map(
     "dedup_substring" -> dedupSubstringSql,
@@ -396,5 +457,6 @@ object TrainOps3 {
     "knn_graph" -> knnGraphSql,
     "pipe_quality_funnel" -> pipeQualityFunnelSql,
     "eval_split" -> evalSplitSql,
-    "bpe_pair_counts" -> bpePairCountsSql)
+    "bpe_pair_counts" -> bpePairCountsSql,
+    "dedup_semantic_keep" -> dedupSemanticKeepSql)
 }

@@ -86,6 +86,23 @@ class TrainOps3Spec extends AnyFunSuite {
     assert(rows.forall(_.getString(1).length == 2))
   }
 
+  test("dedup_semantic_keep: keepers dominate their dropped docs and are never dropped by them") {
+    val rows = TrainOps3.dedupSemanticKeep(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val chars = Tables.documents(spark, sf)
+      .join(Tables.embeddings(spark, sf), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val droppedBy = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (doc, keep) = (r.getLong(0), r.getLong(1))
+      assert(chars(keep) > chars(doc) ||
+        (chars(keep) == chars(doc) && keep < doc), "keeper must dominate")
+      assert(r.getLong(2) >= TrainOps3.SEMANTIC_THRESH)
+      assert(droppedBy.get(keep) != Some(doc), "no two-cycle: keeper not dropped by its doc")
+    }
+  }
+
   test("knn_graph: 5 in-label edges per vector via TopKPerGroup; mutuality is symmetric") {
     val df = TrainOps3.knnGraph(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
