@@ -122,13 +122,69 @@ object ScaleOps {
       |  max(v) AS max_v
       |FROM s GROUP BY col_name ORDER BY col_name""".stripMargin
 
+  // --- src_format_roundtrip: readers/writers under the oracle ---------
+  // The §2D source/sink surface gets a semantic gate, not just "it
+  // runs": a deterministic lineitem slice is written to CSV, JSON and
+  // ORC (pid-scoped tmp dirs), read back with explicit schemas
+  // (inference never touches a 100 TB file), and aggregated per
+  // format. The oracle computes the same aggregate from the parquet
+  // ground truth once per format tag — any reader/writer corruption
+  // (type drift, null mangling, quoting, timezone) breaks the hash.
+  // Plain-typed columns only; the timestamp travels as an ISO day
+  // string, which is the only CSV-safe timestamp representation.
+  val srcFormatRoundtrip: Q = (s, d) => {
+    import org.apache.spark.sql.types._
+    val slice = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 1000 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_returnflag", StringType), StructField("ship_day", StringType)))
+    val base = System.getProperty("java.io.tmpdir") + "/graft_rt_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    slice.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    slice.write.mode("overwrite").json(s"$base/json")
+    slice.write.mode("overwrite").orc(s"$base/orc")
+    val back = Seq(
+      graft.sources.Sources.readCsv(s, s"$base/csv", schema).withColumn("format", lit("csv")),
+      graft.sources.Sources.readJson(s, s"$base/json", schema).withColumn("format", lit("json")),
+      graft.sources.Sources.readOrc(s, s"$base/orc", Some(schema))
+        .withColumn("format", lit("orc")))
+      .reduce(_ unionByName _)
+    back.groupBy(col("format"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+        min(col("ship_day")).as("first_day"), max(col("ship_day")).as("last_day"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+      .orderBy(col("format"))
+  }
+
+  val srcFormatRoundtripSql: String =
+    """WITH slice AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
+      |    strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+      |  FROM lineitem WHERE l_orderkey % 1000 = 0)
+      |SELECT format, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  min(ship_day) AS first_day, max(ship_day) AS last_day,
+      |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+      |FROM slice, (SELECT unnest(['csv', 'json', 'orc']) AS format)
+      |GROUP BY format ORDER BY format""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_topk_group" -> qTopkGroup,
     "q_skew_join" -> qSkewJoin,
-    "profile_table" -> profileTable)
+    "profile_table" -> profileTable,
+    "src_format_roundtrip" -> srcFormatRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "q_topk_group" -> qTopkGroupSql,
     "q_skew_join" -> qSkewJoinSql,
-    "profile_table" -> profileTableSql)
+    "profile_table" -> profileTableSql,
+    "src_format_roundtrip" -> srcFormatRoundtripSql)
 }

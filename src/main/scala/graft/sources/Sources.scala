@@ -32,9 +32,12 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** ORC reader. */
-  def readOrc(spark: SparkSession, path: String): DataFrame =
-    spark.read.orc(path)
+  /** ORC reader. An explicit schema keeps a zero-file directory (the
+    * write of an empty frame) readable — inference would throw.
+    */
+  def readOrc(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read)(spark.read.schema(_)).orc(path)
 
   /** Columnar sink partitioned by the given columns — the layout that
     * makes downstream partition pruning free. `maxRecordsPerFile`
