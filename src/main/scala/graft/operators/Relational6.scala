@@ -307,6 +307,106 @@ object Relational6 {
       |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
       |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
 
+  // --- event_funnel: ordered-stage conversion analysis ----------------
+  // The event-analytics staple missing from plain windowed aggs: how
+  // many users progressed view → click → purchase IN ORDER, each
+  // conversion within a 1-day attribution window of the previous
+  // stage. Three chained conditional-min windows over ONE user
+  // partitioning (one shuffle, three window execs, no self-joins).
+  // Output: users per reached stage.
+  val eventFunnel: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Tables.events(s, d)
+      .withColumn("t_view", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click", min(when(col("event_type") === "click" &&
+        col("ts") > col("t_view") &&
+        col("ts") <= col("t_view") + expr("INTERVAL 1 DAY"), col("ts"))).over(w))
+      .withColumn("t_buy", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t_click") &&
+        col("ts") <= col("t_click") + expr("INTERVAL 1 DAY"), col("ts"))).over(w))
+      .select(col("user_id"),
+        when(col("t_buy").isNotNull, 3).when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1).otherwise(0).cast("long").as("stage"))
+      .distinct()
+    staged.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  val eventFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, event_type, ts,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_view
+      |  FROM events),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view
+      |      AND ts <= t_view + INTERVAL 1 DAY THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_click
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+      |      AND ts <= t_click + INTERVAL 1 DAY THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_buy
+      |  FROM s2),
+      |staged AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CASE WHEN t_buy IS NOT NULL THEN 3
+      |              WHEN t_click IS NOT NULL THEN 2
+      |              WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+      |  FROM s3)
+      |SELECT stage, COUNT(*) AS n_users FROM staged
+      |GROUP BY stage ORDER BY stage""".stripMargin
+
+  // --- q_running_distinct: running count-distinct per partition -------
+  // The naive formulation (count(DISTINCT) over a running frame) is
+  // quadratic and unsupported; the scalable rewrite marks each key's
+  // FIRST occurrence with a row_number window, then running-sums the
+  // 0/1 flags — two windows + one dedup over the same partitioning,
+  // linear work. Granularity is the ORDER (parts deduped within an
+  // order first): (o_orderdate, l_orderkey) is a unique, total order
+  // per customer, so the running count is engine-deterministic —
+  // lineitem line numbers are NOT unique in this schema and would tie.
+  val qRunningDistinct: Q = (s, d) => {
+    val op = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_custkey") % 25 === 0),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderdate"), col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val firstSeen = Window.partitionBy(col("o_custkey"), col("l_partkey"))
+      .orderBy(col("o_orderdate"), col("l_orderkey"))
+    val perOrder = op
+      .withColumn("is_first", when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      .groupBy(col("o_custkey"), col("o_orderdate"), col("l_orderkey"))
+      .agg(sum(col("is_first")).as("n_new_parts"))
+    val running = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("l_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perOrder
+      .withColumn("distinct_parts_so_far", sum(col("n_new_parts")).over(running))
+      .select(col("o_custkey"), col("l_orderkey"), col("n_new_parts"),
+        col("distinct_parts_so_far"))
+      .orderBy(col("o_custkey"), col("l_orderkey"))
+  }
+
+  val qRunningDistinctSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT o_custkey, o_orderdate, l_orderkey, l_partkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_custkey % 25 = 0),
+      |f AS (
+      |  SELECT *, CASE WHEN row_number() OVER (PARTITION BY o_custkey, l_partkey
+      |      ORDER BY o_orderdate, l_orderkey) = 1 THEN 1 ELSE 0 END AS is_first
+      |  FROM op),
+      |per_order AS (
+      |  SELECT o_custkey, o_orderdate, l_orderkey,
+      |    CAST(SUM(is_first) AS BIGINT) AS n_new_parts
+      |  FROM f GROUP BY 1, 2, 3)
+      |SELECT o_custkey, l_orderkey, n_new_parts,
+      |  CAST(SUM(n_new_parts) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, l_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_parts_so_far
+      |FROM per_order ORDER BY o_custkey, l_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q4_priority" -> q4Priority,
     "q8_market_share" -> q8MarketShare,
@@ -316,7 +416,9 @@ object Relational6 {
     "q16_supplier_cnt" -> q16SupplierCnt,
     "q17_small_qty" -> q17SmallQty,
     "q19_disjunctive" -> q19Disjunctive,
-    "q21_waiting" -> q21Waiting)
+    "q21_waiting" -> q21Waiting,
+    "event_funnel" -> eventFunnel,
+    "q_running_distinct" -> qRunningDistinct)
 
   val oracles: Map[String, String] = Map(
     "q4_priority" -> q4PrioritySql,
@@ -327,5 +429,7 @@ object Relational6 {
     "q16_supplier_cnt" -> q16SupplierCntSql,
     "q17_small_qty" -> q17SmallQtySql,
     "q19_disjunctive" -> q19DisjunctiveSql,
-    "q21_waiting" -> q21WaitingSql)
+    "q21_waiting" -> q21WaitingSql,
+    "event_funnel" -> eventFunnelSql,
+    "q_running_distinct" -> qRunningDistinctSql)
 }

@@ -66,6 +66,28 @@ class Relational6Spec extends AnyFunSuite {
     assert(scans <= 2, "one lineitem scan + one part scan — no per-branch rescan")
   }
 
+  test("event_funnel: stages differentiate and sum to the user universe") {
+    val rows = Relational6.eventFunnel(spark, sf).collect()
+    assert(rows.length >= 2, "attribution windows must split the users")
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count())
+  }
+
+  test("q_running_distinct: final running value equals exact distinct per customer") {
+    val rows = Relational6.qRunningDistinct(spark, sf).collect()
+    val last = rows.groupBy(_.getLong(0)).map { case (c, rs) =>
+      c -> rs.map(_.getLong(3)).max
+    }
+    val exact = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_custkey") % 25 === 0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("l_partkey")).as("nd")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(last == exact, "running count must converge to the exact distinct count")
+  }
+
   test("q21_waiting: every flagged supplier was the sole late supplier") {
     val rows = Relational6.q21Waiting(spark, sf).collect()
     assert(rows.nonEmpty)
