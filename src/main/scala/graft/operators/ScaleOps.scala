@@ -176,15 +176,69 @@ object ScaleOps {
       |FROM slice, (SELECT unnest(['csv', 'json', 'orc']) AS format)
       |GROUP BY format ORDER BY format""".stripMargin
 
+  // --- etl_schema_evolve: additive schema evolution under the gate ----
+  // The ingest reality at scale: yesterday's files lack the column
+  // added today. Batch 1 (old schema) and batch 2 (adds a discount
+  // column) land in one dataset directory; a mergeSchema read must
+  // surface the union schema with NULLs for the old batch — which the
+  // aggregation then has to account for explicitly (null-aware
+  // averages, per-batch null counts). The oracle reproduces the
+  // evolution with a UNION of the two projections. Schema inference
+  // cost note: mergeSchema reads ALL footers — production pins the
+  // merged schema explicitly after evolving; the read here does both
+  // (merge once, assert, aggregate).
+  val etlSchemaEvolve: Q = (s, d) => {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_evolve_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 500 === 0)
+    li.filter(col("l_linenumber") % 2 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .withColumn("batch", lit("old"))
+      .write.mode("overwrite").parquet(s"$base/batch=old")
+    li.filter(col("l_linenumber") % 2 =!= 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_discount"))
+      .withColumn("batch", lit("new"))
+      .write.mode("overwrite").parquet(s"$base/batch=new")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$base/batch=old", s"$base/batch=new")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("n_null_discount"),
+        sum(coalesce(col("l_discount").cast(DecimalType(4, 2)),
+          lit(0).cast(DecimalType(4, 2)))).cast("double").as("sum_discount"))
+      .orderBy(col("batch"))
+  }
+
+  val etlSchemaEvolveSql: String =
+    """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 500 = 0),
+      |evolved AS (
+      |  SELECT 'old' AS batch, l_quantity, CAST(NULL AS DOUBLE) AS l_discount
+      |  FROM li WHERE l_linenumber % 2 = 0
+      |  UNION ALL
+      |  SELECT 'new' AS batch, l_quantity, l_discount
+      |  FROM li WHERE l_linenumber % 2 <> 0)
+      |SELECT batch, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_null_discount,
+      |  CAST(SUM(COALESCE(CAST(l_discount AS DECIMAL(4,2)),
+      |    CAST(0 AS DECIMAL(4,2)))) AS DOUBLE) AS sum_discount
+      |FROM evolved GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_topk_group" -> qTopkGroup,
     "q_skew_join" -> qSkewJoin,
     "profile_table" -> profileTable,
-    "src_format_roundtrip" -> srcFormatRoundtrip)
+    "src_format_roundtrip" -> srcFormatRoundtrip,
+    "etl_schema_evolve" -> etlSchemaEvolve)
 
   val oracles: Map[String, String] = Map(
     "q_topk_group" -> qTopkGroupSql,
     "q_skew_join" -> qSkewJoinSql,
     "profile_table" -> profileTableSql,
-    "src_format_roundtrip" -> srcFormatRoundtripSql)
+    "src_format_roundtrip" -> srcFormatRoundtripSql,
+    "etl_schema_evolve" -> etlSchemaEvolveSql)
 }
