@@ -438,6 +438,39 @@ object TrainOps3 {
       |  ORDER BY keep_chars DESC, keep_id) = 1
       |ORDER BY doc_id""".stripMargin
 
+  // --- embed_dim_stats: per-dimension embedding QA ---------------------
+  // The statistics an embedding pipeline watches per dimension: count,
+  // exact sum / sum-of-squares (for mean/variance downstream), min and
+  // max — all over floor(x·1e6) int64 quantization, so 64 rows of
+  // drift-free numbers that flag dead dimensions, scale drift, or a
+  // mis-normalized batch. One posexplode + one aggregation by
+  // dimension id (64 groups — trivially parallel at any corpus size;
+  // |q|≤1e6, q²≤1e12, 9.2e18/1e12 ≈ 9M vectors per partial sum before
+  // long overflow — far beyond any partition's row count, and the
+  // final merge is DECIMAL-safe by construction at 64 groups).
+  val embedDimStats: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select((col("dim") + 1).cast("long").as("dim"),
+        floor(col("x") * 1e6).cast("long").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+        sum(col("q") * col("q")).as("sum_sq"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+      .orderBy(col("dim"))
+  }
+
+  val embedDimStatsSql: String =
+    """WITH x AS (
+      |  SELECT CAST(i AS BIGINT) AS dim,
+      |    CAST(floor(embedding[i] * 1e6) AS BIGINT) AS q
+      |  FROM embeddings, range(1, 65) t(i))
+      |SELECT dim, COUNT(*) AS n,
+      |  CAST(SUM(q) AS BIGINT) AS sum_q,
+      |  CAST(SUM(q * q) AS BIGINT) AS sum_sq,
+      |  min(q) AS min_q, max(q) AS max_q
+      |FROM x GROUP BY dim ORDER BY dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_substring" -> dedupSubstring,
     "text_lm_rarity" -> textLmRarity,
@@ -447,7 +480,8 @@ object TrainOps3 {
     "pipe_quality_funnel" -> pipeQualityFunnel,
     "eval_split" -> evalSplit,
     "bpe_pair_counts" -> bpePairCounts,
-    "dedup_semantic_keep" -> dedupSemanticKeep)
+    "dedup_semantic_keep" -> dedupSemanticKeep,
+    "embed_dim_stats" -> embedDimStats)
 
   val oracles: Map[String, String] = Map(
     "dedup_substring" -> dedupSubstringSql,
@@ -458,5 +492,6 @@ object TrainOps3 {
     "pipe_quality_funnel" -> pipeQualityFunnelSql,
     "eval_split" -> evalSplitSql,
     "bpe_pair_counts" -> bpePairCountsSql,
-    "dedup_semantic_keep" -> dedupSemanticKeepSql)
+    "dedup_semantic_keep" -> dedupSemanticKeepSql,
+    "embed_dim_stats" -> embedDimStatsSql)
 }

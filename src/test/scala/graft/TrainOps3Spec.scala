@@ -86,6 +86,17 @@ class TrainOps3Spec extends AnyFunSuite {
     assert(rows.forall(_.getString(1).length == 2))
   }
 
+  test("embed_dim_stats: 64 dims, n = corpus size, moments bounded by unit quantization") {
+    val rows = TrainOps3.embedDimStats(spark, sf).collect()
+    assert(rows.length == 64)
+    val n = Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n)
+      assert(r.getLong(4) >= -1000000L && r.getLong(5) <= 1000000L)
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= n * 1000000000000L)
+    }
+  }
+
   test("dedup_semantic_keep: keepers dominate their dropped docs and are never dropped by them") {
     val rows = TrainOps3.dedupSemanticKeep(spark, sf).collect()
     assert(rows.nonEmpty)
