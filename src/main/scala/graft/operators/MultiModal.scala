@@ -62,10 +62,53 @@ object MultiModal {
       .orderBy(col("doc_id"))
   }
 
-  val queries: Map[String, Q] = Map("mm_pipeline" -> mmPipeline)
+  // --- mm_metadata: the binary-column surface under the hash gate -----
+  // Everything around the stubbed decode IS deterministic: payload
+  // byte length, payload content hash (dedup key for media), format
+  // and dimension metadata. The Spark side runs on a real BINARY
+  // column (cast, length, md5 over bytes); the oracle computes the
+  // same values from the text the payload was derived from — so the
+  // media-table bookkeeping a 100 TB multimodal pipeline relies on
+  // (per-format size accounting, payload-level dedup counts, dimension
+  // bounds) is verified, and only the decode kernel remains stubbed.
+  val mmMetadata: Q = (s, d) => {
+    val fmts = array(lit("png"), lit("jpeg"), lit("wav"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("content"),
+        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"),
+        element_at(fmts, (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"))
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("content")).cast("long")).as("sum_bytes"),
+        countDistinct(md5(col("content"))).as("n_distinct_payloads"),
+        min(col("width")).as("min_w"), max(col("width")).as("max_w"),
+        min(col("height")).as("min_h"), max(col("height")).as("max_h"))
+      .orderBy(col("fmt"))
+  }
 
-  /** Decode kernel is a stub → rows-only check; n_bytes/fmt are
-    * additionally asserted in MultiModalSpec.
+  val mmMetadataSql: String =
+    """WITH media AS (
+      |  SELECT doc_id, text,
+      |    CAST(doc_id % 64 + 16 AS INT) AS width,
+      |    CAST(doc_id % 48 + 16 AS INT) AS height,
+      |    ['png', 'jpeg', 'wav'][CAST(doc_id % 3 + 1 AS INT)] AS fmt
+      |  FROM documents)
+      |SELECT fmt, COUNT(*) AS n,
+      |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_payloads,
+      |  min(width) AS min_w, max(width) AS max_w,
+      |  min(height) AS min_h, max(height) AS max_h
+      |FROM media GROUP BY fmt ORDER BY fmt""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "mm_pipeline" -> mmPipeline,
+    "mm_metadata" -> mmMetadata)
+
+  /** Decode kernel is a stub → mm_pipeline stays rows-only (n_bytes/
+    * fmt asserted in MultiModalSpec); mm_metadata gates the
+    * deterministic binary-column bookkeeping around it.
     */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map("mm_metadata" -> mmMetadataSql)
 }
