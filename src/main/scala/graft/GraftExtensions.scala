@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.Expr
 import graft.plans.TopKStrategy
 
@@ -35,12 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => Expr.HammingDistance64(es.head, es(1))))
     ext.injectFunction(fn("rolling_hash", es => Expr.RollingHash(es.head)))
     ext.injectFunction(fn("trigram_shingles", es => Expr.TrigramShingles(es.head)))
-    ext.injectFunction(fn("minhash_signature", es => {
-      val k = es(1) match {
-        case Literal(v: Int, _) => v
-        case other => other.eval(null).asInstanceOf[Int]
-      }
-      Expr.MinHashSignature(es.head, k)
-    }))
+    ext.injectFunction(fn("sig_agree_count",
+      es => Expr.SigAgreeCount(es.head, es(1))))
+    ext.injectFunction(fn("minhash_signature",
+      es => Expr.MinHashSignature(es.head, Expr.minhashK(es(1)))))
   }
 }

@@ -31,6 +31,17 @@ object Kernels {
     dot
   }
 
+  /** Positions where two long-array signatures agree — the minhash
+    * est-jaccard numerator (codegen'd; zip_with/filter/size evaluates
+    * its lambdas interpreted, per candidate pair).
+    */
+  def sigAgree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0; var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0

@@ -21,13 +21,9 @@ object Registry {
       es => Expr.HammingDistance64(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash",
       es => Expr.RollingHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sig_agree_count",
+      es => Expr.SigAgreeCount(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
-      es => {
-        val k = es(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => other.eval(null).asInstanceOf[Int]
-        }
-        Expr.MinHashSignature(es.head, k)
-      }, "scala_udf")
+      es => Expr.MinHashSignature(es.head, Expr.minhashK(es(1))), "scala_udf")
   }
 }

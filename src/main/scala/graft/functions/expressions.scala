@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -110,6 +111,21 @@ object Expr {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Count of agreeing positions between two long-array minhash
+    * signatures (the est-jaccard numerator), whole-stage codegen'd.
+    */
+  case class SigAgreeCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sig_agree_count"
+    override def nullSafeEval(l: Any, r: Any): Any =
+      Kernels.sigAgree(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.sigAgree($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Hamming distance between two 64-bit hashes (simhash dedup). */
   case class HammingDistance64(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -156,6 +172,26 @@ object Expr {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Resolve the k argument of SQL `minhash_signature(tokens, k)`:
+    * any foldable integral expression (INT or BIGINT literal, or a
+    * constant-foldable tree). Non-foldable or non-integral k is an
+    * analysis error naming the function, not a ClassCastException at
+    * registration time.
+    */
+  private[graft] def minhashK(kExpr: Expression): Int = {
+    def fail() = throw new AnalysisException("USER_RAISED_EXCEPTION",
+      Map("errorMessage" ->
+        "minhash_signature(tokens, k): k must be a foldable integral constant"))
+    kExpr match {
+      case Literal(v: java.lang.Number, _) => v.intValue
+      case other if other.foldable => other.eval(null) match {
+        case n: java.lang.Number => n.intValue
+        case _ => fail()
+      }
+      case _ => fail()
+    }
+  }
+
   // --- Column-API wrappers -------------------------------------------
   private def c(e: Expression): Column = GraftBridge.column(e)
   private def e(col: Column): Expression = GraftBridge.expression(col)
@@ -167,6 +203,7 @@ object Expr {
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def trigramShingles(text: Column): Column = c(TrigramShingles(e(text)))
   def hamming64(a: Column, b: Column): Column = c(HammingDistance64(e(a), e(b)))
+  def sigAgree(a: Column, b: Column): Column = c(SigAgreeCount(e(a), e(b)))
   def rollingHash(tokens: Column): Column = c(RollingHash(e(tokens)))
   def hyperplaneBucket(vec: Column, planes: Array[Array[Float]]): Column = {
     val dim = planes.head.length

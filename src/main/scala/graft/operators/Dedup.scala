@@ -101,8 +101,10 @@ object Dedup {
       .join(sigs.select(col("doc_id"), col("sig").as("sig_a")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sigs.select(col("doc_id"), col("sig").as("sig_b")), col("doc_b") === col("doc_id")).drop("doc_id")
       .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / K).as("est_jaccard"))
+        // codegen'd agreement count: the zip_with/filter/size form
+        // evaluates its lambdas interpreted per candidate pair, and at
+        // 100 TB the post-LSH candidate set is billions of pairs × 64
+        (Expr.sigAgree(col("sig_a"), col("sig_b")).cast("double") / K).as("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -120,24 +122,37 @@ object Dedup {
 
   // --- dedup_simhash: 64-bit simhash, chunk-bucketed hamming ---------
   private val CHUNKS = 4 // hamming ≤ 3 × 16 guaranteed caught; wider via threshold
+  private val MAX_HAMMING = 16
 
-  // Near-identical corpora collapse to FEW distinct simhash values
-  // (one token changed in 100 usually flips no bit), so the candidate
-  // search runs over DISTINCT hashes — typically orders of magnitude
-  // smaller than the corpus — and doc pairs are expanded only for
-  // qualifying hash pairs. Semantics identical to the naive per-doc
-  // chunk join; at 100k docs in 20-dup clusters this is ~200x faster.
-  val dedupSimhash: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), Expr.simhash64(toks(col("text"))).as("sim"))
-    val groups = cached(docs.groupBy(col("sim"))
-      .agg(collect_list(col("doc_id")).as("ids")))
-    val chunked = groups.select(col("sim"),
+  /** Chunk/hamming candidate plan over a (doc_id, sim) frame, shared
+    * by dedup_simhash (xxhash64 kernel) and dedup_simhash_exact
+    * (md5-vote twin under the hash gate).
+    *
+    * Near-identical corpora collapse to FEW distinct simhash values
+    * (one token changed in 100 usually flips no bit), so the candidate
+    * search runs over DISTINCT hashes — typically orders of magnitude
+    * smaller than the corpus. Identical-hash groups are never
+    * materialized as arrays: each distinct signature keeps one
+    * REPRESENTATIVE (min doc id), the group's internal pairs are a
+    * STAR (rep → member, one row per member — linear where the clique
+    * is quadratic, and a boilerplate-heavy corpus at 100 TB puts
+    * millions of docs on ONE simhash value), and qualifying
+    * cross-signature matches link representatives only. The pair
+    * graph's transitive closure — what dedup clustering consumes — is
+    * identical to the full clique expansion; with no collect_list
+    * there is no single giant row to OOM an executor and no quadratic
+    * member expansion, whatever the skew.
+    */
+  private[graft] def simhashPairs(sigFrame: DataFrame): DataFrame = {
+    val sigs = cached(sigFrame.select(col("doc_id"), col("sim")))
+    val reps = cached(sigs.groupBy(col("sim"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt")))
+    val chunked = reps.select(col("sim"),
         posexplode(array((0 until CHUNKS).map(ch =>
           shiftrightunsigned(col("sim"), ch * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_val")
-    // hash pairs sharing a chunk, within hamming budget
+    // distinct-hash pairs sharing a chunk, within hamming budget
     val simPairs = chunked.as("x").join(chunked.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") &&
           col("x.chunk_val") === col("y.chunk_val") &&
@@ -145,23 +160,87 @@ object Dedup {
       .select(col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
       .distinct()
       .withColumn("hamming", Expr.hamming64(col("sim_a"), col("sim_b")))
-      .filter(col("hamming") <= 16)
-    // expand hash pairs to doc pairs
+      .filter(col("hamming") <= MAX_HAMMING)
+    // cross-hash matches link the two representatives only: members
+    // reach their rep through the star pairs below, so the closure is
+    // complete without any member × member expansion
     val crossSim = simPairs
-      .join(groups.select(col("sim").as("sim_a"), col("ids").as("ids_a")), "sim_a")
-      .join(groups.select(col("sim").as("sim_b"), col("ids").as("ids_b")), "sim_b")
-      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("hamming"))
-      .select(col("da"), explode(col("ids_b")).as("db"), col("hamming"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
-    // identical-hash docs: all pairs within the group, hamming 0
-    val sameSim = groups.filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("da"), col("ids"))
-      .select(col("da"), explode(col("ids")).as("db"))
-      .filter(col("da") < col("db"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"), lit(0).as("hamming"))
-    crossSim.unionByName(sameSim)
+      .join(reps.select(col("sim").as("sim_a"), col("rep").as("rep_a")), "sim_a")
+      .join(reps.select(col("sim").as("sim_b"), col("rep").as("rep_b")), "sim_b")
+      .select(least(col("rep_a"), col("rep_b")).as("doc_a"),
+        greatest(col("rep_a"), col("rep_b")).as("doc_b"), col("hamming"))
+    // identical-hash docs: rep → member star, hamming 0
+    val star = sigs.join(reps.filter(col("cnt") > 1), "sim")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    crossSim.unionByName(star)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupSimhash: Q = (s, d) =>
+    simhashPairs(Tables.documents(s, d)
+      .select(col("doc_id"), Expr.simhash64(toks(col("text"))).as("sim")))
+
+  // --- dedup_simhash_exact: md5-vote twin under the hash gate --------
+  // The SAME chunk/hamming/star plan as dedup_simhash, but the
+  // signature is simhash votes over per-token md5 bits — computable
+  // bit-for-bit in DuckDB — so the whole candidate machinery gains an
+  // oracle anchor (the xxhash64 variant stays rows-only by nature).
+  // 60 bits = 15 md5 hex chars: exactly representable as a positive
+  // BIGINT in both engines (no sign/overflow edge at bit 63).
+  private val SIG_BITS = 60
+
+  val dedupSimhashExact: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(normText(col("text")), " "))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until SIG_BITS).map(j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$j"))
+    val sigs = tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until SIG_BITS).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+          .as("sim"))
+    simhashPairs(sigs)
+  }
+
+  val dedupSimhashExactSql: String = {
+    val voteSums = (0 until SIG_BITS).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n       ")
+    val sigBits = (0 until SIG_BITS).map(j =>
+      s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" +\n        ")
+    s"""WITH n AS (SELECT doc_id,
+      |             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      |           FROM documents),
+      |tok AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS w FROM n),
+      |h AS (SELECT doc_id,
+      |        CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+      |      FROM tok),
+      |v AS (SELECT doc_id, $voteSums FROM h GROUP BY doc_id),
+      |sig AS (SELECT doc_id, CAST($sigBits AS BIGINT) AS sim FROM v),
+      |reps AS (SELECT sim, min(doc_id) AS rep, COUNT(*) AS cnt FROM sig GROUP BY sim),
+      |ch AS (SELECT sim, j, (sim >> (j * 16)) & 65535 AS cv
+      |       FROM reps CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) c),
+      |sp AS (SELECT DISTINCT x.sim AS sim_a, y.sim AS sim_b
+      |       FROM ch x JOIN ch y ON x.j = y.j AND x.cv = y.cv AND x.sim < y.sim),
+      |hp AS (SELECT sim_a, sim_b,
+      |         CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+      |       FROM sp WHERE bit_count(xor(sim_a, sim_b)) <= $MAX_HAMMING),
+      |crossp AS (SELECT least(ra.rep, rb.rep) AS doc_a,
+      |            greatest(ra.rep, rb.rep) AS doc_b, hp.hamming
+      |          FROM hp JOIN reps ra ON hp.sim_a = ra.sim
+      |                  JOIN reps rb ON hp.sim_b = rb.sim),
+      |star AS (SELECT r.rep AS doc_a, s.doc_id AS doc_b, CAST(0 AS INT) AS hamming
+      |         FROM sig s JOIN reps r ON s.sim = r.sim
+      |         WHERE r.cnt > 1 AND s.doc_id <> r.rep)
+      |SELECT doc_a, doc_b, hamming
+      |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM star) u
+      |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // --- dedup_embedding: hyperplane-bucketed cosine near-dups ---------
@@ -500,6 +579,7 @@ object Dedup {
     "dedup_minhash" -> dedupMinhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_exact" -> dedupSimhashExact,
     "dedup_embedding" -> dedupEmbedding)
 
   /** Hash-kernel near-dup variants (xxhash64 minhash/simhash) are
@@ -509,5 +589,6 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_cluster_exact" -> dedupClusterExactSql,
+    "dedup_simhash_exact" -> dedupSimhashExactSql,
     "dedup_jaccard_block" -> dedupJaccardBlockSql)
 }

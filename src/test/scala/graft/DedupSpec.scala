@@ -34,6 +34,37 @@ class DedupSpec extends AnyFunSuite {
     assert(sig == sig2, "minhash must be deterministic")
   }
 
+  test("sig_agree_count matches the zip_with formulation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 7L))).toDF("a", "b")
+    val r = df.select(
+      Expr.sigAgree(col("a"), col("b")).as("k"),
+      size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), p => p)).as("z"))
+      .collect()(0)
+    assert(r.getAs[Int]("k") == 2 && r.getAs[Int]("z") == 2)
+  }
+
+  test("dedup_simhash_exact stars planted exact duplicates at the representative") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("simex").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "an entirely different document about unrelated topics here"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.dedupSimhashExact(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    assert(pairs.toSet.intersect(Set((1L, 2L, 0), (1L, 3L, 0))) == Set((1L, 2L, 0), (1L, 3L, 0)),
+      s"identical docs must star at doc 1: ${pairs.mkString(",")}")
+    assert(!pairs.exists(p => p._1 == 2L && p._2 == 3L),
+      "member-member pair must be elided (closure via the star)")
+    Dedup.releaseCaches(blocking = true)
+  }
+
   test("dedup_minhash finds a planted near-duplicate pair") {
     val spark2 = spark
     import spark2.implicits._

@@ -67,6 +67,42 @@ class StressSpec extends AnyFunSuite {
     Dedup.releaseCaches(blocking = true)
   }
 
+  test("simhash identical-hash groups emit a linear star, not a quadratic clique") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.Expr
+    // 2000 docs with IDENTICAL text collapse onto one simhash value; an
+    // uncapped clique would be ~2M pairs — the star must be exactly n-1
+    // rows, all anchored at the representative (min doc id)
+    val docs = (0 until 2000)
+      .map(i => (i.toLong, "the same boilerplate text repeated across the corpus"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(
+      docs.select(col("doc_id"), Expr.simhash64(split(col("text"), " ")).as("sim")))
+    assert(pairs.count() == 1999L, "star must be linear in group size")
+    assert(pairs.filter(col("doc_a") =!= 0L || col("hamming") =!= 0).count() == 0L,
+      "every identical-hash pair anchors at the representative with hamming 0")
+    Dedup.releaseCaches(blocking = true)
+  }
+
+  test("simhashPairs links skewed signature groups through representatives only") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1000 docs on sim=5, 500 on sim=7 (hamming 1, same 16-bit chunks):
+    // two stars + exactly ONE rep↔rep cross pair — member×member
+    // expansion (1000×500 rows) must never happen
+    val sigs = ((0 until 1000).map(i => (i.toLong, 5L)) ++
+        (1000 until 1500).map(i => (i.toLong, 7L)))
+      .toDF("doc_id", "sim")
+    val pairs = Dedup.simhashPairs(sigs).collect()
+    assert(pairs.length == 999 + 499 + 1, s"got ${pairs.length} pairs")
+    val cross = pairs.filter(_.getAs[Int]("hamming") > 0)
+    assert(cross.length == 1)
+    assert(cross(0).getAs[Long]("doc_a") == 0L && cross(0).getAs[Long]("doc_b") == 1000L,
+      "cross-hash pair must link the two representatives")
+    Dedup.releaseCaches(blocking = true)
+  }
+
   test("dedup_minhash finds the planted duplicate clusters at 20x") {
     assume(haveStress, "stress corpus not generated")
     // doc N and N+10000 are near-identical by construction
