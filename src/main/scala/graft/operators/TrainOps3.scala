@@ -228,10 +228,10 @@ object TrainOps3 {
   }
 
   val knnGraphSql: String =
-    """WITH sz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY label),
+    s"""WITH sz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY label),
       |v AS (SELECT vec_id, e.label,
       |        [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS qv,
-      |        vec_id % CAST(ceil(lsz / 512.0) AS BIGINT) AS sub
+      |        vec_id % CAST(ceil(lsz / $KNN_BLOCK_CAP.0) AS BIGINT) AS sub
       |      FROM embeddings e JOIN sz ON e.label = sz.label),
       |pairs AS (
       |  SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
@@ -419,10 +419,10 @@ object TrainOps3 {
   }
 
   val dedupSemanticKeepSql: String =
-    """WITH sz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY label),
+    s"""WITH sz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY label),
       |v AS (SELECT vec_id, e.label,
       |        [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS qv,
-      |        n_chars, vec_id % CAST(ceil(lsz / 512.0) AS BIGINT) AS sub
+      |        n_chars, vec_id % CAST(ceil(lsz / $KNN_BLOCK_CAP.0) AS BIGINT) AS sub
       |      FROM embeddings e JOIN sz ON e.label = sz.label
       |        JOIN documents d ON e.vec_id = d.doc_id),
       |dom AS (
@@ -433,7 +433,7 @@ object TrainOps3 {
       |    AND (b.n_chars > a.n_chars
       |         OR (b.n_chars = a.n_chars AND b.vec_id < a.vec_id)))
       |SELECT doc_id, keep_id, score FROM dom
-      |WHERE score >= 300000000000
+      |WHERE score >= $SEMANTIC_THRESH
       |QUALIFY row_number() OVER (PARTITION BY doc_id
       |  ORDER BY keep_chars DESC, keep_id) = 1
       |ORDER BY doc_id""".stripMargin
@@ -444,18 +444,21 @@ object TrainOps3 {
   // max — all over floor(x·1e6) int64 quantization, so 64 rows of
   // drift-free numbers that flag dead dimensions, scale drift, or a
   // mis-normalized batch. One posexplode + one aggregation by
-  // dimension id (64 groups — trivially parallel at any corpus size;
-  // |q|≤1e6, q²≤1e12, 9.2e18/1e12 ≈ 9M vectors per partial sum before
-  // long overflow — far beyond any partition's row count, and the
-  // final merge is DECIMAL-safe by construction at 64 groups).
+  // dimension id (64 groups — trivially parallel at any corpus size).
+  // sum_sq aggregates in DECIMAL(38,0): q²≤1e12, so a LongType sum
+  // silently wraps once a dimension sees ~9.2M vectors — exactly the
+  // scale this targets — while the DuckDB oracle sums in HUGEINT; the
+  // decimal aggregate matches the oracle's exact arithmetic and only
+  // the final 64-row result casts down.
   val embedDimStats: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     Tables.embeddings(s, d)
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
       .select((col("dim") + 1).cast("long").as("dim"),
         floor(col("x") * 1e6).cast("long").as("q"))
       .groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
-        sum(col("q") * col("q")).as("sum_sq"),
+        sum((col("q") * col("q")).cast(dec)).cast("long").as("sum_sq"),
         min(col("q")).as("min_q"), max(col("q")).as("max_q"))
       .orderBy(col("dim"))
   }

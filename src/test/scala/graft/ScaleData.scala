@@ -47,21 +47,26 @@ object ScaleData {
     spark.stop()
   }
 
-  /** Union of `copies` key-offset copies of `df`. Offsets are
-    * max(key)+1 per key column so copies never collide.
+  /** Union of `copies` key-offset copies of `df`. Each key column
+    * shifts by the offset of its key DOMAIN — computed once from the
+    * domain's owning table and shared by every table that references
+    * it — so cross-copy referential integrity survives dimensions
+    * with unreferenced tail keys (standard TPC-H leaves ~1/3 of
+    * customers orderless; per-table maxes would desynchronize the
+    * shifts and distort copy-join selectivities).
     */
-  private def copied(df: DataFrame, keyCols: Seq[String], copies: Int)
-      (tweak: (DataFrame, Int) => DataFrame): DataFrame = {
-    val offsets: Map[String, Long] = keyCols.map { k =>
-      k -> (df.agg(max(col(k))).first().getLong(0) + 1L)
-    }.toMap
+  private def copied(df: DataFrame, offsets: Map[String, Long], copies: Int)
+      (tweak: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map { i =>
-      val shifted = keyCols.foldLeft(df) { (acc, k) =>
-        acc.withColumn(k, col(k) + lit(i * offsets(k)))
+      val shifted = offsets.foldLeft(df) { case (acc, (k, off)) =>
+        acc.withColumn(k, col(k) + lit(i * off))
       }
       tweak(shifted, i)
     }.reduce(_ unionByName _)
-  }
+
+  /** max(key)+1 over the domain's owning table. */
+  private def keyDomain(df: DataFrame, k: String): Long =
+    df.agg(max(col(k))).first().getLong(0) + 1L
 
   private def noTweak(df: DataFrame, i: Int): DataFrame = df
 
@@ -69,28 +74,40 @@ object ScaleData {
     def w(df: DataFrame, name: String): Unit =
       df.repartition(8).write.mode("overwrite").parquet(s"$out/$name.parquet")
 
+    // one offset per key domain, from the owning table
+    val custOff = keyDomain(Tables.customer(s, src), "c_custkey")
+    val suppOff = keyDomain(Tables.supplier(s, src), "s_suppkey")
+    val partOff = keyDomain(Tables.part(s, src), "p_partkey")
+    val ordOff = keyDomain(Tables.orders(s, src), "o_orderkey")
+
     w(Tables.region(s, src), "region")
     w(Tables.nation(s, src), "nation")
-    w(copied(Tables.customer(s, src), Seq("c_custkey"), COPIES)(noTweak), "customer")
-    w(copied(Tables.supplier(s, src), Seq("s_suppkey"), COPIES)(noTweak), "supplier")
-    w(copied(Tables.part(s, src), Seq("p_partkey"), COPIES)(noTweak), "part")
-    w(copied(Tables.orders(s, src), Seq("o_orderkey", "o_custkey"), COPIES)(noTweak),
-      "orders")
+    w(copied(Tables.customer(s, src), Map("c_custkey" -> custOff), COPIES)(noTweak),
+      "customer")
+    w(copied(Tables.supplier(s, src), Map("s_suppkey" -> suppOff), COPIES)(noTweak),
+      "supplier")
+    w(copied(Tables.part(s, src), Map("p_partkey" -> partOff), COPIES)(noTweak), "part")
+    w(copied(Tables.orders(s, src),
+      Map("o_orderkey" -> ordOff, "o_custkey" -> custOff), COPIES)(noTweak), "orders")
     w(copied(Tables.lineitem(s, src),
-      Seq("l_orderkey", "l_partkey", "l_suppkey"), COPIES)(noTweak), "lineitem")
-    w(copied(Tables.events(s, src), Seq("event_id", "user_id"), COPIES)(noTweak),
-      "events")
+      Map("l_orderkey" -> ordOff, "l_partkey" -> partOff, "l_suppkey" -> suppOff),
+      COPIES)(noTweak), "lineitem")
+    val ev = Tables.events(s, src)
+    w(copied(ev, Map("event_id" -> keyDomain(ev, "event_id"),
+      "user_id" -> keyDomain(ev, "user_id")), COPIES)(noTweak), "events")
     // Salt alternate tokens with the copy index: copies stay ~0 Jaccard
     // to each other, so near-dup pair counts scale with the data, not
     // quadratically with the copy count.
-    w(copied(Tables.documents(s, src), Seq("doc_id"), COPIES) { (df, i) =>
+    val docs = Tables.documents(s, src)
+    w(copied(docs, Map("doc_id" -> keyDomain(docs, "doc_id")), COPIES) { (df, i) =>
       if (i == 0) df
       else df.withColumn("text", array_join(
         expr(s"transform(split(text, ' '), (t, p) -> IF(p % 2 = 0, concat(t, 'x$i'), t))"),
         " "))
     }, "documents")
     // Circular shift per copy: same norms/labels, decorrelated copies.
-    w(copied(Tables.embeddings(s, src), Seq("vec_id"), COPIES) { (df, i) =>
+    val emb = Tables.embeddings(s, src)
+    w(copied(emb, Map("vec_id" -> keyDomain(emb, "vec_id")), COPIES) { (df, i) =>
       if (i == 0) df
       else {
         val k = i % 64
@@ -105,7 +122,8 @@ object ScaleData {
     // documents: 10 000 mutually-distinct base docs (20× sf0.01 via the
     // salted-copy scheme over sf0.1's 5 000), then near-identical
     // +10000 twins (one appended token keeps Jaccard ≈ n/(n+1)).
-    val baseDocs = copied(Tables.documents(s, src), Seq("doc_id"), 2) { (df, i) =>
+    val srcDocs = Tables.documents(s, src)
+    val baseDocs = copied(srcDocs, Map("doc_id" -> keyDomain(srcDocs, "doc_id")), 2) { (df, i) =>
       if (i == 0) df
       else df.withColumn("text", array_join(
         expr(s"transform(split(text, ' '), (t, p) -> IF(p % 2 = 0, concat(t, 'x$i'), t))"),
