@@ -66,21 +66,29 @@ object DiagramOps {
   private val nodeLabels =
     Seq("VIN", "GND", "EN", "SW", "FB", "OUT", "COMP", "BST")
 
-  /** diagram_topology: synthetic per-document diagrams (deterministic
-    * caption injection → type detection, chain + shortcut edges) run
-    * through topologyStats. Fully mirrored in DuckDB.
+  /** Deterministic caption injection + type detection over documents —
+    * the shared front half of every diagram query (the synthetic stand-
+    * in for page rasters this container can't decode).
     */
-  val diagramTopology: Q = (s, d) => {
+  private def detectedDocs(s: SparkSession, d: String): DataFrame = {
     val caption = element_at(
       array(Seq("block diagram", "functional diagram", "typical application",
         "application circuit", "pin configuration", "package").map(lit): _*),
       (pmod(col("doc_id"), lit(6)) + 1).cast("int"))
-    val diag = Tables.documents(s, d)
+    Tables.documents(s, d)
       .withColumn("page_text",
         when(pmod(col("doc_id"), lit(2)) === 0,
           concat(caption, lit(" "), col("text"))).otherwise(col("text")))
       .withColumn("dtype", detectDiagramType(col("page_text")))
       .filter(col("dtype").isNotNull)
+  }
+
+  /** diagram_topology: synthetic per-document diagrams (deterministic
+    * caption injection → type detection, chain + shortcut edges) run
+    * through topologyStats. Fully mirrored in DuckDB.
+    */
+  val diagramTopology: Q = (s, d) => {
+    val diag = detectedDocs(s, d)
       .withColumn("n", (pmod(col("doc_id"), lit(5)) + 3).cast("int"))
       .select(concat(lit("diag_p"), col("doc_id")).as("diagram_id"),
         col("doc_id"), col("dtype"), col("n"))
@@ -153,6 +161,119 @@ object DiagramOps {
       .replace("DETCASE", detCase)
   }
 
-  val queries: Map[String, Q] = Map("diagram_topology" -> diagramTopology)
-  val oracles: Map[String, String] = Map("diagram_topology" -> diagramTopologySql)
+  // --- diagram_pinout: typed pinout payload frame ---------------------
+  // vision_client.py:415 extract_pinout (PINOUT_DIAGRAM prompt): the
+  // reference asks the vision model for per-pin rows. The model call
+  // itself is the stubbed external kernel; the typed output contract —
+  // (diagram_id, pin_id, pin_name, pin_function), one row per pin,
+  // partition-parallel per diagram — is real and, with a deterministic
+  // stub payload, sits fully under the hash gate (mm_metadata
+  // discipline).
+  private val pinFunctions: Seq[(String, String)] = Seq(
+    "VIN" -> "power_input", "GND" -> "ground", "EN" -> "enable",
+    "SW" -> "switch_node", "FB" -> "feedback", "OUT" -> "output",
+    "COMP" -> "compensation", "BST" -> "bootstrap")
+
+  val diagramPinout: Q = (s, d) => {
+    val fn = pinFunctions.foldRight(lit(""): Column) { case ((k, v), rest) =>
+      when(col("pin_name") === k, v).otherwise(rest)
+    }
+    detectedDocs(s, d).filter(col("dtype") === "pinout")
+      .select(concat(lit("diag_p"), col("doc_id")).as("diagram_id"), col("doc_id"),
+        explode(sequence(lit(1), (pmod(col("doc_id"), lit(8)) + 4).cast("int")))
+          .as("pin_id"))
+      .withColumn("pin_id", col("pin_id").cast("long"))
+      .withColumn("pin_name", element_at(array(nodeLabels.map(lit): _*),
+        (pmod(col("doc_id") + col("pin_id"), lit(8)) + 1).cast("int")))
+      .withColumn("pin_function", fn)
+      .select(col("diagram_id"), col("pin_id"), col("pin_name"), col("pin_function"))
+      .orderBy(col("diagram_id"), col("pin_id"))
+  }
+
+  val diagramPinoutSql: String = {
+    val detCase = diagramPatterns.map { case (pat, t) =>
+      s"WHEN regexp_matches(lower(page_text), '$pat') THEN '$t'"
+    }.mkString("\n         ")
+    val fnCase = pinFunctions.map { case (k, v) =>
+      s"WHEN pin_name = '$k' THEN '$v'"
+    }.mkString("\n       ")
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN ['block diagram','functional diagram','typical application','application circuit','pin configuration','package'][CAST(doc_id % 6 AS INT) + 1] || ' ' || text
+      |         ELSE text END AS page_text
+      |  FROM documents),
+      |diag AS (
+      |  SELECT 'diag_p' || doc_id AS diagram_id, doc_id,
+      |    CASE $detCase
+      |         ELSE NULL END AS dtype
+      |  FROM base
+      |  WHERE dtype = 'pinout'),
+      |pins AS (
+      |  SELECT diagram_id, doc_id, CAST(i AS BIGINT) AS pin_id
+      |  FROM diag, LATERAL unnest(generate_series(1, CAST(doc_id % 8 + 4 AS INT))) t(i)),
+      |named AS (
+      |  SELECT diagram_id, pin_id,
+      |    ['VIN','GND','EN','SW','FB','OUT','COMP','BST'][CAST((doc_id + pin_id) % 8 AS INT) + 1] AS pin_name
+      |  FROM pins)
+      |SELECT diagram_id, pin_id, pin_name,
+      |  CASE $fnCase ELSE '' END AS pin_function
+      |FROM named ORDER BY diagram_id, pin_id""".stripMargin
+  }
+
+  // --- diagram_appcircuit: typed application-circuit BOM frame --------
+  // vision_client.py:427 extract_application_circuit
+  // (TYPICAL_APPLICATION prompt): the payload is the circuit's bill of
+  // materials — (diagram_id, comp_id, comp_type, value_code), one row
+  // per component. Same stub-payload/hash-gated-contract discipline as
+  // diagram_pinout.
+  private val compTypes = Seq("inductor", "capacitor", "resistor", "diode", "ic")
+
+  val diagramAppCircuit: Q = (s, d) =>
+    detectedDocs(s, d).filter(col("dtype") === "typical_app")
+      .select(concat(lit("diag_p"), col("doc_id")).as("diagram_id"), col("doc_id"),
+        explode(sequence(lit(1), (pmod(col("doc_id"), lit(5)) + 2).cast("int")))
+          .as("comp_id"))
+      .withColumn("comp_id", col("comp_id").cast("long"))
+      .select(col("diagram_id"), col("comp_id"),
+        element_at(array(compTypes.map(lit): _*),
+          (pmod(col("doc_id") + col("comp_id"), lit(compTypes.length)) + 1).cast("int"))
+          .as("comp_type"),
+        pmod(col("doc_id") * 7 + col("comp_id") * 13, lit(1000L)).as("value_code"))
+      .orderBy(col("diagram_id"), col("comp_id"))
+
+  val diagramAppCircuitSql: String = {
+    val detCase = diagramPatterns.map { case (pat, t) =>
+      s"WHEN regexp_matches(lower(page_text), '$pat') THEN '$t'"
+    }.mkString("\n         ")
+    val typeArr = compTypes.map(t => s"'$t'").mkString(",")
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN ['block diagram','functional diagram','typical application','application circuit','pin configuration','package'][CAST(doc_id % 6 AS INT) + 1] || ' ' || text
+      |         ELSE text END AS page_text
+      |  FROM documents),
+      |diag AS (
+      |  SELECT 'diag_p' || doc_id AS diagram_id, doc_id,
+      |    CASE $detCase
+      |         ELSE NULL END AS dtype
+      |  FROM base
+      |  WHERE dtype = 'typical_app'),
+      |comps AS (
+      |  SELECT diagram_id, doc_id, CAST(i AS BIGINT) AS comp_id
+      |  FROM diag, LATERAL unnest(generate_series(1, CAST(doc_id % 5 + 2 AS INT))) t(i))
+      |SELECT diagram_id, comp_id,
+      |  [$typeArr][CAST((doc_id + comp_id) % ${compTypes.length} AS INT) + 1] AS comp_type,
+      |  (doc_id * 7 + comp_id * 13) % 1000 AS value_code
+      |FROM comps ORDER BY diagram_id, comp_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "diagram_topology" -> diagramTopology,
+    "diagram_pinout" -> diagramPinout,
+    "diagram_appcircuit" -> diagramAppCircuit)
+  val oracles: Map[String, String] = Map(
+    "diagram_topology" -> diagramTopologySql,
+    "diagram_pinout" -> diagramPinoutSql,
+    "diagram_appcircuit" -> diagramAppCircuitSql)
 }

@@ -218,6 +218,62 @@ object EtlOps {
       |  CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 200 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS success_rate
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // --- etl_batch_report: generate_batch_report breakdown ------------
+  // batch_export.py:363: the batch report renders a success-rate
+  // summary plus the failure list. Re-expressed as one long-form
+  // report frame: per-success-rate-bucket rollup over sources
+  // (quintile buckets via integer algebra — (success·5) div total,
+  // clamped to 4 — so both engines agree bit-for-bit) stacked with
+  // the top-5 failing sources. One groupBy over documents feeds both
+  // sections; the markdown rendering layer is presentation and stays
+  // out of the engine.
+  val etlBatchReport: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("skipped"),
+        sum(when(col("lang") === "en" && col("n_chars") >= 200, 1L).otherwise(0L)).as("success"),
+        sum(when(col("lang") === "en" && col("n_chars") < 200, 1L).otherwise(0L)).as("failed"))
+    val buckets = base
+      .withColumn("bucket", least(expr("(success * 5) div total"), lit(4L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("total")).as("n_docs"),
+        sum(col("success")).as("success"), sum(col("failed")).as("failed"),
+        sum(col("skipped")).as("skipped"))
+      .select(lit("rate_bucket").as("section"),
+        concat(lit("b"), col("bucket")).as("row_key"),
+        col("n_sources"), col("n_docs"), col("success"), col("failed"), col("skipped"))
+    val topFail = base
+      .orderBy(col("failed").desc, col("source")).limit(5)
+      .select(lit("top_failure").as("section"), col("source").as("row_key"),
+        lit(1L).as("n_sources"), col("total").as("n_docs"),
+        col("success"), col("failed"), col("skipped"))
+    buckets.unionByName(topFail).orderBy(col("section"), col("row_key"))
+  }
+
+  val etlBatchReportSql: String =
+    """WITH b AS (
+      |  SELECT source, COUNT(*) AS total,
+      |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS skipped,
+      |    CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS success,
+      |    CAST(SUM(CASE WHEN lang = 'en' AND n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS failed
+      |  FROM documents GROUP BY source),
+      |bk AS (SELECT least((success * 5) // total, 4) AS bucket, * FROM b),
+      |rb AS (SELECT 'rate_bucket' AS section,
+      |    'b' || CAST(bucket AS VARCHAR) AS row_key,
+      |    COUNT(*) AS n_sources, CAST(SUM(total) AS BIGINT) AS n_docs,
+      |    CAST(SUM(success) AS BIGINT) AS success,
+      |    CAST(SUM(failed) AS BIGINT) AS failed,
+      |    CAST(SUM(skipped) AS BIGINT) AS skipped
+      |  FROM bk GROUP BY bucket),
+      |tf AS (SELECT 'top_failure' AS section, source AS row_key,
+      |    CAST(1 AS BIGINT) AS n_sources, total AS n_docs,
+      |    success, failed, skipped
+      |  FROM b ORDER BY failed DESC, source LIMIT 5)
+      |SELECT * FROM rb UNION ALL SELECT * FROM tf
+      |ORDER BY section, row_key""".stripMargin
+
   // --- etl_header_detect: _detect_headers classification ------------
   private val headerTerms = Seq(
     "Parameter", "param.", "Symbol", "Test Condition", "conditions",
@@ -567,6 +623,7 @@ object EtlOps {
     "etl_confidence" -> etlConfidence,
     "etl_review_queue" -> etlReviewQueue,
     "etl_batch_stats" -> etlBatchStats,
+    "etl_batch_report" -> etlBatchReport,
     "etl_header_detect" -> etlHeaderDetect,
     "etl_clean_cells" -> etlCleanCells)
 
@@ -581,6 +638,7 @@ object EtlOps {
     "etl_confidence" -> etlConfidenceSql,
     "etl_review_queue" -> etlReviewQueueSql,
     "etl_batch_stats" -> etlBatchStatsSql,
+    "etl_batch_report" -> etlBatchReportSql,
     "etl_header_detect" -> etlHeaderDetectSql,
     "etl_clean_cells" -> etlCleanCellsSql)
 }

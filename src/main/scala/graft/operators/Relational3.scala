@@ -128,6 +128,64 @@ object Relational3 {
       |       ELSE 'Unknown' END AS manufacturer
       |FROM pages ORDER BY p_partkey""".stripMargin
 
+  // --- etl_mfr_infer: MPN-prefix manufacturer fallback ---------------
+  // review_adapter.py:176-206 _infer_manufacturer: when text-level
+  // manufacturer extraction comes back empty, the review adapter falls
+  // back to a first-match-wins walk over a public prefix→manufacturer
+  // map. Dict insertion order is semantic: MCP is tried before MC, so
+  // MCP1234 is Microchip while MC1234 is onsemi; the CASE chain below
+  // preserves exactly that order, and the oracle SQL is generated from
+  // the SAME Seq so the two engines cannot drift.
+  private val mpnPrefixes: Seq[(String, String)] = Seq(
+    "LM" -> "Texas Instruments", "TPS" -> "Texas Instruments",
+    "LMR" -> "Texas Instruments", "MAX" -> "Analog Devices",
+    "AD" -> "Analog Devices", "LT" -> "Analog Devices",
+    "LTC" -> "Analog Devices", "MCP" -> "Microchip",
+    "PIC" -> "Microchip", "STM" -> "STMicroelectronics",
+    "NCP" -> "onsemi", "MC" -> "onsemi", "ISL" -> "Renesas",
+    "IR" -> "Infineon", "INA" -> "Texas Instruments",
+    "OPA" -> "Texas Instruments")
+
+  /** First-match-wins prefix inference (reference map order). */
+  private[graft] def inferManufacturer(mpn: Column): Column =
+    mpnPrefixes.foldRight(lit(""): Column) { case ((p, m), rest) =>
+      when(upper(mpn).startsWith(p), m).otherwise(rest)
+    }
+
+  // planted MPNs cycle every map prefix plus two non-matching ones, so
+  // each CASE arm (and the fall-through) is exercised at any SF
+  private val plantPrefixes = mpnPrefixes.map(_._1) ++ Seq("XYZ", "Q")
+
+  val etlMfrInfer: Q = (s, d) => {
+    val pfx = element_at(array(plantPrefixes.map(lit): _*),
+      (pmod(col("p_partkey"), lit(plantPrefixes.length)) + 1).cast("int"))
+    val mpn = concat(pfx, col("p_partkey").cast("string"), lit("A"))
+    val textMfr = when(pmod(col("p_partkey"), lit(3)) === 0, lit("Vendor Text Inc"))
+      .otherwise(lit(""))
+    Tables.part(s, d)
+      .select(col("p_partkey"), mpn.as("mpn"),
+        when(textMfr =!= "", textMfr).otherwise(inferManufacturer(mpn))
+          .as("manufacturer"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val etlMfrInferSql: String = {
+    val pfxArr = plantPrefixes.map(p => s"'$p'").mkString(", ")
+    val caseChain = mpnPrefixes.map { case (p, m) =>
+      s"WHEN upper(mpn) LIKE '$p%' THEN '$m'"
+    }.mkString("\n       ")
+    s"""WITH m AS (
+      |  SELECT p_partkey,
+      |    ([$pfxArr])[CAST(p_partkey % ${plantPrefixes.length} AS INT) + 1]
+      |      || CAST(p_partkey AS VARCHAR) || 'A' AS mpn,
+      |    CASE WHEN p_partkey % 3 = 0 THEN 'Vendor Text Inc' ELSE '' END AS text_mfr
+      |  FROM part)
+      |SELECT p_partkey, mpn,
+      |  CASE WHEN text_mfr <> '' THEN text_mfr
+      |       ELSE CASE $caseChain ELSE '' END END AS manufacturer
+      |FROM m ORDER BY p_partkey""".stripMargin
+  }
+
   // --- q_approx: sketch aggregates (HLL + quantile sketch) -----------
   // The constant-memory path for 100 TB cardinality/quantile questions
   // (exact counterparts: q_distinct, q_percentiles). Deterministic for
@@ -226,7 +284,8 @@ object Relational3 {
     "q_sliding_window" -> qSlidingWindow,
     "q_range_join" -> qRangeJoin,
     "q_null_handling" -> qNullHandling,
-    "etl_extract_mpn" -> etlExtractMpn)
+    "etl_extract_mpn" -> etlExtractMpn,
+    "etl_mfr_infer" -> etlMfrInfer)
 
   val oracles: Map[String, String] = Map(
     "q_weighted_avg" -> qWeightedAvgSql,
@@ -236,5 +295,6 @@ object Relational3 {
     "q_sliding_window" -> qSlidingWindowSql,
     "q_range_join" -> qRangeJoinSql,
     "q_null_handling" -> qNullHandlingSql,
-    "etl_extract_mpn" -> etlExtractMpnSql)
+    "etl_extract_mpn" -> etlExtractMpnSql,
+    "etl_mfr_infer" -> etlMfrInferSql)
 }

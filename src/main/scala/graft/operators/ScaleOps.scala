@@ -228,17 +228,76 @@ object ScaleOps {
       |    CAST(0 AS DECIMAL(4,2)))) AS DOUBLE) AS sum_discount
       |FROM evolved GROUP BY batch ORDER BY batch""".stripMargin
 
+  // --- q_bucket_join: co-located bucketed join under the gate ---------
+  // Bucketing is THE repeated-join lever at 100 TB: both fact sides
+  // pre-hashed into the same bucket layout on the join key, so the
+  // sort-merge join reads co-located, pre-sorted buckets with NO
+  // Exchange (and no sort) on either scan — ScaleToolsSpec asserts
+  // exactly one Exchange survives the whole plan (the tiny
+  // post-join groupBy), with broadcast disabled so the assertion
+  // exercises the SMJ path. Tables are written ONCE per (jvm, corpus)
+  // — write-once index discipline like ann_ivf_index — and the oracle
+  // is the plain parquet join: bucketing must be invisible in the
+  // result, which the hash gate proves.
+  private val bucketTables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop the managed table AND its warehouse directory: a previous
+    * JVM's warehouse leftovers are invisible to this catalog, and
+    * CREATE TABLE AS refuses a pre-existing location.
+    */
+  private def freshTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase(java.util.Locale.ROOT))
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  private[graft] def ensureBucketTables(s: SparkSession, d: String): (String, String) = {
+    val tag = bucketTables.computeIfAbsent(d, _ => {
+      val t = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      freshTable(s, s"orders_bj_$t")
+      freshTable(s, s"lineitem_bj_$t")
+      graft.sources.Sources.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        s"orders_bj_$t", "o_orderkey", 8, sortCol = Some("o_orderkey"))
+      graft.sources.Sources.writeBucketed(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        s"lineitem_bj_$t", "o_orderkey", 8, sortCol = Some("o_orderkey"))
+      t
+    })
+    (s"lineitem_bj_$tag", s"orders_bj_$tag")
+  }
+
+  val qBucketJoin: Q = (s, d) => {
+    val (lt, ot) = ensureBucketTables(s, d)
+    s.table(lt).join(s.table(ot), Seq("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qBucketJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_topk_group" -> qTopkGroup,
     "q_skew_join" -> qSkewJoin,
     "profile_table" -> profileTable,
     "src_format_roundtrip" -> srcFormatRoundtrip,
-    "etl_schema_evolve" -> etlSchemaEvolve)
+    "etl_schema_evolve" -> etlSchemaEvolve,
+    "q_bucket_join" -> qBucketJoin)
 
   val oracles: Map[String, String] = Map(
     "q_topk_group" -> qTopkGroupSql,
     "q_skew_join" -> qSkewJoinSql,
     "profile_table" -> profileTableSql,
     "src_format_roundtrip" -> srcFormatRoundtripSql,
-    "etl_schema_evolve" -> etlSchemaEvolveSql)
+    "etl_schema_evolve" -> etlSchemaEvolveSql,
+    "q_bucket_join" -> qBucketJoinSql)
 }

@@ -60,6 +60,36 @@ class DiagramRegionSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Long]("n_edges") >= r.getAs[Long]("n_nodes") - 1))
   }
 
+  test("diagram_pinout emits a typed per-pin frame for pinout diagrams only") {
+    val out = DiagramOps.diagramPinout(spark, sf).collect()
+    assert(out.nonEmpty)
+    val fnOf = Map("VIN" -> "power_input", "GND" -> "ground", "EN" -> "enable",
+      "SW" -> "switch_node", "FB" -> "feedback", "OUT" -> "output",
+      "COMP" -> "compensation", "BST" -> "bootstrap")
+    out.foreach { r =>
+      assert(fnOf(r.getAs[String]("pin_name")) == r.getAs[String]("pin_function"),
+        s"pin ${r.getAs[String]("pin_name")} mapped to ${r.getAs[String]("pin_function")}")
+      assert(r.getAs[Long]("pin_id") >= 1L && r.getAs[Long]("pin_id") <= 11L)
+    }
+    // pin counts per diagram are contiguous 1..n (a typed frame, not a bag)
+    val perDiag = out.groupBy(_.getAs[String]("diagram_id"))
+    perDiag.foreach { case (id, rows) =>
+      val ids = rows.map(_.getAs[Long]("pin_id")).sorted
+      assert(ids.sameElements(1L to ids.max), s"$id pins not contiguous")
+    }
+  }
+
+  test("diagram_appcircuit emits a typed BOM frame for typical_app diagrams only") {
+    val out = DiagramOps.diagramAppCircuit(spark, sf).collect()
+    assert(out.nonEmpty)
+    val types = Set("inductor", "capacitor", "resistor", "diode", "ic")
+    out.foreach { r =>
+      assert(types.contains(r.getAs[String]("comp_type")))
+      val v = r.getAs[Long]("value_code")
+      assert(v >= 0L && v < 1000L)
+    }
+  }
+
   test("region_ingest proposals stay inside page bounds with valid geometry") {
     val rows = RegionOps.regionIngest(spark, sf).collect()
     assert(rows.nonEmpty)

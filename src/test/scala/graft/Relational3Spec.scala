@@ -8,6 +8,23 @@ import graft.operators.Relational3
 class Relational3Spec extends AnyFunSuite {
   import TestSpark._
 
+  test("mpn prefix inference is first-match-wins in reference order") {
+    val spark2 = spark
+    import spark2.implicits._
+    // MCP before MC and LT before LTC are order-sensitive cases; a
+    // sorted or reversed walk would flip MCP→onsemi
+    val got = Seq("MCP999A", "MC999A", "LMR77", "LTC5", "INA210", "XYZ1")
+      .toDF("mpn")
+      .select(col("mpn"), Relational3.inferManufacturer(col("mpn")).as("mfr"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("MCP999A") == "Microchip")
+    assert(got("MC999A") == "onsemi")
+    assert(got("LMR77") == "Texas Instruments")
+    assert(got("LTC5") == "Analog Devices")
+    assert(got("INA210") == "Texas Instruments")
+    assert(got("XYZ1") == "")
+  }
+
   test("q_approx sketches land within tolerance of exact") {
     Relational3.qApprox(spark, sf).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble

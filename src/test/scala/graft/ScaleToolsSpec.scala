@@ -36,6 +36,19 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(top.getAs[Long]("count") == counts.max)
   }
 
+  test("q_bucket_join plans exactly one exchange (the post-join groupBy)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.operators.ScaleOps.qBucketJoin(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"expected 1 exchange (groupBy), found $exchanges:\n$plan")
+      // the gate proves value equality vs the plain join; here just rows
+      assert(q.count() == 5L)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("bucketed tables join without an exchange") {
     // warehouse dir is a static conf; the default ./spark-warehouse is
     // used and the tables are dropped below
