@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("hamming64",
       es => Expr.HammingDistance64(es.head, es(1))))
     ext.injectFunction(fn("rolling_hash", es => Expr.RollingHash(es.head)))
+    ext.injectFunction(fn("md5_poly_fingerprint",
+      es => Expr.Md5PolyFingerprint(es.head)))
     ext.injectFunction(fn("trigram_shingles", es => Expr.TrigramShingles(es.head)))
     ext.injectFunction(fn("sig_agree_count",
       es => Expr.SigAgreeCount(es.head, es(1))))

@@ -146,6 +146,39 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Order-sensitive polynomial fingerprint over per-token md5 values
+    * in mod-(2^31-1) arithmetic — the hash-gateable twin of
+    * rollingHash (xxhash64-based). Each token's first 60 md5 bits
+    * (15 hex chars) reduce mod P, then Horner-fold with base R; every
+    * intermediate stays < 2^62, so DuckDB reproduces the exact value
+    * in BIGINT list_reduce arithmetic.
+    */
+  def md5PolyFingerprint(arr: ArrayData): Long = {
+    val P = 2147483647L
+    val R = 1000003L
+    val md = md5Digest.get()
+    var acc = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      md.reset()
+      val dig =
+        if (arr.isNullAt(i)) md.digest(Array.emptyByteArray)
+        else md.digest(arr.getUTF8String(i).getBytes)
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (dig(j) & 0xffL); j += 1 }
+      v >>>= 4 // first 15 hex chars = top 60 bits of the digest
+      acc = (acc * R + (v % P)) % P
+      i += 1
+    }
+    acc
+  }
+
   def rollingHash(arr: ArrayData): Long = {
     var acc = 1469598103934665603L // FNV offset basis
     var i = 0

@@ -153,6 +153,19 @@ object Expr {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** md5-Horner fingerprint in mod-(2^31-1) arithmetic — the oracle-
+    * reproducible twin of RollingHash (see Kernels.md5PolyFingerprint).
+    */
+  case class Md5PolyFingerprint(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "md5_poly_fingerprint"
+    override def nullSafeEval(v: Any): Any =
+      Kernels.md5PolyFingerprint(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"$K.md5PolyFingerprint($a)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Hyperplane-LSH bucket id: sign bits of the vector against a fixed
     * plane matrix, fused into one pass (vs nPlanes dot-product
     * expressions re-reading the array).
@@ -205,6 +218,7 @@ object Expr {
   def hamming64(a: Column, b: Column): Column = c(HammingDistance64(e(a), e(b)))
   def sigAgree(a: Column, b: Column): Column = c(SigAgreeCount(e(a), e(b)))
   def rollingHash(tokens: Column): Column = c(RollingHash(e(tokens)))
+  def md5PolyFingerprint(tokens: Column): Column = c(Md5PolyFingerprint(e(tokens)))
   def hyperplaneBucket(vec: Column, planes: Array[Array[Float]]): Column = {
     val dim = planes.head.length
     c(HyperplaneBucket(e(vec), planes.flatten, dim))

@@ -467,9 +467,16 @@ object Dedup {
   // they exceed JACCARD_BLOCK_CAP docs — near-identical docs agree on
   // their second-min too (an 0.8-Jaccard pair shares most shingles),
   // so recall inside real dup groups survives while the block-local
-  // self-join stays bounded at CAP²-ish work. Same conditional shape
-  // in the DuckDB oracle; StressSpec plants a 2k-doc boilerplate
-  // block and asserts the bound.
+  // self-join stays bounded at CAP²-ish work. A block whose SECOND-min
+  // also collides corpus-wide (every doc opens with the same two rare
+  // shingles — StressBench's adversarial boilerplate) gets a LEVEL-2
+  // split by doc_id modulo ceil(size/CAP): deterministic, mirrored in
+  // the oracle, and the hard bound that keeps one mega-block from
+  // going quadratic at 100 TB. Cross-sub2 pairs of such a block are
+  // dropped — the standard LSH cap tradeoff; the star-shaped
+  // simhash/cluster paths carry the linear transitive representation
+  // for corpora where the full pair clique is itself quadratic.
+  // StressSpec plants both skew shapes and asserts the bounds.
   val JACCARD_THRESH = 0.8
   val JACCARD_BLOCK_CAP = 256L
 
@@ -481,19 +488,28 @@ object Dedup {
       .select(col("doc_id"), shingles(normText(col("text"))).as("sh"))
       .withColumn("blk", array_min(col("sh")))
     val sizes = base.groupBy(col("blk")).agg(count(lit(1)).as("__bsz"))
-    cached(base.join(sizes, "blk")
+    val s1 = base.join(sizes, "blk")
       .withColumn("sub",
         when(col("__bsz") > JACCARD_BLOCK_CAP,
           coalesce(element_at(array_sort(col("sh")), 2), lit("")))
           .otherwise(lit("")))
-      .drop("__bsz"))
+      .drop("__bsz")
+    val sizes2 = s1.groupBy(col("blk"), col("sub")).agg(count(lit(1)).as("__bsz2"))
+    cached(s1.join(sizes2, Seq("blk", "sub"))
+      .withColumn("sub2",
+        when(col("__bsz2") > JACCARD_BLOCK_CAP,
+          pmod(col("doc_id"), ceil(col("__bsz2") / JACCARD_BLOCK_CAP.toDouble)))
+          .otherwise(lit(0L)))
+      .drop("__bsz2"))
   }
 
   private[graft] def jaccardBlockPairs(docs: DataFrame): DataFrame = {
     val sh = jaccardBlockedDocs(docs)
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("blk"), col("sub"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("blk"), col("sub"))
-    a.join(b, Seq("blk", "sub"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"),
+      col("blk"), col("sub"), col("sub2"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"),
+      col("blk"), col("sub"), col("sub2"))
+    a.join(b, Seq("blk", "sub", "sub2"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa"), col("sb"))).cast("double") /
@@ -505,9 +521,13 @@ object Dedup {
     jaccardBlockPairs(Tables.documents(s, d))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  val dedupJaccardBlockSql: String =
-    """WITH n AS (SELECT doc_id,
-      |             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  /** Shared blocking CTE chain (normalize → shingle → min-shingle
+    * block → level-1 second-min sub-split → level-2 doc_id-mod split),
+    * the SQL mirror of jaccardBlockedDocs. Ends defining `bb`.
+    */
+  private val jaccardBlockSqlBody: String =
+    s"""n AS (SELECT doc_id,
+      |             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
       |           FROM documents),
       |tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
       |sh AS (SELECT doc_id,
@@ -517,18 +537,29 @@ object Dedup {
       |       FROM tk),
       |b0 AS (SELECT doc_id, s, list_min(s) AS blk FROM sh),
       |sz AS (SELECT blk, COUNT(*) AS bsz FROM b0 GROUP BY blk),
-      |b AS (
+      |b1 AS (
       |  SELECT b0.doc_id, b0.s, b0.blk,
-      |    CASE WHEN sz.bsz > 256 THEN coalesce(list_sort(b0.s)[2], '')
+      |    CASE WHEN sz.bsz > $JACCARD_BLOCK_CAP THEN coalesce(list_sort(b0.s)[2], '')
       |         ELSE '' END AS sub
       |  FROM b0 JOIN sz ON b0.blk = sz.blk),
+      |sz2 AS (SELECT blk, sub, COUNT(*) AS bsz2 FROM b1 GROUP BY blk, sub),
+      |bb AS (
+      |  SELECT b1.doc_id, b1.s, b1.blk, b1.sub,
+      |    CASE WHEN sz2.bsz2 > $JACCARD_BLOCK_CAP
+      |         THEN b1.doc_id % CAST(ceil(sz2.bsz2 / $JACCARD_BLOCK_CAP.0) AS BIGINT)
+      |         ELSE 0 END AS sub2
+      |  FROM b1 JOIN sz2 ON b1.blk = sz2.blk AND b1.sub = sz2.sub)""".stripMargin
+
+  val dedupJaccardBlockSql: String =
+    s"""WITH $jaccardBlockSqlBody,
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
       |     CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE) /
       |     CAST(len(list_distinct(list_concat(a.s, b2.s))) AS DOUBLE) AS jaccard
-      |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.sub = b2.sub AND a.doc_id < b2.doc_id)
+      |  FROM bb a JOIN bb b2 ON a.blk = b2.blk AND a.sub = b2.sub
+      |    AND a.sub2 = b2.sub2 AND a.doc_id < b2.doc_id)
       |SELECT doc_a, doc_b, jaccard FROM pairs
-      |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+      |WHERE jaccard >= $JACCARD_THRESH ORDER BY doc_a, doc_b""".stripMargin
 
   /** Min-label connected components as a recursive label closure: the
     * base term seeds every (node, neighbor) label candidate (self-loops
@@ -538,27 +569,13 @@ object Dedup {
     * clusterPairs computes iteratively.
     */
   val dedupClusterExactSql: String =
-    """WITH RECURSIVE n AS (SELECT doc_id,
-      |             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-      |           FROM documents),
-      |tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
-      |sh AS (SELECT doc_id,
-      |         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-      |           ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)]
-      |           END) AS s
-      |       FROM tk),
-      |b0 AS (SELECT doc_id, s, list_min(s) AS blk FROM sh),
-      |sz AS (SELECT blk, COUNT(*) AS bsz FROM b0 GROUP BY blk),
-      |b AS (
-      |  SELECT b0.doc_id, b0.s, b0.blk,
-      |    CASE WHEN sz.bsz > 256 THEN coalesce(list_sort(b0.s)[2], '')
-      |         ELSE '' END AS sub
-      |  FROM b0 JOIN sz ON b0.blk = sz.blk),
+    s"""WITH RECURSIVE $jaccardBlockSqlBody,
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
-      |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.sub = b2.sub AND a.doc_id < b2.doc_id
+      |  FROM bb a JOIN bb b2 ON a.blk = b2.blk AND a.sub = b2.sub
+      |    AND a.sub2 = b2.sub2 AND a.doc_id < b2.doc_id
       |  WHERE CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE) /
-      |        CAST(len(list_distinct(list_concat(a.s, b2.s))) AS DOUBLE) >= 0.8),
+      |        CAST(len(list_distinct(list_concat(a.s, b2.s))) AS DOUBLE) >= $JACCARD_THRESH),
       |e AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION SELECT doc_b, doc_a FROM pairs

@@ -123,6 +123,28 @@ object TextOps {
         Expr.simhash64(toks(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
 
+  // --- text_fingerprint_exact: md5-Horner fingerprint twin ------------
+  // rollingHash (xxhash64 Karp–Rabin) is rows-only by nature; this is
+  // its dedup_simhash_exact-style twin: the same order-sensitive
+  // polynomial fold, but over per-token md5 values in mod-(2^31-1)
+  // arithmetic, where every intermediate fits a BIGINT in both
+  // engines — DuckDB reproduces the value bit-for-bit via
+  // list_reduce, putting the fingerprint operator class under the
+  // hash gate.
+  val textFingerprintExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Expr.md5PolyFingerprint(toks(col("text"))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val textFingerprintExactSql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    [CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647
+      |      FOR t IN string_split(text, ' ')]),
+      |    (a, h) -> (a * 1000003 + h) % 2147483647) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // --- text_entropy: character-entropy quality signal ----------------
   // Shannon entropy of the per-doc character distribution — the
   // standard cheap detector for low-information text (keyboard mash,
@@ -227,6 +249,7 @@ object TextOps {
     "text_langid" -> textLangid,
     "text_entropy" -> textEntropy,
     "text_fingerprint" -> textFingerprint,
+    "text_fingerprint_exact" -> textFingerprintExact,
     "pipe_clean_corpus" -> pipeCleanCorpus)
 
   /** text_fingerprint is hash-function-specific → rows-only check. */
@@ -235,5 +258,6 @@ object TextOps {
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_entropy" -> textEntropySql,
+    "text_fingerprint_exact" -> textFingerprintExactSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql)
 }

@@ -34,6 +34,23 @@ class DedupSpec extends AnyFunSuite {
     assert(sig == sig2, "minhash must be deterministic")
   }
 
+  test("md5_poly_fingerprint matches the independently-computed reference value") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 410211799 = Horner fold of md5-hex[:15] % (2^31-1) over the
+    // tokens of "hello world foo" with base 1000003, computed outside
+    // both engines (python hashlib)
+    val got = Seq("hello world foo").toDF("text")
+      .select(Expr.md5PolyFingerprint(split(col("text"), " ")).as("fp"))
+      .collect()(0).getLong(0)
+    assert(got == 410211799L, s"got $got")
+    // order sensitivity: a permutation must not collide
+    val perm = Seq("foo world hello").toDF("text")
+      .select(Expr.md5PolyFingerprint(split(col("text"), " ")).as("fp"))
+      .collect()(0).getLong(0)
+    assert(perm != got)
+  }
+
   test("sig_agree_count matches the zip_with formulation") {
     val spark2 = spark
     import spark2.implicits._

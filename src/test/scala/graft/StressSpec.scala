@@ -57,13 +57,37 @@ class StressSpec extends AnyFunSuite {
     }
     val docs = (base ++ dups).toDF("doc_id", "text")
     val blocked = Dedup.jaccardBlockedDocs(docs)
-    val maxGroup = blocked.groupBy(col("blk"), col("sub"))
+    val maxGroup = blocked.groupBy(col("blk"), col("sub"), col("sub2"))
       .agg(count(lit(1)).as("sz")).agg(max(col("sz"))).collect()(0).getLong(0)
     assert(maxGroup <= Dedup.JACCARD_BLOCK_CAP,
-      s"sub-split failed: a (blk,sub) group still has $maxGroup docs")
+      s"sub-split failed: a (blk,sub,sub2) group still has $maxGroup docs")
     val pairs = Dedup.jaccardBlockPairs(docs)
       .filter(col("doc_b") === col("doc_a") + 1000L).count()
     assert(pairs == 20L, s"only $pairs/20 planted exact dups survived the cap")
+    Dedup.releaseCaches(blocking = true)
+  }
+
+  test("jaccard cap survives a second-min-shingle collision (level-2 split)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the adversarial boilerplate shape: every doc shares BOTH its min
+    // ("aaa aaa aaa") and second-min ("aaa aaa bbb") shingle, so the
+    // level-1 sub-split collapses to ONE group of 2000 — the level-2
+    // doc_id-mod split must bound it. 1000 exact-dup twins (i, i+1000)
+    // land in the same sub2 because ceil(2000/256)=8 divides 1000.
+    val base = (0 until 1000).map { i =>
+      (i.toLong, s"aaa aaa aaa bbb filler$i trailing tail token$i")
+    }
+    val dups = base.map { case (id, t) => (id + 1000L, t) }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val blocked = Dedup.jaccardBlockedDocs(docs)
+    val maxGroup = blocked.groupBy(col("blk"), col("sub"), col("sub2"))
+      .agg(count(lit(1)).as("sz")).agg(max(col("sz"))).collect()(0).getLong(0)
+    assert(maxGroup <= Dedup.JACCARD_BLOCK_CAP,
+      s"level-2 split failed: a group still has $maxGroup docs")
+    val pairs = Dedup.jaccardBlockPairs(docs)
+      .filter(col("doc_b") === col("doc_a") + 1000L).count()
+    assert(pairs == 1000L, s"only $pairs/1000 planted exact dups survived")
     Dedup.releaseCaches(blocking = true)
   }
 
