@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("rolling_hash", es => Expr.RollingHash(es.head)))
     ext.injectFunction(fn("md5_poly_fingerprint",
       es => Expr.Md5PolyFingerprint(es.head)))
+    ext.injectFunction(fn("md5_simhash60", es => Expr.Md5Simhash60(es.head)))
     ext.injectFunction(fn("trigram_shingles", es => Expr.TrigramShingles(es.head)))
     ext.injectFunction(fn("sig_agree_count",
       es => Expr.SigAgreeCount(es.head, es(1))))

@@ -179,6 +179,41 @@ object Kernels {
     acc
   }
 
+  /** 60-bit md5-vote simhash over DISTINCT tokens — the oracle-
+    * reproducible twin of [[simhash]]: bit j of the signature is the
+    * majority vote of bit j across each distinct token's first 60 md5
+    * bits (15 hex chars, positive BIGINT in both engines). One per-row
+    * pass replaces an explode + 60-aggregate shuffle: at corpus scale
+    * the signature is computed where the text already is.
+    */
+  def md5Simhash60(arr: ArrayData): Long = {
+    val md = md5Digest.get()
+    val seen = new java.util.HashSet[UTF8String]()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      if (seen.add(s)) {
+        md.reset()
+        val dig = md.digest(s.getBytes)
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (dig(j) & 0xffL); j += 1 }
+        v >>>= 4 // first 15 hex chars = top 60 bits
+        j = 0
+        while (j < 60) {
+          if (((v >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   def rollingHash(arr: ArrayData): Long = {
     var acc = 1469598103934665603L // FNV offset basis
     var i = 0

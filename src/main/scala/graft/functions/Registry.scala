@@ -23,6 +23,8 @@ object Registry {
       es => Expr.RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("md5_poly_fingerprint",
       es => Expr.Md5PolyFingerprint(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_simhash60",
+      es => Expr.Md5Simhash60(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sig_agree_count",
       es => Expr.SigAgreeCount(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",

@@ -153,6 +153,19 @@ object Expr {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 60-bit md5-vote simhash over distinct tokens — the oracle-
+    * reproducible twin of SimHash64 (see Kernels.md5Simhash60).
+    */
+  case class Md5Simhash60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "md5_simhash60"
+    override def nullSafeEval(v: Any): Any =
+      Kernels.md5Simhash60(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"$K.md5Simhash60($a)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** md5-Horner fingerprint in mod-(2^31-1) arithmetic — the oracle-
     * reproducible twin of RollingHash (see Kernels.md5PolyFingerprint).
     */
@@ -219,6 +232,7 @@ object Expr {
   def sigAgree(a: Column, b: Column): Column = c(SigAgreeCount(e(a), e(b)))
   def rollingHash(tokens: Column): Column = c(RollingHash(e(tokens)))
   def md5PolyFingerprint(tokens: Column): Column = c(Md5PolyFingerprint(e(tokens)))
+  def md5Simhash60(tokens: Column): Column = c(Md5Simhash60(e(tokens)))
   def hyperplaneBucket(vec: Column, planes: Array[Array[Float]]): Column = {
     val dim = planes.head.length
     c(HyperplaneBucket(e(vec), planes.flatten, dim))

@@ -191,22 +191,17 @@ object Dedup {
   // BIGINT in both engines (no sign/overflow edge at bit 63).
   private val SIG_BITS = 60
 
-  val dedupSimhashExact: Q = (s, d) => {
-    val tok = Tables.documents(s, d)
+  // The signature is a per-row codegen kernel (Kernels.md5Simhash60):
+  // the declarative formulation — explode distinct tokens, 60 vote
+  // sums per doc, re-fold the bits — pays a corpus-wide shuffle keyed
+  // by doc_id just to aggregate what each row already contains, and
+  // measured 0.90 s vs 0.1 s at sf0.1. The oracle SQL keeps the
+  // declarative shape (DuckDB has no kernel), computing the same
+  // votes over DISTINCT (doc, token) md5 values.
+  val dedupSimhashExact: Q = (s, d) =>
+    simhashPairs(Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(split(normText(col("text")), " "))).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-    val votes = (0 until SIG_BITS).map(j =>
-      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$j"))
-    val sigs = tok.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until SIG_BITS).map(j =>
-          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-          .as("sim"))
-    simhashPairs(sigs)
-  }
+        Expr.md5Simhash60(split(normText(col("text")), " ")).as("sim")))
 
   val dedupSimhashExactSql: String = {
     val voteSums = (0 until SIG_BITS).map(j =>

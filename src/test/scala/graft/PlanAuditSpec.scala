@@ -90,6 +90,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"funnel must scan documents exactly once, saw $scans")
   }
 
+  test("dedup_simhash plan carries no collect_list (star, not clique)") {
+    val plan = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("collect_list"),
+      s"identical-hash groups must be rep→member stars, not array cliques:\n${plan.take(1200)}")
+    graft.operators.Dedup.releaseCaches(blocking = true)
+  }
+
+  test("dedup_minhash scores candidates with the codegen'd agreement kernel") {
+    val plan = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("sig_agree_count"),
+      s"est_jaccard must use the SigAgreeCount kernel, not interpreted zip_with:\n${plan.take(1200)}")
+    assert(!plan.contains("zip_with"),
+      "interpreted zip_with survives in the minhash scoring plan")
+    graft.operators.Dedup.releaseCaches(blocking = true)
+  }
+
   test("text_entropy plan is shuffle-free up to the final sort") {
     val physical = SparkEntry.queries("text_entropy")(spark, sf)
       .queryExecution.executedPlan.toString
