@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -233,6 +233,47 @@ object Streaming {
       .orderBy(col("doc_id"))
   }
 
+  /** stream_dup_gate_exact: the md5-Horner twin of the incremental
+    * gate — an EXACT-dup stream gate (incoming batch vs corpus
+    * fingerprint index) whose key the DuckDB oracle reproduces
+    * bit-for-bit, so the stream-static left-semi plan itself is
+    * hash-gated (the minhash variant stays rows-only by nature).
+    * 100 shifted corpus copies must be flagged; 100 'novel '-prefixed
+    * variants must pass — the fingerprint is order-sensitive, so a
+    * prefix shifts every Horner position.
+    */
+  val streamDupGateExact: Q = (s, d) => {
+    def fp(t: Column): Column =
+      graft.functions.Expr.md5PolyFingerprint(split(t, " "))
+    val corpusFp = Tables.documents(s, d).select(fp(col("text")).as("f"))
+    val head = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val incoming = head
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(head.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("novel "), col("text")).as("text")))
+    incoming.select(col("doc_id"), fp(col("text")).as("f"))
+      .join(corpusFp, Seq("f"), "left_semi")
+      .select(col("doc_id")).dropDuplicates("doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private def fpSqlOf(textExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    [CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647
+      |      FOR t IN string_split($textExpr, ' ')]),
+      |    (a, h) -> (a * 1000003 + h) % 2147483647)""".stripMargin
+
+  val streamDupGateExactSql: String =
+    s"""WITH fpc AS (SELECT ${fpSqlOf("text")} AS f FROM documents),
+      |head AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      |incoming AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM head
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, 'novel ' || text AS text FROM head),
+      |inf AS (SELECT doc_id, ${fpSqlOf("text")} AS f FROM incoming)
+      |SELECT DISTINCT doc_id FROM inf WHERE f IN (SELECT f FROM fpc)
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-window top-k of the windowed aggregate. Streams can't rank
     * inside an append-mode aggregation (the rank of an open window is
     * not final until the watermark closes it), so the streaming shape
@@ -271,10 +312,12 @@ object Streaming {
     "stream_window_counts" -> streamWindowCounts,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_topk_types" -> streamTopkTypes,
-    "stream_dup_gate" -> streamDupGate)
+    "stream_dup_gate" -> streamDupGate,
+    "stream_dup_gate_exact" -> streamDupGateExact)
   val oracles: Map[String, String] = Map(
     "stream_sessionize" -> streamSessionizeSql,
     "stream_window_counts" -> streamWindowCountsSql,
     "stream_interval_join" -> streamIntervalJoinSql,
-    "stream_topk_types" -> streamTopkTypesSql)
+    "stream_topk_types" -> streamTopkTypesSql,
+    "stream_dup_gate_exact" -> streamDupGateExactSql)
 }

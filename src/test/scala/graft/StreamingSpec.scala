@@ -202,6 +202,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static exact gate flags fingerprint matches in streaming mode") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.documents(spark, sf)
+    val index = corpus.select(
+      graft.functions.Expr.md5PolyFingerprint(split(col("text"), " ")).as("f"))
+    val someText = corpus.orderBy(col("doc_id")).limit(1)
+      .collect()(0).getAs[String]("text")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.Expr.md5PolyFingerprint(split(col("text"), " ")).as("f"))
+      .join(index, Seq("f"), "left_semi")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dupgate_exact").start()
+    try {
+      mem.addData(
+        (900001L, someText),                      // exact corpus copy
+        (900002L, s"novel $someText"))            // prefix shifts every position
+      q.processAllAvailable()
+      val flagged = spark.table("dupgate_exact").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(flagged.contains(900001L), "exact copy must be flagged")
+      assert(!flagged.contains(900002L), "prefixed variant must pass")
+    } finally q.stop()
+  }
+
   test("near-dup gate gives identical candidates in batch mode") {
     val spark2 = spark
     import spark2.implicits._
