@@ -490,10 +490,20 @@ object Dedup {
           .otherwise(lit("")))
       .drop("__bsz")
     val sizes2 = s1.groupBy(col("blk"), col("sub")).agg(count(lit(1)).as("__bsz2"))
+    // the split key is an md5-derived hash of doc_id, not doc_id
+    // itself: stride-allocated or residue-structured ids would all
+    // land in one raw-modulo class and resurrect the quadratic block,
+    // while a hash spreads ANY id distribution uniformly. md5 keeps
+    // the oracle bit-mirrorable (xxhash64 is Spark-only). Buckets
+    // target HALF the cap: a hash split is multinomial, so sizing the
+    // mean at CAP would put half the buckets over it — mean CAP/2
+    // keeps the max comfortably under CAP at any block size.
+    val idHash = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
     cached(s1.join(sizes2, Seq("blk", "sub"))
       .withColumn("sub2",
         when(col("__bsz2") > JACCARD_BLOCK_CAP,
-          pmod(col("doc_id"), ceil(col("__bsz2") / JACCARD_BLOCK_CAP.toDouble)))
+          pmod(idHash, ceil(col("__bsz2") / (JACCARD_BLOCK_CAP / 2).toDouble)))
           .otherwise(lit(0L)))
       .drop("__bsz2"))
   }
@@ -541,7 +551,8 @@ object Dedup {
       |bb AS (
       |  SELECT b1.doc_id, b1.s, b1.blk, b1.sub,
       |    CASE WHEN sz2.bsz2 > $JACCARD_BLOCK_CAP
-      |         THEN b1.doc_id % CAST(ceil(sz2.bsz2 / $JACCARD_BLOCK_CAP.0) AS BIGINT)
+      |         THEN CAST(concat('0x', substr(md5(CAST(b1.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |              % CAST(ceil(sz2.bsz2 / ${JACCARD_BLOCK_CAP / 2}.0) AS BIGINT)
       |         ELSE 0 END AS sub2
       |  FROM b1 JOIN sz2 ON b1.blk = sz2.blk AND b1.sub = sz2.sub)""".stripMargin
 

@@ -190,14 +190,15 @@ object DiagramOps {
       .orderBy(col("diagram_id"), col("pin_id"))
   }
 
-  val diagramPinoutSql: String = {
+  /** Shared caption-injection + type-detection CTE body (the SQL
+    * mirror of detectedDocs), parameterized by the wanted dtype —
+    * one source of truth for all three diagram oracles.
+    */
+  private def detectedDocsSqlBody(wantType: String): String = {
     val detCase = diagramPatterns.map { case (pat, t) =>
       s"WHEN regexp_matches(lower(page_text), '$pat') THEN '$t'"
     }.mkString("\n         ")
-    val fnCase = pinFunctions.map { case (k, v) =>
-      s"WHEN pin_name = '$k' THEN '$v'"
-    }.mkString("\n       ")
-    s"""WITH base AS (
+    s"""base AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 2 = 0
       |         THEN ['block diagram','functional diagram','typical application','application circuit','pin configuration','package'][CAST(doc_id % 6 AS INT) + 1] || ' ' || text
@@ -208,7 +209,14 @@ object DiagramOps {
       |    CASE $detCase
       |         ELSE NULL END AS dtype
       |  FROM base
-      |  WHERE dtype = 'pinout'),
+      |  WHERE dtype = '$wantType')""".stripMargin
+  }
+
+  val diagramPinoutSql: String = {
+    val fnCase = pinFunctions.map { case (k, v) =>
+      s"WHEN pin_name = '$k' THEN '$v'"
+    }.mkString("\n       ")
+    s"""WITH ${detectedDocsSqlBody("pinout")},
       |pins AS (
       |  SELECT diagram_id, doc_id, CAST(i AS BIGINT) AS pin_id
       |  FROM diag, LATERAL unnest(generate_series(1, CAST(doc_id % 8 + 4 AS INT))) t(i)),
@@ -243,22 +251,8 @@ object DiagramOps {
       .orderBy(col("diagram_id"), col("comp_id"))
 
   val diagramAppCircuitSql: String = {
-    val detCase = diagramPatterns.map { case (pat, t) =>
-      s"WHEN regexp_matches(lower(page_text), '$pat') THEN '$t'"
-    }.mkString("\n         ")
     val typeArr = compTypes.map(t => s"'$t'").mkString(",")
-    s"""WITH base AS (
-      |  SELECT doc_id,
-      |    CASE WHEN doc_id % 2 = 0
-      |         THEN ['block diagram','functional diagram','typical application','application circuit','pin configuration','package'][CAST(doc_id % 6 AS INT) + 1] || ' ' || text
-      |         ELSE text END AS page_text
-      |  FROM documents),
-      |diag AS (
-      |  SELECT 'diag_p' || doc_id AS diagram_id, doc_id,
-      |    CASE $detCase
-      |         ELSE NULL END AS dtype
-      |  FROM base
-      |  WHERE dtype = 'typical_app'),
+    s"""WITH ${detectedDocsSqlBody("typical_app")},
       |comps AS (
       |  SELECT diagram_id, doc_id, CAST(i AS BIGINT) AS comp_id
       |  FROM diag, LATERAL unnest(generate_series(1, CAST(doc_id % 5 + 2 AS INT))) t(i))

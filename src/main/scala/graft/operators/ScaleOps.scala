@@ -255,7 +255,12 @@ object ScaleOps {
 
   private[graft] def ensureBucketTables(s: SparkSession, d: String): (String, String) = {
     val tag = bucketTables.computeIfAbsent(d, _ => {
-      val t = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      // full-width md5 of the corpus dir: a 32-bit String.hashCode can
+      // collide across dirs in one JVM and silently serve the wrong
+      // corpus's bucket tables
+      val t = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"${b & 0xff}%02x").mkString
       freshTable(s, s"orders_bj_$t")
       freshTable(s, s"lineitem_bj_$t")
       graft.sources.Sources.writeBucketed(

@@ -445,11 +445,11 @@ object TrainOps3 {
   // drift-free numbers that flag dead dimensions, scale drift, or a
   // mis-normalized batch. One posexplode + one aggregation by
   // dimension id (64 groups — trivially parallel at any corpus size).
-  // sum_sq aggregates in DECIMAL(38,0): q²≤1e12, so a LongType sum
-  // silently wraps once a dimension sees ~9.2M vectors — exactly the
-  // scale this targets — while the DuckDB oracle sums in HUGEINT; the
-  // decimal aggregate matches the oracle's exact arithmetic and only
-  // the final 64-row result casts down.
+  // sum_sq aggregates AND lands as DECIMAL(38,0): q²≤1e12, so a
+  // LongType sum (or a final down-cast to long) silently wraps once a
+  // dimension sees ~9.2M vectors — exactly the scale this targets —
+  // while the DuckDB oracle sums in HUGEINT. Both engines emit the
+  // exact decimal, so the gate compares the true value at any size.
   val embedDimStats: Q = (s, d) => {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     Tables.embeddings(s, d)
@@ -458,7 +458,7 @@ object TrainOps3 {
         floor(col("x") * 1e6).cast("long").as("q"))
       .groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
-        sum((col("q") * col("q")).cast(dec)).cast("long").as("sum_sq"),
+        sum((col("q") * col("q")).cast(dec)).cast(dec).as("sum_sq"),
         min(col("q")).as("min_q"), max(col("q")).as("max_q"))
       .orderBy(col("dim"))
   }
@@ -470,7 +470,7 @@ object TrainOps3 {
       |  FROM embeddings, range(1, 65) t(i))
       |SELECT dim, COUNT(*) AS n,
       |  CAST(SUM(q) AS BIGINT) AS sum_q,
-      |  CAST(SUM(q * q) AS BIGINT) AS sum_sq,
+      |  CAST(SUM(q * q) AS DECIMAL(38,0)) AS sum_sq,
       |  min(q) AS min_q, max(q) AS max_q
       |FROM x GROUP BY dim ORDER BY dim""".stripMargin
 

@@ -25,7 +25,8 @@ object StressBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // NOTE: driver memory cannot be set here (JVM already running);
+      // size it via the sbt fork / SBT_OPTS if the corpus grows
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

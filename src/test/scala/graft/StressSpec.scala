@@ -73,21 +73,32 @@ class StressSpec extends AnyFunSuite {
     // the adversarial boilerplate shape: every doc shares BOTH its min
     // ("aaa aaa aaa") and second-min ("aaa aaa bbb") shingle, so the
     // level-1 sub-split collapses to ONE group of 2000 — the level-2
-    // doc_id-mod split must bound it. 1000 exact-dup twins (i, i+1000)
-    // land in the same sub2 because ceil(2000/256)=8 divides 1000.
+    // md5(doc_id)-mod split must bound it. Doc ids are STRIDED (×16)
+    // on purpose: a raw doc_id % k split would put every doc in one
+    // residue class and resurrect the quadratic block; the hash split
+    // must spread them regardless of id structure.
     val base = (0 until 1000).map { i =>
-      (i.toLong, s"aaa aaa aaa bbb filler$i trailing tail token$i")
+      (i.toLong * 16, s"aaa aaa aaa bbb filler$i trailing tail token$i")
     }
-    val dups = base.map { case (id, t) => (id + 1000L, t) }
+    val dups = base.map { case (id, t) => (id + 16000L, t) }
     val docs = (base ++ dups).toDF("doc_id", "text")
     val blocked = Dedup.jaccardBlockedDocs(docs)
     val maxGroup = blocked.groupBy(col("blk"), col("sub"), col("sub2"))
       .agg(count(lit(1)).as("sz")).agg(max(col("sz"))).collect()(0).getLong(0)
     assert(maxGroup <= Dedup.JACCARD_BLOCK_CAP,
       s"level-2 split failed: a group still has $maxGroup docs")
+    // exact-dup twins survive only when both land in the same sub2 —
+    // the documented cap tradeoff (dedup_exact and the simhash star
+    // carry identical-text pairs regardless). Expected survivors are
+    // derived from the SAME blocked frame, so the pair stage must
+    // agree with it exactly, and the hash must keep a healthy spread.
+    val subOf = blocked.select(col("doc_id"), col("sub2")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = base.map(_._1).count(id => subOf(id) == subOf(id + 16000L))
     val pairs = Dedup.jaccardBlockPairs(docs)
-      .filter(col("doc_b") === col("doc_a") + 1000L).count()
-    assert(pairs == 1000L, s"only $pairs/1000 planted exact dups survived")
+      .filter(col("doc_b") === col("doc_a") + 16000L).count()
+    assert(pairs == expected.toLong, s"got $pairs planted pairs, expected $expected")
+    assert(expected > 50, s"hash split degenerated: only $expected/1000 co-located")
     Dedup.releaseCaches(blocking = true)
   }
 

@@ -93,7 +93,9 @@ class TrainOps3Spec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getLong(1) == n)
       assert(r.getLong(4) >= -1000000L && r.getLong(5) <= 1000000L)
-      assert(r.getLong(3) >= 0L && r.getLong(3) <= n * 1000000000000L)
+      // sum_sq lands as DECIMAL(38,0) so it can't wrap at scale
+      val sumSq = BigDecimal(r.getDecimal(3))
+      assert(sumSq >= 0 && sumSq <= BigDecimal(n) * BigDecimal(1000000000000L))
     }
   }
 
