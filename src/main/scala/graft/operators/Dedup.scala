@@ -85,26 +85,42 @@ object Dedup {
       .withColumnRenamed("col", "band_hash")
 
   // --- dedup_minhash: LSH candidate pairs + signature similarity -----
+  // Identical signatures collapse to one REPRESENTATIVE before the
+  // band join — near-identical corpora put thousands of docs on ONE
+  // exact 64-hash signature, and every band of such a group collides,
+  // so an uncollapsed band bucket goes quadratic exactly like the
+  // pre-round-5 simhash path. In-group pairs are a rep→member star
+  // with est_jaccard 1.0 (identical signatures agree 64/64 by
+  // definition); cross-signature candidates band-join and score over
+  // DISTINCT signatures only. Same transitive closure, linear rows.
   val dedupMinhash: Q = (s, d) => {
     // cache, not checkpoint: CacheManager matches the canonicalized
     // plan, so repeated executions in a session (and the multiple
     // reads within this query) reuse one materialization
     val sigs = cached(signatures(s, d).select(col("doc_id"), col("sig")))
-    val b = banded(sigs)
+    val reps = cached(sigs.groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt")))
+    val repSigs = reps.select(col("rep").as("doc_id"), col("sig"))
+    val b = banded(repSigs)
     val pairs = b.as("x").join(b.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    pairs
-      .join(sigs.select(col("doc_id"), col("sig").as("sig_a")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sigs.select(col("doc_id"), col("sig").as("sig_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+    val cross = pairs
+      .join(repSigs.select(col("doc_id"), col("sig").as("sig_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(repSigs.select(col("doc_id"), col("sig").as("sig_b")), col("doc_b") === col("doc_id")).drop("doc_id")
       .select(col("doc_a"), col("doc_b"),
         // codegen'd agreement count: the zip_with/filter/size form
         // evaluates its lambdas interpreted per candidate pair, and at
         // 100 TB the post-LSH candidate set is billions of pairs × 64
         (Expr.sigAgree(col("sig_a"), col("sig_b")).cast("double") / K).as("est_jaccard"))
+    val star = sigs.join(reps.filter(col("cnt") > 1), "sig")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(1.0).as("est_jaccard"))
+    cross.unionByName(star)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -138,6 +138,24 @@ class StressSpec extends AnyFunSuite {
     Dedup.releaseCaches(blocking = true)
   }
 
+  test("dedup_minhash stars identical-signature groups instead of band cliques") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1500 docs with IDENTICAL text share one exact minhash signature;
+    // every band of the group collides, so an uncollapsed band join
+    // would emit ~1.1M pairs — the star must be exactly n-1 rows at
+    // est_jaccard 1.0, anchored at the min doc id
+    val dir = java.nio.file.Files.createTempDirectory("mhstar").toString
+    (0 until 1500).map(i => (i.toLong, "identical boilerplate body repeated verbatim across the corpus"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.dedupMinhash(spark, dir).collect()
+    assert(pairs.length == 1499, s"star must be linear: got ${pairs.length}")
+    assert(pairs.forall(r => r.getAs[Long]("doc_a") == 0L &&
+      r.getAs[Double]("est_jaccard") == 1.0))
+    Dedup.releaseCaches(blocking = true)
+  }
+
   test("dedup_minhash finds the planted duplicate clusters at 20x") {
     assume(haveStress, "stress corpus not generated")
     // doc N and N+10000 are near-identical by construction
