@@ -51,6 +51,32 @@ class DedupSpec extends AnyFunSuite {
     assert(perm != got)
   }
 
+  test("md5 kernel properties: bounds, permutation sensitivity, engine-edge inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val texts = Seq("", "one", "a b", "a a a", "x " * 50 + "y",
+      (1 to 40).map(i => s"tok$i").mkString(" "))
+    val df = texts.toDF("text").select(
+      Expr.md5PolyFingerprint(split(col("text"), " ")).as("fp"),
+      Expr.md5Simhash60(split(col("text"), " ")).as("sh"))
+    df.collect().foreach { r =>
+      val fp = r.getLong(0)
+      assert(fp >= 0L && fp < 2147483647L, s"fingerprint out of field: $fp")
+      val sh = r.getLong(1)
+      assert(sh >= 0L && (sh >> 60) == 0L, s"simhash uses bits past 60: $sh")
+    }
+    // all six inputs map to distinct fingerprints (no trivial collapse)
+    val fps = df.collect().map(_.getLong(0)).toSet
+    assert(fps.size == texts.size)
+    // simhash is order-INsensitive, fingerprint order-SENSITIVE
+    val pair = Seq(("a b c d", "d c b a")).toDF("t1", "t2").select(
+      Expr.md5Simhash60(split(col("t1"), " ")) === Expr.md5Simhash60(split(col("t2"), " ")),
+      Expr.md5PolyFingerprint(split(col("t1"), " ")) === Expr.md5PolyFingerprint(split(col("t2"), " ")))
+      .collect()(0)
+    assert(pair.getBoolean(0), "md5 simhash must be a bag-of-tokens hash")
+    assert(!pair.getBoolean(1), "md5 fingerprint must be order-sensitive")
+  }
+
   test("sig_agree_count matches the zip_with formulation") {
     val spark2 = spark
     import spark2.implicits._
