@@ -481,7 +481,9 @@ object Dedup {
   // self-join stays bounded at CAP²-ish work. A block whose SECOND-min
   // also collides corpus-wide (every doc opens with the same two rare
   // shingles — StressBench's adversarial boilerplate) gets a LEVEL-2
-  // split by doc_id modulo ceil(size/CAP): deterministic, mirrored in
+  // split by md5(doc_id) modulo ceil(size/(CAP/2)) — an id HASH (raw
+  // modulo collapses strided ids into one class) at half-cap mean (a
+  // hash split is multinomial): deterministic, mirrored in
   // the oracle, and the hard bound that keeps one mega-block from
   // going quadratic at 100 TB. Cross-sub2 pairs of such a block are
   // dropped — the standard LSH cap tradeoff; the star-shaped
@@ -543,7 +545,8 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Shared blocking CTE chain (normalize → shingle → min-shingle
-    * block → level-1 second-min sub-split → level-2 doc_id-mod split),
+    * block → level-1 second-min sub-split → level-2 md5(doc_id)-mod
+    * split at half-cap mean),
     * the SQL mirror of jaccardBlockedDocs. Ends defining `bb`.
     */
   private val jaccardBlockSqlBody: String =

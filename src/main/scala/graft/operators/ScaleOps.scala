@@ -255,7 +255,7 @@ object ScaleOps {
 
   private[graft] def ensureBucketTables(s: SparkSession, d: String): (String, String) = {
     val tag = bucketTables.computeIfAbsent(d, _ => {
-      // full-width md5 of the corpus dir: a 32-bit String.hashCode can
+      // 64-bit md5 prefix of the corpus dir: a 32-bit String.hashCode can
       // collide across dirs in one JVM and silently serve the wrong
       // corpus's bucket tables
       val t = java.security.MessageDigest.getInstance("MD5")

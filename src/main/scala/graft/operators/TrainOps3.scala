@@ -191,7 +191,8 @@ object TrainOps3 {
   // ann_quantized scheme — floor(x·1e6) int64 terms, drift-free, so
   // the FULL graph hash-matches DuckDB. Scale: block-local quadratic
   // with a HARD CAP — a label block past KNN_BLOCK_CAP vectors is
-  // deterministically sub-split (vec_id mod ⌈size/cap⌉, mirrored in
+  // deterministically sub-split (md5(vec_id) mod ⌈size/cap⌉ — a hash,
+  // so strided id allocations cannot collapse the split — mirrored in
   // the oracle), so per-block work is bounded regardless of corpus
   // size: the standard capped-blocking trade (bounded work, neighbors
   // confined to the sub-block) every production kNN-graph build
@@ -200,6 +201,21 @@ object TrainOps3 {
   // operator, so the shuffle carries ≤5 rows per vector; the mutual
   // check is a self-join of the already-k-bounded edge list.
   val KNN_BLOCK_CAP = 512
+
+  /** Oversized-block sub-split key: md5-derived hash of vec_id, not
+    * the raw id — stride- or residue-allocated ids would collapse a
+    * raw modulo into one class and defeat the cap (the same
+    * degeneracy the jaccard level-2 split guards against). md5 keeps
+    * the DuckDB oracle bit-mirrorable.
+    */
+  private def idSub(lsz: Column): Column =
+    pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      ceil(lsz / KNN_BLOCK_CAP))
+
+  /** The SQL mirror of [[idSub]]. */
+  private val idSubSql: String =
+    s"CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % CAST(ceil(lsz / $KNN_BLOCK_CAP.0) AS BIGINT)"
+
   val knnGraph: Q = (s, d) => {
     def quant(c: Column): Column = transform(c, x => floor(x * 1e6).cast("long"))
     val sizes = Tables.embeddings(s, d).groupBy(col("label"))
@@ -207,7 +223,7 @@ object TrainOps3 {
     val v = Tables.embeddings(s, d)
       .join(broadcast(sizes), "label")
       .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"),
-        pmod(col("vec_id"), ceil(col("lsz") / KNN_BLOCK_CAP)).as("sub"))
+        idSub(col("lsz")).as("sub"))
     val pairs = v.as("a").join(v.as("b"),
         col("a.label") === col("b.label") && col("a.sub") === col("b.sub") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -231,7 +247,7 @@ object TrainOps3 {
     s"""WITH sz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY label),
       |v AS (SELECT vec_id, e.label,
       |        [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS qv,
-      |        vec_id % CAST(ceil(lsz / $KNN_BLOCK_CAP.0) AS BIGINT) AS sub
+      |        $idSubSql AS sub
       |      FROM embeddings e JOIN sz ON e.label = sz.label),
       |pairs AS (
       |  SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
@@ -401,7 +417,7 @@ object TrainOps3 {
       .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
         col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"),
-        col("n_chars"), pmod(col("vec_id"), ceil(col("lsz") / KNN_BLOCK_CAP)).as("sub"))
+        col("n_chars"), idSub(col("lsz")).as("sub"))
     val dominated = v.as("a").join(v.as("b"),
         col("a.label") === col("b.label") && col("a.sub") === col("b.sub") &&
           col("a.vec_id") =!= col("b.vec_id") &&
