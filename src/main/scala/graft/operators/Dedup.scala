@@ -71,11 +71,6 @@ object Dedup {
     */
   def bandedIndex(docs: DataFrame): DataFrame = banded(signaturesOf(docs))
 
-  private def signatures(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sig", Expr.minhashSignature(col("sh"), K))
-
   /** LSH banding: (band_idx, hash of the band's signature slice). */
   private[graft] def banded(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
@@ -93,11 +88,14 @@ object Dedup {
   // with est_jaccard 1.0 (identical signatures agree 64/64 by
   // definition); cross-signature candidates band-join and score over
   // DISTINCT signatures only. Same transitive closure, linear rows.
-  val dedupMinhash: Q = (s, d) => {
+  val dedupMinhash: Q = (s, d) => minhashPairsOf(Tables.documents(s, d))
+
+  /** The dedup_minhash pair plan over any (doc_id, text) frame. */
+  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
     // cache, not checkpoint: CacheManager matches the canonicalized
     // plan, so repeated executions in a session (and the multiple
     // reads within this query) reuse one materialization
-    val sigs = cached(signatures(s, d).select(col("doc_id"), col("sig")))
+    val sigs = cached(signaturesOf(docs))
     val reps = cached(sigs.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt")))
     val repSigs = reps.select(col("rep").as("doc_id"), col("sig"))

@@ -108,6 +108,24 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches(blocking = true)
   }
 
+  test("dedup_simhash_exact scan prunes to doc_id and text") {
+    val plan = SparkEntry.queries("dedup_simhash_exact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // lang / n_chars / source must never reach the parquet scan
+    assert(!plan.contains("n_chars") && !plan.contains("source"),
+      s"unpruned documents columns in scan:\n${plan.take(1200)}")
+    graft.operators.Dedup.releaseCaches(blocking = true)
+  }
+
+  test("text_fingerprint_exact is a pure per-row projection up to the sort") {
+    val physical = SparkEntry.queries("text_fingerprint_exact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?i)exchange".r.findAllIn(physical).length
+    assert(exchanges <= 1,
+      s"per-row fingerprint must not shuffle before the final sort:\n${physical.take(1200)}")
+    assert(physical.contains("md5_poly_fingerprint"), "kernel missing from plan")
+  }
+
   test("text_entropy plan is shuffle-free up to the final sort") {
     val physical = SparkEntry.queries("text_entropy")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -51,6 +51,10 @@ object StressBench {
           graft.functions.Expr.simhash64(split(col("text"), " ")).as("sim"))).count()
       }
       graft.Caches.release(blocking = true)
+      time(s"$tag dedup_minhash (sig-collapse)") {
+        Dedup.minhashPairsOf(docs).count()
+      }
+      graft.Caches.release(blocking = true)
       time(s"$tag dedup_jaccard_block") {
         Dedup.jaccardBlockPairs(docs).count()
       }
