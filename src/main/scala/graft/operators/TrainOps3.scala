@@ -208,12 +208,12 @@ object TrainOps3 {
     * degeneracy the jaccard level-2 split guards against). md5 keeps
     * the DuckDB oracle bit-mirrorable.
     */
-  private def idSub(lsz: Column): Column =
+  private[graft] def idSub(lsz: Column): Column =
     pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long"),
       ceil(lsz / KNN_BLOCK_CAP))
 
   /** The SQL mirror of [[idSub]]. */
-  private val idSubSql: String =
+  private[graft] val idSubSql: String =
     s"CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % CAST(ceil(lsz / $KNN_BLOCK_CAP.0) AS BIGINT)"
 
   val knnGraph: Q = (s, d) => {
@@ -438,7 +438,7 @@ object TrainOps3 {
     s"""WITH sz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY label),
       |v AS (SELECT vec_id, e.label,
       |        [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS qv,
-      |        n_chars, vec_id % CAST(ceil(lsz / $KNN_BLOCK_CAP.0) AS BIGINT) AS sub
+      |        n_chars, $idSubSql AS sub
       |      FROM embeddings e JOIN sz ON e.label = sz.label
       |        JOIN documents d ON e.vec_id = d.doc_id),
       |dom AS (
@@ -461,11 +461,16 @@ object TrainOps3 {
   // drift-free numbers that flag dead dimensions, scale drift, or a
   // mis-normalized batch. One posexplode + one aggregation by
   // dimension id (64 groups — trivially parallel at any corpus size).
-  // sum_sq aggregates AND lands as DECIMAL(38,0): q²≤1e12, so a
-  // LongType sum (or a final down-cast to long) silently wraps once a
+  // sum_sq AGGREGATES in DECIMAL(38,0): q²≤1e12, so a LongType sum
+  // (or a down-cast to long mid-pipeline) silently wraps once a
   // dimension sees ~9.2M vectors — exactly the scale this targets —
-  // while the DuckDB oracle sums in HUGEINT. Both engines emit the
-  // exact decimal, so the gate compares the true value at any size.
+  // while the DuckDB oracle sums in HUGEINT. The EMITTED column is
+  // double, not decimal: the driver's gate hashes typed values, and
+  // Spark's parquet decimal128 vs DuckDB's HUGEINT/DECIMAL
+  // materialization hash-differ even when every value is identical
+  // (the r5 red row). Both engines round the same exact integer
+  // through the same IEEE-754 conversion, so the double hashes match
+  // at any corpus size and the aggregation itself never wraps.
   val embedDimStats: Q = (s, d) => {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     Tables.embeddings(s, d)
@@ -474,7 +479,7 @@ object TrainOps3 {
         floor(col("x") * 1e6).cast("long").as("q"))
       .groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
-        sum((col("q") * col("q")).cast(dec)).cast(dec).as("sum_sq"),
+        sum((col("q") * col("q")).cast(dec)).cast("double").as("sum_sq"),
         min(col("q")).as("min_q"), max(col("q")).as("max_q"))
       .orderBy(col("dim"))
   }
@@ -486,7 +491,7 @@ object TrainOps3 {
       |  FROM embeddings, range(1, 65) t(i))
       |SELECT dim, COUNT(*) AS n,
       |  CAST(SUM(q) AS BIGINT) AS sum_q,
-      |  CAST(SUM(q * q) AS DECIMAL(38,0)) AS sum_sq,
+      |  CAST(SUM(q * q) AS DOUBLE) AS sum_sq,
       |  min(q) AS min_q, max(q) AS max_q
       |FROM x GROUP BY dim ORDER BY dim""".stripMargin
 

@@ -93,9 +93,10 @@ class TrainOps3Spec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getLong(1) == n)
       assert(r.getLong(4) >= -1000000L && r.getLong(5) <= 1000000L)
-      // sum_sq lands as DECIMAL(38,0) so it can't wrap at scale
-      val sumSq = BigDecimal(r.getDecimal(3))
-      assert(sumSq >= 0 && sumSq <= BigDecimal(n) * BigDecimal(1000000000000L))
+      // sum_sq aggregates in DECIMAL(38,0) (no wrap) but EMITS double
+      // so the typed hash matches DuckDB's materialization
+      val sumSq = r.getDouble(3)
+      assert(sumSq >= 0 && sumSq <= n.toDouble * 1e12)
     }
   }
 
@@ -114,6 +115,39 @@ class TrainOps3Spec extends AnyFunSuite {
       assert(r.getLong(2) >= TrainOps3.SEMANTIC_THRESH)
       assert(droppedBy.get(keep) != Some(doc), "no two-cycle: keeper not dropped by its doc")
     }
+  }
+
+  test("knn/semantic oracle SQL mirrors the md5-hashed sub-split key") {
+    // ADVICE r5 (high): dedup_semantic_keep's oracle kept a raw
+    // `vec_id % ceil(...)` split after the Spark side moved to the
+    // md5-hashed key — engine and oracle then disagree on (label, sub)
+    // blocks exactly when a label exceeds KNN_BLOCK_CAP. Lock both
+    // oracles to the shared idSubSql helper so the drift is structural
+    // (a future edit to one side fails here, not at the driver gate).
+    Seq("knn_graph", "dedup_semantic_keep").foreach { k =>
+      val sql = SparkEntry.oracleSql(k)
+      assert(sql.contains(TrainOps3.idSubSql),
+        s"$k oracle SQL does not embed the md5-hashed idSubSql split")
+      assert(!sql.contains("vec_id % CAST(ceil"),
+        s"$k oracle SQL still splits on the raw vec_id modulo")
+    }
+  }
+
+  test("idSub bounds a >512-vector label with STRIDED ids (raw modulo would collapse)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 2000 same-label vectors with ids strided by 16: a raw
+    // vec_id % 4 puts all of them in one residue class; the md5 key
+    // must spread them across all 4 sub-blocks with multinomial
+    // balance (mean 500, cap-adjacent max)
+    val ids = (0 until 2000).map(_.toLong * 16)
+    val subs = ids.toDF("vec_id").withColumn("lsz", lit(2000L))
+      .withColumn("sub", TrainOps3.idSub(col("lsz")))
+      .groupBy(col("sub")).agg(count(lit(1)).as("sz")).collect()
+    assert(subs.length == 4, s"expected 4 sub-blocks, got ${subs.length}")
+    val mx = subs.map(_.getLong(1)).max
+    assert(mx <= (TrainOps3.KNN_BLOCK_CAP * 1.25).toLong,
+      s"hash split degenerated: max sub-block $mx")
   }
 
   test("knn_graph: 5 in-label edges per vector via TopKPerGroup; mutuality is symmetric") {
