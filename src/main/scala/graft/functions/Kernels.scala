@@ -214,6 +214,63 @@ object Kernels {
     out
   }
 
+  /** 2^61 - 1, the Mersenne prime the md5-minhash slot hashes live in:
+    * mod-P reduction is two shift-adds, and every intermediate of
+    * (a·h + b) mod P fits a 127-bit signed product — so DuckDB
+    * reproduces the exact value in HUGEINT arithmetic.
+    */
+  private val MH_P = 2305843009213693951L
+
+  private def mod61(x: Long): Long = {
+    val r = (x & MH_P) + (x >>> 61)
+    if (r >= MH_P) r - MH_P else r
+  }
+
+  /** (a·h) mod (2^61-1), exact, via the unsigned 128-bit product.
+    * Callers keep a < 2^38 and h < 2^60, so the signed/unsigned
+    * distinction never bites (product < 2^98).
+    */
+  private def mulmod61(a: Long, h: Long): Long = {
+    val hi = Math.multiplyHigh(a, h)
+    val lo = a * h
+    // x = hi·2^64 + lo and 2^64 ≡ 8 (mod P)
+    mod61(mod61(hi) * 8 + mod61(lo))
+  }
+
+  /** K-slot md5 minhash signature — the oracle-reproducible twin of
+    * [[minhash]]. Each element hashes ONCE to its top 60 md5 bits
+    * (15 hex chars — DuckDB: CAST(concat('0x', substr(md5(g),1,15))
+    * AS BIGINT)); slot i takes the min over elements of the universal
+    * hash ((i+1)·2654435761 · h + i·40503 + 2166136261) mod (2^61-1),
+    * which DuckDB evaluates exactly in HUGEINT. One md5 per element
+    * regardless of k, like the Kirsch–Mitzenmacher xxhash64 kernel.
+    * Signature of the empty set is Long.MaxValue everywhere.
+    */
+  def md5MinhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val md = md5Digest.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      md.reset()
+      val dig = md.digest(s.getBytes)
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (dig(j) & 0xffL); j += 1 }
+      v >>>= 4 // first 15 hex chars = top 60 bits
+      j = 0
+      while (j < k) {
+        val a = (j + 1).toLong * 2654435761L
+        val b = j.toLong * 40503L + 2166136261L
+        val x = mod61(mulmod61(a, v) + b)
+        if (x < mins(j)) mins(j) = x
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   def rollingHash(arr: ArrayData): Long = {
     var acc = 1469598103934665603L // FNV offset basis
     var i = 0

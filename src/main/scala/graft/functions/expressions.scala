@@ -166,6 +166,22 @@ object Expr {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** K-slot md5 minhash signature — the oracle-reproducible twin of
+    * MinHashSignature (see Kernels.md5MinhashSig for the DuckDB
+    * arithmetic contract).
+    */
+  case class Md5MinhashSig(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k > 0 && k <= 512, s"md5 minhash k out of range: $k")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "md5_minhash_sig"
+    override def nullSafeEval(v: Any): Any =
+      Kernels.md5MinhashSig(v.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"$K.md5MinhashSig($a, $k)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** md5-Horner fingerprint in mod-(2^31-1) arithmetic — the oracle-
     * reproducible twin of RollingHash (see Kernels.md5PolyFingerprint).
     */
@@ -233,6 +249,7 @@ object Expr {
   def rollingHash(tokens: Column): Column = c(RollingHash(e(tokens)))
   def md5PolyFingerprint(tokens: Column): Column = c(Md5PolyFingerprint(e(tokens)))
   def md5Simhash60(tokens: Column): Column = c(Md5Simhash60(e(tokens)))
+  def md5MinhashSig(tokens: Column, k: Int): Column = c(Md5MinhashSig(e(tokens), k))
   def hyperplaneBucket(vec: Column, planes: Array[Array[Float]]): Column = {
     val dim = planes.head.length
     c(HyperplaneBucket(e(vec), planes.flatten, dim))

@@ -71,11 +71,18 @@ object Dedup {
     */
   def bandedIndex(docs: DataFrame): DataFrame = banded(signaturesOf(docs))
 
-  /** LSH banding: (band_idx, hash of the band's signature slice). */
+  /** LSH banding: (band_idx, the band's raw signature slice). The key
+    * is the 4-long slice itself, not a 32-bit hash of it: a murmur
+    * collision between different slices would emit a spurious
+    * candidate pair (dedup_minhash has no post-filter), and the exact
+    * twin's DuckDB oracle could never reproduce engine-internal
+    * murmur. Slices band-join over DISTINCT signatures only, so the
+    * wider key costs nothing material.
+    */
   private[graft] def banded(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(BANDS - 1)),
-          b => hash(slice(col("sig"), b * ROWS + 1, lit(ROWS))))))
+          b => slice(col("sig"), b * ROWS + 1, lit(ROWS)))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
 
@@ -91,11 +98,19 @@ object Dedup {
   val dedupMinhash: Q = (s, d) => minhashPairsOf(Tables.documents(s, d))
 
   /** The dedup_minhash pair plan over any (doc_id, text) frame. */
-  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
+  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame =
+    minhashPairsFromSigs(signaturesOf(docs))
+
+  /** Collapse/band/star pair plan over any (doc_id, sig) frame —
+    * shared verbatim by dedup_minhash (xxhash64 signatures) and
+    * dedup_minhash_exact (md5 mod-(2^61-1) signatures), so the
+    * oracle anchor on the exact twin covers the machinery both ride.
+    */
+  private[graft] def minhashPairsFromSigs(sigFrame: DataFrame): DataFrame = {
     // cache, not checkpoint: CacheManager matches the canonicalized
     // plan, so repeated executions in a session (and the multiple
     // reads within this query) reuse one materialization
-    val sigs = cached(signaturesOf(docs))
+    val sigs = cached(sigFrame)
     val reps = cached(sigs.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt")))
     val repSigs = reps.select(col("rep").as("doc_id"), col("sig"))
@@ -133,6 +148,53 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  // --- dedup_minhash_exact: md5 minhash twin under the hash gate -----
+  // The SAME collapse/banding/star plan as dedup_minhash, but the
+  // signature slots are universal hashes over each shingle's first 60
+  // md5 bits in mod-(2^61-1) arithmetic — computable bit-for-bit in
+  // DuckDB (HUGEINT products, list MIN per slot) — so the banding
+  // machinery that dedup_minhash, dedup_ngram_jaccard, dedup_cluster
+  // and the streaming dup gate all ride gains an oracle anchor (the
+  // xxhash64 variant stays rows-only by nature).
+  val dedupMinhashExact: Q = (s, d) => minhashPairsFromSigs(
+    Tables.documents(s, d).select(col("doc_id"),
+      Expr.md5MinhashSig(shingles(col("text")), K).as("sig")))
+
+  val dedupMinhashExactSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |           ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)]
+      |           END) AS s
+      |       FROM tk),
+      |hv AS (SELECT doc_id,
+      |         CAST(concat('0x', substr(md5(unnest(s)), 1, 15)) AS BIGINT) AS h
+      |       FROM sh),
+      |slot AS (SELECT doc_id, i,
+      |           CAST((CAST(i + 1 AS HUGEINT) * 2654435761 * h
+      |                 + (i * 40503 + 2166136261)) % 2305843009213693951
+      |                AS BIGINT) AS v
+      |         FROM hv CROSS JOIN (SELECT unnest(range(0, $K)) AS i) ii),
+      |ms AS (SELECT doc_id, i, MIN(v) AS mv FROM slot GROUP BY doc_id, i),
+      |sg AS (SELECT doc_id, list(mv ORDER BY i) AS sig FROM ms GROUP BY doc_id),
+      |reps AS (SELECT sig, MIN(doc_id) AS rep, COUNT(*) AS cnt FROM sg GROUP BY sig),
+      |bd AS (SELECT rep, sig, b, list_slice(sig, b * $ROWS + 1, b * $ROWS + $ROWS) AS bh
+      |       FROM reps CROSS JOIN (SELECT unnest(range(0, $BANDS)) AS b) bb),
+      |cand AS (SELECT DISTINCT x.rep AS ra, y.rep AS rb
+      |         FROM bd x JOIN bd y ON x.b = y.b AND x.bh = y.bh AND x.rep < y.rep),
+      |crossp AS (SELECT c.ra AS doc_a, c.rb AS doc_b,
+      |             CAST(len([i FOR i IN range(1, $K + 1)
+      |                       IF sa.sig[i] = sb.sig[i]]) AS DOUBLE) / $K AS est_jaccard
+      |           FROM cand c JOIN reps sa ON c.ra = sa.rep
+      |                       JOIN reps sb ON c.rb = sb.rep),
+      |star AS (SELECT r.rep AS doc_a, s.doc_id AS doc_b,
+      |           CAST(1.0 AS DOUBLE) AS est_jaccard
+      |         FROM sg s JOIN reps r ON s.sig = r.sig
+      |         WHERE r.cnt > 1 AND s.doc_id <> r.rep)
+      |SELECT doc_a, doc_b, est_jaccard
+      |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM star) u
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- dedup_simhash: 64-bit simhash, chunk-bucketed hamming ---------
   private val CHUNKS = 4 // hamming ≤ 3 × 16 guaranteed caught; wider via threshold
@@ -617,6 +679,7 @@ object Dedup {
     "dedup_jaccard_block" -> dedupJaccardBlock,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_exact" -> dedupMinhashExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_exact" -> dedupSimhashExact,
@@ -630,5 +693,6 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_cluster_exact" -> dedupClusterExactSql,
     "dedup_simhash_exact" -> dedupSimhashExactSql,
+    "dedup_minhash_exact" -> dedupMinhashExactSql,
     "dedup_jaccard_block" -> dedupJaccardBlockSql)
 }

@@ -108,6 +108,61 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseCaches(blocking = true)
   }
 
+  test("md5 minhash kernel matches an independent BigInt reimplementation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val texts = Seq("alpha beta gamma delta epsilon", "a b", "", "x y z w")
+    val got = texts.toDF("text")
+      .select(Expr.md5MinhashSig(Expr.trigramShingles(col("text")), 64).as("sig"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val P = BigInt("2305843009213693951") // 2^61 - 1
+    def shinglesOf(s: String): Seq[String] = {
+      val w = s.split(" ", -1)
+      (if (w.length < 3) Seq(w.mkString(" "))
+       else w.sliding(3).map(_.mkString(" ")).toSeq).distinct
+    }
+    val want = texts.map { s =>
+      val hs = shinglesOf(s).map { g =>
+        val dig = java.security.MessageDigest.getInstance("MD5").digest(g.getBytes)
+        BigInt(1, dig.take(8)) >> 4 // top 60 bits = first 15 hex chars
+      }
+      (0 until 64).map { i =>
+        val a = BigInt(i + 1) * BigInt(2654435761L)
+        val b = BigInt(i) * 40503 + BigInt(2166136261L)
+        hs.map(h => ((a * h + b) mod P).toLong).min
+      }.toArray
+    }
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g.toSeq == w.toSeq, s"signature mismatch on input $i")
+    }
+  }
+
+  test("dedup_minhash_exact stars identical docs and gates like the xxhash plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mhex").toString
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (4L, base.replace("tok50", "CHANGED")),
+      (5L, "an entirely different document about unrelated topics written here today"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.dedupMinhashExact(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("est_jaccard")))
+    // identical docs 2,3 star at representative 1 with est 1.0
+    assert(rows.count(p => p._1 == 1L && (p._2 == 2L || p._2 == 3L) && p._3 == 1.0) == 2,
+      s"identical docs must star at doc 1: ${rows.mkString(",")}")
+    assert(!rows.exists(p => p._1 == 2L && p._2 == 3L),
+      "member-member pair must be elided (closure via the star)")
+    // the one-token-changed near-dup bands with the representative
+    assert(rows.exists(p => p._1 == 1L && p._2 == 4L && p._3 > 0.5),
+      s"near-dup must surface via banding: ${rows.mkString(",")}")
+    assert(!rows.exists(p => p._2 == 5L || p._1 == 5L),
+      "unrelated doc must not pair")
+    Dedup.releaseCaches(blocking = true)
+  }
+
   test("dedup_minhash finds a planted near-duplicate pair") {
     val spark2 = spark
     import spark2.implicits._
