@@ -46,6 +46,41 @@ class EtlOps2Spec extends AnyFunSuite {
     }
   }
 
+  test("review payload: mapping, confidence fallback chain, methods vote, source ref") {
+    // sf0.01: parts (2000) outnumber documents (500), so the
+    // no-assembled-table fallback branch actually fires
+    val rows = EtlOps2.etlReviewPayload(spark, "/root/testdata/sf0.01").collect()
+    val params = rows.map(_.getAs[String]("param")).toSet
+    assert(params == Set("v_in_min", "v_in_typ", "v_in_max", "i_out_max"),
+      s"PARAM_MAPPING must rename every synthetic param: $params")
+    val tableConf = Set(0.9, 0.6)
+    rows.foreach { r =>
+      val (doc, conf) = (r.getAs[Long]("doc"), r.getAs[Double]("confidence"))
+      val src = r.getAs[String]("source_ref")
+      if (src == "unknown")
+        // no assembled table -> the doc's field-verify confidence
+        assert(!tableConf.contains(conf) || conf <= 1.0)
+      else {
+        assert(src == s"page_1_table_p${doc}_${doc % 3}", s"bad source ref $src")
+        assert(tableConf.contains(conf), s"doc $doc with a table must use its confidence")
+      }
+      assert(r.getAs[Boolean]("needs_review") == (conf < 0.95))
+      val vb = r.getAs[String]("verified_by")
+      val want = (doc % 4) match {
+        case 0 => "vision,pdfplumber" // vision_double_verified
+        case 1 => "rule_based"        // rule_based_v03
+        case 2 => "vision"            // vision_only
+        case _ => "unknown"           // manual_entry
+      }
+      assert(vb == want, s"doc $doc method vote: got $vb want $want")
+      if (r.getAs[String]("param") == "i_out_max")
+        assert(r.getAs[String]("unit") == "", "unitless param must carry ''")
+    }
+    // both needs_review branches must be exercised on this corpus
+    assert(rows.exists(_.getAs[Boolean]("needs_review")))
+    assert(rows.exists(!_.getAs[Boolean]("needs_review")))
+  }
+
   test("category inference covers all four branches with correct precedence") {
     // sf0.001's retailprice range never trips the efficiency rule; the
     // four-branch coverage check needs the sf0.01 part table
