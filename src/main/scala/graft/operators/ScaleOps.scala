@@ -239,7 +239,8 @@ object ScaleOps {
   // — write-once index discipline like ann_ivf_index — and the oracle
   // is the plain parquet join: bucketing must be invisible in the
   // result, which the hash gate proves.
-  private val bucketTables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private case class BucketEntry(tag: String, fingerprint: String)
+  private val bucketTables = new java.util.concurrent.ConcurrentHashMap[String, BucketEntry]()
 
   /** Drop the managed table AND its warehouse directory: a previous
     * JVM's warehouse leftovers are invisible to this catalog, and
@@ -253,26 +254,90 @@ object ScaleOps {
     if (fs.exists(path)) fs.delete(path, true)
   }
 
+  /** Cheap corpus fingerprint (source-dir mtimes + file counts) so a
+    * corpus regenerated IN PLACE (ScaleData rewrites its target dir)
+    * invalidates the memoized bucket tables instead of silently
+    * serving stale data for the JVM's lifetime.
+    */
+  private def corpusFingerprint(s: SparkSession, d: String): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq("orders.parquet", "lineitem.parquet").map { f =>
+      val p = new org.apache.hadoop.fs.Path(d, f)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) "absent"
+      else {
+        val kids = fs.listStatus(p)
+        val maxM = kids.map(_.getModificationTime).foldLeft(0L)(math.max)
+        s"${kids.length}:$maxM"
+      }
+    }.mkString("|")
+  }
+
+  /** Reap bucket tables whose tag no session-live corpus owns: drop
+    * the catalog entries and delete the warehouse dirs. Previous JVMs
+    * leave their `*_bj_*` dirs behind (the catalog forgets them, the
+    * filesystem doesn't), so without this the warehouse grows one
+    * table pair per (JVM, corpus) forever.
+    */
+  private def reapStaleBucketTables(s: SparkSession): Unit = {
+    val liveTags = {
+      import scala.jdk.CollectionConverters._
+      bucketTables.values.asScala.map(_.tag).toSet
+    }
+    val pat = "^(orders|lineitem)_bj_([0-9a-f]{16})$".r
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val whPath = new org.apache.hadoop.fs.Path(wh)
+    val fs = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(whPath)) fs.listStatus(whPath).foreach { st =>
+      st.getPath.getName match {
+        case pat(_, tag) if !liveTags.contains(tag) =>
+          s.sql(s"DROP TABLE IF EXISTS ${st.getPath.getName}")
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
+
   private[graft] def ensureBucketTables(s: SparkSession, d: String): (String, String) = {
-    val tag = bucketTables.computeIfAbsent(d, _ => {
-      // 64-bit md5 prefix of the corpus dir: a 32-bit String.hashCode can
-      // collide across dirs in one JVM and silently serve the wrong
-      // corpus's bucket tables
-      val t = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .take(8).map(b => f"${b & 0xff}%02x").mkString
-      freshTable(s, s"orders_bj_$t")
-      freshTable(s, s"lineitem_bj_$t")
-      graft.sources.Sources.writeBucketed(
-        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
-        s"orders_bj_$t", "o_orderkey", 8, sortCol = Some("o_orderkey"))
-      graft.sources.Sources.writeBucketed(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
-        s"lineitem_bj_$t", "o_orderkey", 8, sortCol = Some("o_orderkey"))
-      t
-    })
-    (s"lineitem_bj_$tag", s"orders_bj_$tag")
+    val fp = corpusFingerprint(s, d)
+    // an entry only counts as live if the corpus is unchanged AND both
+    // tables still exist in THIS session's catalog (the first builder
+    // may have been a different session sharing the JVM-wide map)
+    def live(e: BucketEntry): Boolean =
+      e != null && e.fingerprint == fp &&
+        s.catalog.tableExists(s"orders_bj_${e.tag}") &&
+        s.catalog.tableExists(s"lineitem_bj_${e.tag}")
+    val cur = bucketTables.get(d)
+    val entry =
+      if (live(cur)) cur
+      else bucketTables.synchronized {
+        val again = bucketTables.get(d)
+        if (live(again)) again
+        else {
+          bucketTables.remove(d)
+          reapStaleBucketTables(s)
+          // 64-bit md5 prefix of (corpus dir, fingerprint): a 32-bit
+          // String.hashCode can collide across dirs in one JVM and
+          // silently serve the wrong corpus's bucket tables; folding
+          // the fingerprint gives a regenerated corpus a fresh tag
+          val t = java.security.MessageDigest.getInstance("MD5")
+            .digest((d + "\u0000" + fp).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .take(8).map(b => f"${b & 0xff}%02x").mkString
+          freshTable(s, s"orders_bj_$t")
+          freshTable(s, s"lineitem_bj_$t")
+          graft.sources.Sources.writeBucketed(
+            Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+            s"orders_bj_$t", "o_orderkey", 8, sortCol = Some("o_orderkey"))
+          graft.sources.Sources.writeBucketed(
+            Tables.lineitem(s, d)
+              .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+            s"lineitem_bj_$t", "o_orderkey", 8, sortCol = Some("o_orderkey"))
+          val e = BucketEntry(t, fp)
+          bucketTables.put(d, e)
+          e
+        }
+      }
+    (s"lineitem_bj_${entry.tag}", s"orders_bj_${entry.tag}")
   }
 
   val qBucketJoin: Q = (s, d) => {
@@ -280,13 +345,16 @@ object ScaleOps {
     s.table(lt).join(s.table(ot), Seq("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast("long")).as("sum_qty"))
+        // floor() before the integral cast on BOTH engines: Spark's
+        // cast truncates toward zero, DuckDB's rounds to nearest —
+        // they agree on TPC-H's integral quantities only by luck
+        sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
       .orderBy(col("o_orderpriority"))
   }
 
   val qBucketJoinSql: String =
     """SELECT o_orderpriority, COUNT(*) AS n_items,
-      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |  CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

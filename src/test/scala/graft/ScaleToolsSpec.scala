@@ -49,6 +49,39 @@ class ScaleToolsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bucket tables: regeneration rebuilds, stale tags reaped, warehouse bounded") {
+    import graft.operators.ScaleOps
+    val dir = java.nio.file.Files.createTempDirectory("bjreap").toString
+    def copyCorpus(): Unit = Seq("orders", "lineitem").foreach { t =>
+      val src = spark.read.parquet(s"$sf/$t.parquet")
+      src.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    def whTags: Set[String] = {
+      val wh = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      val pat = "^(?:orders|lineitem)_bj_([0-9a-f]{16})$".r
+      Option(wh.listFiles()).getOrElse(Array.empty).toSet[java.io.File]
+        .flatMap(f => pat.findFirstMatchIn(f.getName).map(_.group(1)))
+    }
+    copyCorpus()
+    val (lt1, _) = ScaleOps.ensureBucketTables(spark, dir)
+    val tag1 = lt1.split("_bj_")(1)
+    assert(spark.catalog.tableExists(lt1))
+    // memoized: same corpus, same tag
+    assert(ScaleOps.ensureBucketTables(spark, dir)._1 == lt1)
+    Thread.sleep(1100) // mtime resolution guard
+    copyCorpus()       // regenerate in place -> new fingerprint
+    val (lt2, ot2) = ScaleOps.ensureBucketTables(spark, dir)
+    val tag2 = lt2.split("_bj_")(1)
+    assert(tag2 != tag1, "regenerated corpus must get a fresh bucket tag")
+    assert(spark.catalog.tableExists(lt2) && spark.catalog.tableExists(ot2))
+    // the rebuild reaps the stale tag: catalog AND warehouse
+    assert(!spark.catalog.tableExists(s"lineitem_bj_$tag1"))
+    assert(!whTags.contains(tag1), "stale warehouse dirs must be deleted")
+    // bounded: at most one live tag (= 2 tables) per corpus dir
+    assert(whTags.contains(tag2))
+  }
+
   test("bucketed tables join without an exchange") {
     // warehouse dir is a static conf; the default ./spark-warehouse is
     // used and the tables are dropped below
