@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -79,7 +79,12 @@ object Streaming {
   case class Session(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
 
   /** Gap-based session assembly for one user; emits closed sessions.
-    * Works under OutputMode.Append on a stream with event-time timeout.
+    * Works under OutputMode.Append with EventTimeTimeout: every state
+    * update arms a timeout at (last event + gap), so once the
+    * watermark passes a session's gap the state row is EVICTED and
+    * the session emitted — state is bounded by the number of users
+    * active inside one watermark horizon, not by stream lifetime
+    * (StreamingSpec asserts numRowsTotal actually drops).
     */
   def sessionizeFn(userId: Long, evs: Iterator[Ev],
       state: GroupState[SessionState]): Iterator[Session] = {
@@ -97,12 +102,56 @@ object Streaming {
           cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
       }
     }
-    cur.foreach(state.update)
     if (state.hasTimedOut) {
+      // watermark passed (last + gap): close and drop the state row
       cur.foreach(st => out += Session(userId, st.start, st.last, st.n.toLong))
       state.remove()
+    } else cur.foreach { st =>
+      state.update(st)
+      // arm the event-time timeout; clamp above the current watermark
+      // (a just-under-the-watermark session must still fire next batch)
+      state.setTimeoutTimestamp(
+        math.max(state.getCurrentWatermarkMs + 1, (st.last + SessionGapMicros) / 1000))
     }
     out.result().iterator
+  }
+
+  /** Streaming sessionization over an events-shaped frame (ts
+    * timestamp, user_id, event_id): watermark bounds lateness, the
+    * event-time timeout in [[sessionizeFn]] bounds STATE — closed
+    * sessions leave the store as the watermark passes them.
+    *
+    * Deployment note (the one streaming-at-scale surface local tests
+    * can't exercise): a production run of this pipeline sets
+    * `spark.sql.streaming.stateStore.providerClass=
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    * so per-executor state lives off-heap/on-disk instead of on the
+    * JVM heap, plus
+    * `spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled=true`
+    * to checkpoint changelogs instead of full snapshots — with
+    * millions of concurrent sessions the HDFS-backed default both
+    * OOMs and stalls checkpoint commits.
+    */
+  /** Ev plus the watermark-tagged timestamp column: event-time
+    * timeout requires the watermarked column itself to reach the
+    * stateful operator's input, so it rides along untouched.
+    */
+  case class EvT(user_id: Long, event_id: Long, tsMicros: Long, ts: java.sql.Timestamp)
+
+  def sessionizeStream(events: DataFrame, watermark: String = "30 minutes"): Dataset[Session] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("ts"))
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (id, evs, st) =>
+          sessionizeFn(id, evs.map(e => Ev(e.user_id, e.event_id, e.tsMicros)), st)
+      }
   }
 
   /** Batch-declarative sessionization (same 30-min-gap semantics as the

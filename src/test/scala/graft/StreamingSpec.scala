@@ -120,28 +120,59 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stateful sessionizer closes sessions on gap") {
-    import Streaming.{Ev, Session, SessionState}
+    import Streaming.Session
     val spark2 = spark
     import spark2.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Ev]
-    val q = mem.toDS()
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(Streaming.sessionizeFn)
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = Streaming.sessionizeStream(mem.toDF().toDF("ts", "user_id", "event_id"))
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("sess").start()
+    val ts = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
     try {
       // two bursts 2h apart → first session closes when second arrives
-      mem.addData(Ev(7L, 1L, microsOf(10, 0)), Ev(7L, 2L, microsOf(10, 10)))
+      mem.addData((ts(10, 0), 7L, 1L), (ts(10, 10), 7L, 2L))
       q.processAllAvailable()
-      mem.addData(Ev(7L, 3L, microsOf(12, 30)))
+      mem.addData((ts(12, 30), 7L, 3L))
       q.processAllAvailable()
       val sessions = spark.table("sess").as[Session].collect()
       assert(sessions.length == 1, s"expected 1 closed session, got ${sessions.toSeq}")
       assert(sessions(0).n_events == 2L)
-      assert(sessions(0).session_start == microsOf(10, 0))
-      assert(sessions(0).session_end == microsOf(10, 10))
+      val us = (h: Int, m: Int) => ts(h, m).getTime * 1000L
+      assert(sessions(0).session_start == us(10, 0))
+      assert(sessions(0).session_end == us(10, 10))
+    } finally q.stop()
+  }
+
+  test("sessionizer state rows are EVICTED once the watermark passes the gap") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = Streaming.sessionizeStream(mem.toDF().toDF("ts", "user_id", "event_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_evict").start()
+    val ts = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def stateRows: Long = {
+      val p = q.lastProgress
+      if (p == null || p.stateOperators.isEmpty) -1L else p.stateOperators.head.numRowsTotal
+    }
+    try {
+      mem.addData((ts(10, 0), 7L, 1L))
+      q.processAllAvailable()
+      assert(stateRows == 1L, s"user 7's open session must hold one state row, saw $stateRows")
+      // another USER's event advances the watermark to 12:30 at batch end
+      mem.addData((ts(13, 0), 8L, 2L))
+      q.processAllAvailable()
+      // next batch fires user 7's timeout (10:00 + 30min < 12:30):
+      // session emitted AND its state row dropped — only user 8 remains
+      mem.addData((ts(13, 1), 8L, 3L))
+      q.processAllAvailable()
+      assert(stateRows == 1L,
+        s"closed session's state must be evicted under the watermark, saw $stateRows rows")
+      val closed = spark.table("sess_evict").collect()
+      assert(closed.exists(r => r.getAs[Long]("user_id") == 7L &&
+        r.getAs[Long]("n_events") == 1L), s"timed-out session must be emitted: ${closed.toSeq}")
     } finally q.stop()
   }
 
