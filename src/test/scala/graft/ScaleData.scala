@@ -41,8 +41,9 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     mode match {
-      case "scale10" => scale10(spark, srcDir, outDir)
-      case "stress"  => stress(spark, srcDir, outDir)
+      case "scale10"  => scale10(spark, srcDir, outDir)
+      case "scale100" => scale100(spark, srcDir, outDir)
+      case "stress"   => stress(spark, srcDir, outDir)
     }
     spark.stop()
   }
@@ -116,6 +117,35 @@ object ScaleData {
       }
     }, "embeddings")
     println(s"[scaledata] scale10 written to $out")
+  }
+
+  /** ~sf10 relational corpus: 100 key-offset copies of sf0.1's TPC-H
+    * tables ONLY (60M-row lineitem) — the third join-surface scale
+    * point (1x, 10x battery, 100x headline) for BASELINE.md. Corpus
+    * tables are omitted: the dedup/ANN ops have their own 40x
+    * adversarial stress corpus.
+    */
+  def scale100(s: SparkSession, src: String, out: String): Unit = {
+    val copies = 100
+    def w(df: DataFrame, name: String): Unit =
+      df.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
+    val custOff = keyDomain(Tables.customer(s, src), "c_custkey")
+    val suppOff = keyDomain(Tables.supplier(s, src), "s_suppkey")
+    val partOff = keyDomain(Tables.part(s, src), "p_partkey")
+    val ordOff = keyDomain(Tables.orders(s, src), "o_orderkey")
+    w(Tables.region(s, src), "region")
+    w(Tables.nation(s, src), "nation")
+    w(copied(Tables.customer(s, src), Map("c_custkey" -> custOff), copies)(noTweak),
+      "customer")
+    w(copied(Tables.supplier(s, src), Map("s_suppkey" -> suppOff), copies)(noTweak),
+      "supplier")
+    w(copied(Tables.part(s, src), Map("p_partkey" -> partOff), copies)(noTweak), "part")
+    w(copied(Tables.orders(s, src),
+      Map("o_orderkey" -> ordOff, "o_custkey" -> custOff), copies)(noTweak), "orders")
+    w(copied(Tables.lineitem(s, src),
+      Map("l_orderkey" -> ordOff, "l_partkey" -> partOff, "l_suppkey" -> suppOff),
+      copies)(noTweak), "lineitem")
+    println(s"[scaledata] scale100 written to $out")
   }
 
   def stress(s: SparkSession, src: String, out: String): Unit = {
