@@ -248,6 +248,67 @@ object EtlOps2 {
       |SELECT k AS cust, ts AS last_update, seq AS last_order, payload AS state
       |FROM r WHERE rn = 1 AND op = 'U' ORDER BY cust""".stripMargin
 
+  // --- etl_export_csv: union-of-keys CSV flatten ---------------------
+  // batch_export.py:200 export_to_csv — the last reference dataflow
+  // from the r5 "What's missing" list: CSV columns are the base
+  // triple (source_file, confidence, status) plus the SORTED UNION of
+  // parameter keys present across ALL results; every result row gets
+  // every column, absent params as ''. The param frame is the
+  // presence-varying long form etl_infer_category classifies (values
+  // pre-formatted as integral strings — double rendering is the one
+  // thing the two engines would disagree on), the base columns come
+  // from etl_field_verify, and the union-of-keys is a genuine
+  // data-driven pivot: distinct keys are collected (bounded by the
+  // number of parameter KINDS, not rows — the same driver-side
+  // metadata a pivot always materializes) and become the column set.
+  val etlExportCsv: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    val params = p.filter(col("p_size") > 40)
+        .select(col("p_partkey"), lit("switching_frequency_typ").as("param"),
+          (col("p_size") * 10).cast("long").cast("string").as("value"))
+      .unionByName(p.filter(col("p_retailprice") > 970)
+        .select(col("p_partkey"), lit("efficiency_typ").as("param"),
+          lit("0.9").as("value")))
+      .unionByName(p.filter(col("p_brand").startsWith("Brand#1"))
+        .select(col("p_partkey"), lit("quiescent_current_typ").as("param"),
+          (col("p_size") * 3).cast("long").cast("string").as("value")))
+    val keys = params.select(col("param")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val wide = params.groupBy(col("p_partkey").as("doc"))
+      .pivot("param", keys).agg(first(col("value")))
+    EtlOps.etlFieldVerify(s, d).select(col("doc"), col("confidence"), col("status"))
+      .join(wide, Seq("doc"), "left")
+      .select(Seq(concat(lit("P"), col("doc"), lit(".pdf")).as("source_file"),
+        col("confidence"), col("status")) ++
+        keys.map(k => coalesce(col(k), lit("")).as(k)): _*)
+      .orderBy(col("source_file"))
+  }
+
+  val etlExportCsvSql: String =
+    s"""WITH params AS (
+      |  SELECT p_partkey, 'switching_frequency_typ' AS param,
+      |    CAST(CAST(p_size * 10 AS BIGINT) AS VARCHAR) AS value FROM part WHERE p_size > 40
+      |  UNION ALL
+      |  SELECT p_partkey, 'efficiency_typ', '0.9' FROM part WHERE p_retailprice > 970
+      |  UNION ALL
+      |  SELECT p_partkey, 'quiescent_current_typ',
+      |    CAST(CAST(p_size * 3 AS BIGINT) AS VARCHAR)
+      |  FROM part WHERE p_brand LIKE 'Brand#1%'),
+      |wide AS (
+      |  SELECT p_partkey AS doc,
+      |    MIN(CASE WHEN param = 'efficiency_typ' THEN value END) AS efficiency_typ,
+      |    MIN(CASE WHEN param = 'quiescent_current_typ' THEN value END) AS quiescent_current_typ,
+      |    MIN(CASE WHEN param = 'switching_frequency_typ' THEN value END) AS switching_frequency_typ
+      |  FROM params GROUP BY p_partkey),
+      |fv AS (SELECT doc, confidence, status FROM (${EtlOps.etlFieldVerifySql}))
+      |SELECT 'P' || CAST(fv.doc AS VARCHAR) || '.pdf' AS source_file,
+      |  confidence, status,
+      |  coalesce(efficiency_typ, '') AS efficiency_typ,
+      |  coalesce(quiescent_current_typ, '') AS quiescent_current_typ,
+      |  coalesce(switching_frequency_typ, '') AS switching_frequency_typ
+      |FROM fv LEFT JOIN wide ON fv.doc = wide.doc
+      |ORDER BY source_file""".stripMargin
+
   // --- etl_review_payload: per-param Review-UI payload enrichment ----
   // review_adapter.py:56-96 convert_etl_to_review_format with its
   // three helpers — the one reference dataflow r5's judge flagged as
@@ -343,12 +404,14 @@ object EtlOps2 {
     "etl_header_merge" -> etlHeaderMerge,
     "etl_footnote_link" -> etlFootnoteLink,
     "etl_merge_upsert" -> etlMergeUpsert,
-    "etl_review_payload" -> etlReviewPayload)
+    "etl_review_payload" -> etlReviewPayload,
+    "etl_export_csv" -> etlExportCsv)
   val oracles: Map[String, String] = Map(
     "etl_infer_category" -> etlInferCategorySql,
     "etl_category_header" -> etlCategoryHeaderSql,
     "etl_header_merge" -> etlHeaderMergeSql,
     "etl_footnote_link" -> etlFootnoteLinkSql,
     "etl_merge_upsert" -> etlMergeUpsertSql,
-    "etl_review_payload" -> etlReviewPayloadSql)
+    "etl_review_payload" -> etlReviewPayloadSql,
+    "etl_export_csv" -> etlExportCsvSql)
 }

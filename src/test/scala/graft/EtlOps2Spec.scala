@@ -81,6 +81,32 @@ class EtlOps2Spec extends AnyFunSuite {
     assert(rows.exists(!_.getAs[Boolean]("needs_review")))
   }
 
+  test("export csv: union-of-keys columns, absent params as empty string") {
+    val df = EtlOps2.etlExportCsv(spark, sf)
+    // the key union is DATA-DRIVEN: sf0.001 trips no efficiency rule,
+    // so that column must not exist there; derive expectation from data
+    val p = Tables.part(spark, sf)
+    val expected = Seq(
+      "efficiency_typ" -> (p.filter(col("p_retailprice") > 970).count() > 0),
+      "quiescent_current_typ" -> (p.filter(col("p_brand").startsWith("Brand#1")).count() > 0),
+      "switching_frequency_typ" -> (p.filter(col("p_size") > 40).count() > 0)
+    ).collect { case (k, true) => k }
+    assert(df.columns.toSeq == Seq("source_file", "confidence", "status") ++ expected,
+      s"columns must be base + sorted key union: ${df.columns.toSeq}")
+    // at the gate corpus all three keys exist
+    assert(EtlOps2.etlExportCsv(spark, "/root/testdata/sf0.01").columns.length == 6)
+    val rows = df.collect()
+    assert(rows.length == Tables.part(spark, sf).count(),
+      "every result gets a row, params or not")
+    rows.foreach { r =>
+      val sw = r.getAs[String]("switching_frequency_typ")
+      assert(sw == "" || sw.toLong % 10 == 0, s"sw value shape: $sw")
+    }
+    // both presence states must occur for at least one key
+    assert(rows.exists(_.getAs[String]("switching_frequency_typ") == ""))
+    assert(rows.exists(_.getAs[String]("switching_frequency_typ") != ""))
+  }
+
   test("category inference covers all four branches with correct precedence") {
     // sf0.001's retailprice range never trips the efficiency rule; the
     // four-branch coverage check needs the sf0.01 part table
