@@ -72,15 +72,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val spark2 = spark
     import spark2.implicits._
     // 2000 same-label vectors: uncapped would self-join 2000² = 4M pairs;
-    // the 512-cap must split into ≥4 sub-blocks
+    // the 512-cap must split into ≥4 sub-blocks. Uses the PRODUCTION
+    // idSub key (md5 hash — a multinomial split, so the bound is
+    // cap + slack, not the exact-equal partition a raw modulo gives)
     val sizes = Tables.embeddings(spark, sf)
       .groupBy(col("label")).agg(count(lit(1)).as("lsz"))
     val maxBlock = Tables.embeddings(spark, sf).join(broadcast(sizes), "label")
-      .select(col("label"), pmod(col("vec_id"),
-        ceil(col("lsz") / graft.operators.TrainOps3.KNN_BLOCK_CAP)).as("sub"))
+      .select(col("label"),
+        graft.operators.TrainOps3.idSub(col("lsz")).as("sub"))
       .groupBy(col("label"), col("sub")).agg(count(lit(1)).as("sz"))
       .agg(max(col("sz"))).first().getLong(0)
-    assert(maxBlock <= graft.operators.TrainOps3.KNN_BLOCK_CAP,
+    assert(maxBlock <= (graft.operators.TrainOps3.KNN_BLOCK_CAP * 1.25).toLong,
       s"sub-split failed: block of $maxBlock")
   }
 
@@ -95,6 +97,16 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("collect_list"),
       s"identical-hash groups must be rep→member stars, not array cliques:\n${plan.take(1200)}")
+    graft.operators.Dedup.releaseCaches(blocking = true)
+  }
+
+  test("dedup_minhash_exact rides the same kernel-scored collapse/band plan") {
+    val plan = SparkEntry.queries("dedup_minhash_exact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("sig_agree_count") && plan.contains("md5_minhash_sig"),
+      s"exact twin must score with the agreement kernel over md5 signatures:\n${plan.take(1200)}")
+    assert(!plan.toLowerCase.contains("collect_list"),
+      "identical-signature groups must star, not clique")
     graft.operators.Dedup.releaseCaches(blocking = true)
   }
 
