@@ -55,6 +55,12 @@ object StressBench {
         Dedup.minhashPairsOf(docs).count()
       }
       graft.Caches.release(blocking = true)
+      time(s"$tag dedup_minhash_exact (md5 twin)") {
+        Dedup.minhashPairsFromSigs(docs.select(col("doc_id"),
+          graft.functions.Expr.md5MinhashSig(
+            graft.functions.Expr.trigramShingles(col("text")), 64).as("sig"))).count()
+      }
+      graft.Caches.release(blocking = true)
       time(s"$tag dedup_jaccard_block") {
         Dedup.jaccardBlockPairs(docs).count()
       }
