@@ -42,5 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => Expr.SigAgreeCount(es.head, es(1))))
     ext.injectFunction(fn("minhash_signature",
       es => Expr.MinHashSignature(es.head, Expr.minhashK(es(1)))))
+    ext.injectFunction(fn("md5_minhash_sig",
+      es => Expr.Md5MinhashSig(es.head, Expr.minhashK(es(1)))))
   }
 }

@@ -29,5 +29,7 @@ object Registry {
       es => Expr.SigAgreeCount(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
       es => Expr.MinHashSignature(es.head, Expr.minhashK(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_minhash_sig",
+      es => Expr.Md5MinhashSig(es.head, Expr.minhashK(es(1))), "scala_udf")
   }
 }

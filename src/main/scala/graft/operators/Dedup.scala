@@ -149,6 +149,38 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // --- dedup_ngram_jaccard_exact: gated verify of gated candidates ---
+  // The verify stage (exact shingle Jaccard over LSH candidate pairs)
+  // composed over dedup_minhash_exact instead of the xxhash plan —
+  // the whole candidate→verify flow lands under the hash gate (the
+  // xxhash dedup_ngram_jaccard stays rows-only by nature). Division
+  // is int/int in both engines, so the doubles are bit-identical.
+  val dedupNgramJaccardExact: Q = (s, d) => {
+    val sh = Tables.documents(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
+    dedupMinhashExact(s, d)
+      .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  lazy val dedupNgramJaccardExactSql: String =
+    s"""WITH pairs AS (SELECT * FROM ($dedupMinhashExactSql)),
+      |tk2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh2 AS (SELECT doc_id,
+      |         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |           ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)]
+      |           END) AS sset
+      |        FROM tk2)
+      |SELECT p.doc_a, p.doc_b, p.est_jaccard,
+      |  CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+      |  len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
+      |FROM pairs p JOIN sh2 a ON p.doc_a = a.doc_id
+      |             JOIN sh2 b ON p.doc_b = b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // --- dedup_minhash_exact: md5 minhash twin under the hash gate -----
   // The SAME collapse/banding/star plan as dedup_minhash, but the
   // signature slots are universal hashes over each shingle's first 60
@@ -680,6 +712,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_exact" -> dedupMinhashExact,
+    "dedup_ngram_jaccard_exact" -> dedupNgramJaccardExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_exact" -> dedupSimhashExact,
@@ -694,5 +727,6 @@ object Dedup {
     "dedup_cluster_exact" -> dedupClusterExactSql,
     "dedup_simhash_exact" -> dedupSimhashExactSql,
     "dedup_minhash_exact" -> dedupMinhashExactSql,
+    "dedup_ngram_jaccard_exact" -> dedupNgramJaccardExactSql,
     "dedup_jaccard_block" -> dedupJaccardBlockSql)
 }

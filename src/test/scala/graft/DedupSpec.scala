@@ -163,6 +163,25 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseCaches(blocking = true)
   }
 
+  test("dedup_ngram_jaccard_exact verifies exactly the exact-twin candidate pairs") {
+    val cand = Dedup.dedupMinhashExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Dedup.dedupNgramJaccardExact(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == cand,
+      "verify stage must keep the candidate set 1:1")
+    rows.foreach { r =>
+      val j = r.getDouble(3)
+      assert(j >= 0.0 && j <= 1.0, s"jaccard out of range: $j")
+    }
+    // signature-identical pairs are near-dups, not necessarily exact:
+    // a changed shingle that never wins a slot min leaves the whole
+    // signature intact — assert they sit in the near-dup band instead
+    val star = rows.filter(_.getDouble(2) == 1.0)
+    assert(star.nonEmpty && star.forall(_.getDouble(3) >= 0.5),
+      s"sig-identical pairs must verify as near-dups: ${star.map(_.getDouble(3)).mkString(",")}")
+    Dedup.releaseCaches(blocking = true)
+  }
+
   test("dedup_minhash finds a planted near-duplicate pair") {
     val spark2 = spark
     import spark2.implicits._

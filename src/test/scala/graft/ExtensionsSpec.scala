@@ -37,6 +37,9 @@ class ExtensionsSpec extends AnyFunSuite {
 
       // k accepts any foldable integral (BIGINT literal, folded tree);
       // a non-foldable k is a clear analysis error, not a CCE/NPE
+      // md5 minhash twin resolves with the same k hardening
+      assert(s2.sql("SELECT size(md5_minhash_sig(array('a', 'b'), 16)) AS n")
+        .collect()(0).getInt(0) == 16)
       assert(s2.sql("SELECT size(minhash_signature(array('a'), CAST(8 AS BIGINT))) AS n")
         .collect()(0).getInt(0) == 8)
       assert(s2.sql("SELECT size(minhash_signature(array('a'), 4 + 4)) AS n")
