@@ -102,13 +102,69 @@ object MultiModal {
       |  min(height) AS min_h, max(height) AS max_h
       |FROM media GROUP BY fmt ORDER BY fmt""".stripMargin
 
+  // --- mm_frame_sample: video frame-sampling plumbing ----------------
+  // The frame-sample stage of a video ingest: per-video metadata
+  // (duration, fps, frame geometry) determines the frame index set —
+  // every k-th frame, k sized so ≤8 frames survive per video — and
+  // each sampled frame becomes one row carrying its timestamp and the
+  // byte offset a real decoder would seek to. Everything here is
+  // integer arithmetic over metadata (sequence + explode — no shuffle
+  // until the final sort), so the WHOLE sampling plan sits under the
+  // hash gate; only the per-frame pixel decode (which would consume
+  // content[byte_off : byte_off+frame_bytes]) is the stubbed kernel,
+  // same as mm_pipeline's. At 100 TB the explode is the right shape:
+  // row count grows 8× per video with zero driver coordination.
+  val mmFrameSample: Q = (s, d) => {
+    val fps = (pmod(col("doc_id"), lit(2)) * 6 + 24).cast("long")       // 24 or 30
+    val durS = (pmod(col("n_chars"), lit(111)) + 10).cast("long")       // 10..120 s
+    val meta = Tables.documents(s, d)
+      .select(col("doc_id"), fps.as("fps"), durS.as("dur_s"),
+        (pmod(col("doc_id"), lit(64)) + 16).cast("long").as("width"),
+        (pmod(col("doc_id"), lit(48)) + 16).cast("long").as("height"))
+      .withColumn("n_frames", col("dur_s") * col("fps"))
+      .withColumn("step", greatest(lit(1L), expr("n_frames div 8")))
+    meta.select(col("doc_id"), col("fps"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, col("step"))).as("frame_idx"),
+        (col("width") * col("height") * 3L).as("frame_bytes"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("frame_idx * 1000 div fps").as("ts_ms"),
+        (col("frame_idx") * col("frame_bytes")).as("byte_off"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val mmFrameSampleSql: String =
+    """WITH meta AS (
+      |  SELECT doc_id,
+      |    doc_id % 2 * 6 + 24 AS fps,
+      |    n_chars % 111 + 10 AS dur_s,
+      |    doc_id % 64 + 16 AS width,
+      |    doc_id % 48 + 16 AS height
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, fps, dur_s * fps AS n_frames,
+      |    greatest(1, dur_s * fps // 8) AS step,
+      |    width * height * 3 AS frame_bytes
+      |  FROM meta),
+      |x AS (
+      |  SELECT doc_id, fps, frame_bytes,
+      |    unnest([i FOR i IN range(0, n_frames, CAST(step AS BIGINT))]) AS frame_idx
+      |  FROM f)
+      |SELECT doc_id, frame_idx,
+      |  frame_idx * 1000 // fps AS ts_ms,
+      |  frame_idx * frame_bytes AS byte_off
+      |FROM x ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_pipeline" -> mmPipeline,
-    "mm_metadata" -> mmMetadata)
+    "mm_metadata" -> mmMetadata,
+    "mm_frame_sample" -> mmFrameSample)
 
   /** Decode kernel is a stub → mm_pipeline stays rows-only (n_bytes/
     * fmt asserted in MultiModalSpec); mm_metadata gates the
-    * deterministic binary-column bookkeeping around it.
+    * deterministic binary-column bookkeeping and mm_frame_sample the
+    * frame-selection arithmetic around it.
     */
-  val oracles: Map[String, String] = Map("mm_metadata" -> mmMetadataSql)
+  val oracles: Map[String, String] = Map(
+    "mm_metadata" -> mmMetadataSql,
+    "mm_frame_sample" -> mmFrameSampleSql)
 }

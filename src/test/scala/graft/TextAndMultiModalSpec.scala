@@ -69,6 +69,25 @@ class TextAndMultiModalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_frame_sample: ≤8+1 frames per video, consistent timestamps and offsets") {
+    val rows = graft.operators.MultiModal.mmFrameSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == Tables.documents(spark, sf).count(),
+      "every video contributes sampled frames")
+    byDoc.foreach { case (doc, fs) =>
+      assert(fs.length <= 9, s"video $doc sampled ${fs.length} frames (step sizing)")
+      val fps = doc % 2 * 6 + 24
+      fs.foreach { r =>
+        val (idx, tsMs, off) = (r.getAs[Long]("frame_idx"),
+          r.getAs[Long]("ts_ms"), r.getAs[Long]("byte_off"))
+        assert(tsMs == idx * 1000 / fps, "timestamp is frame time")
+        val frameBytes = (doc % 64 + 16) * (doc % 48 + 16) * 3
+        assert(off == idx * frameBytes, "offset seeks to the frame")
+      }
+    }
+  }
+
   test("text_entropy is bounded by log2 of the distinct-char count") {
     val rows = graft.operators.TextOps.textEntropy(spark, sf).collect()
     assert(rows.nonEmpty)
