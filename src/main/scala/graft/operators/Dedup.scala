@@ -437,6 +437,104 @@ object Dedup {
       .limit(50)
   }
 
+  // --- dedup_embedding_exact: md5-hyperplane twin under the hash gate
+  /** The SAME banded/capped hyperplane-bucket plan as dedup_embedding,
+    * with geometry an oracle can reproduce: each plane is a ±1 sign
+    * vector derived from the low md5 bit of "salt_plane_dim" (identical
+    * bytes from JVM MessageDigest and DuckDB md5), vectors quantize to
+    * floor(x·1e6) int64, and every dot — plane projections and the
+    * final score — is an exact integer sum, so there is no RNG and no
+    * FP accumulation drift between engines. Geometry is fixed (4 bands
+    * × 8 planes, an 8-plane sub-split past MAX_BUCKET) so the SQL stays
+    * static; the corpus-scaled planesFor(n) geometry remains on the
+    * rows-only dedup_embedding path whose plan shape this twin gates.
+    */
+  private val EMB_BANDS = 4
+  private val EMB_PLANES = 8
+
+  /** ±1 from the low bit of the first 15 md5 hex chars — exactly
+    * DuckDB's CAST(concat('0x', substr(md5(key),1,15)) AS BIGINT) & 1.
+    */
+  private[graft] def md5Sign(key: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1L else -1L
+  }
+
+  private def md5Planes(salt: String, nPlanes: Int): Array[Array[Long]] =
+    Array.tabulate(nPlanes)(p => Array.tabulate(EMB_DIM)(j => md5Sign(s"${salt}_${p}_${j}")))
+
+  /** Bucket id = sign bits of the quantized vector against each ±1
+    * plane — EMB_PLANES codegen'd integer dots per row, no shuffle.
+    */
+  private def md5Bucket(qCol: Column, planes: Array[Array[Long]]): Column =
+    planes.zipWithIndex.map { case (pl, p) =>
+      when(Expr.longDot(qCol, typedLit(pl.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  val dedupEmbeddingExact: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => floor(x * 1e6).cast("long")).as("q"))
+    // The sub-split planes are band-independent (mirrors cappedBuckets'
+    // fixed extra table), so the sub bucket is computed once per vector.
+    val withSub = cached(e.withColumn("xbucket", md5Bucket(col("q"), md5Planes("x", EMB_PLANES))))
+    val perBand = (0 until EMB_BANDS).map { b =>
+      val bk = withSub.withColumn("bucket", md5Bucket(col("q"), md5Planes(s"e$b", EMB_PLANES)))
+      val sizes = bk.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
+      val capped = bk.join(sizes, "bucket")
+        .withColumn("sub", when(col("__bsz") > MAX_BUCKET, col("xbucket")).otherwise(lit(0L)))
+      capped.as("x").join(capped.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.sub") === col("y.sub") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    }
+    perBand.reduce(_ unionByName _).distinct()
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), Expr.longDot(col("qa"), col("qb")).as("qdot"))
+      .orderBy(col("qdot").desc, col("vec_a"), col("vec_b"))
+      .limit(50)
+  }
+
+  val dedupEmbeddingExactSql: String =
+    s"""WITH e AS (SELECT vec_id,
+      |             [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS q
+      |           FROM embeddings),
+      |dims AS (SELECT unnest(range($EMB_DIM)) AS j),
+      |bp AS (SELECT b, p FROM (SELECT unnest(range($EMB_BANDS)) AS b) bb
+      |       CROSS JOIN (SELECT unnest(range($EMB_PLANES)) AS p) pp),
+      |signs AS (SELECT b, p, dims.j,
+      |    CASE WHEN CAST(concat('0x', substr(md5('e' || b || '_' || p || '_' || dims.j), 1, 15)) AS BIGINT) & 1 = 1
+      |         THEN 1 ELSE -1 END AS s
+      |  FROM bp CROSS JOIN dims),
+      |xsigns AS (SELECT p, dims.j,
+      |    CASE WHEN CAST(concat('0x', substr(md5('x_' || p || '_' || dims.j), 1, 15)) AS BIGINT) & 1 = 1
+      |         THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range($EMB_PLANES)) AS p) pp CROSS JOIN dims),
+      |vd AS (SELECT e.vec_id, signs.b, signs.p, SUM(e.q[signs.j + 1] * signs.s) AS dot
+      |       FROM e CROSS JOIN signs GROUP BY e.vec_id, signs.b, signs.p),
+      |bk AS (SELECT vec_id, b, SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket
+      |       FROM vd GROUP BY vec_id, b),
+      |xd AS (SELECT e.vec_id, xsigns.p, SUM(e.q[xsigns.j + 1] * xsigns.s) AS dot
+      |       FROM e CROSS JOIN xsigns GROUP BY e.vec_id, xsigns.p),
+      |xb AS (SELECT vec_id, SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS xbucket
+      |       FROM xd GROUP BY vec_id),
+      |sz AS (SELECT b, bucket, COUNT(*) AS c FROM bk GROUP BY b, bucket),
+      |sub AS (SELECT bk.vec_id, bk.b, bk.bucket,
+      |          CASE WHEN sz.c > $MAX_BUCKET THEN xb.xbucket ELSE 0 END AS sub
+      |        FROM bk JOIN sz ON bk.b = sz.b AND bk.bucket = sz.bucket
+      |                JOIN xb ON bk.vec_id = xb.vec_id),
+      |pairs AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |          FROM sub x JOIN sub y
+      |            ON x.b = y.b AND x.bucket = y.bucket AND x.sub = y.sub
+      |               AND x.vec_id < y.vec_id),
+      |scored AS (SELECT vec_a, vec_b,
+      |             CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS BIGINT) AS qdot
+      |           FROM pairs JOIN e a ON pairs.vec_a = a.vec_id
+      |                      JOIN e b ON pairs.vec_b = b.vec_id)
+      |SELECT vec_a, vec_b, qdot FROM scored
+      |ORDER BY qdot DESC, vec_a, vec_b LIMIT 50""".stripMargin
+
   // --- dedup_cluster: connected components over near-dup pairs -------
   /** Min-label propagation over the pair graph: each node repeatedly
     * takes the minimum label among itself and its neighbors until
@@ -716,7 +814,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_exact" -> dedupSimhashExact,
-    "dedup_embedding" -> dedupEmbedding)
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_exact" -> dedupEmbeddingExact)
 
   /** Hash-kernel near-dup variants (xxhash64 minhash/simhash) are
     * rows-only; dedup_jaccard_block is deterministic set math and
@@ -728,5 +827,6 @@ object Dedup {
     "dedup_simhash_exact" -> dedupSimhashExactSql,
     "dedup_minhash_exact" -> dedupMinhashExactSql,
     "dedup_ngram_jaccard_exact" -> dedupNgramJaccardExactSql,
-    "dedup_jaccard_block" -> dedupJaccardBlockSql)
+    "dedup_jaccard_block" -> dedupJaccardBlockSql,
+    "dedup_embedding_exact" -> dedupEmbeddingExactSql)
 }

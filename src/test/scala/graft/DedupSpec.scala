@@ -254,6 +254,26 @@ class DedupSpec extends AnyFunSuite {
     assert(cos.forall(c => c <= 1.0001 && c >= -1.0001))
   }
 
+  test("dedup_embedding_exact: md5 plane signs anchored; qdot is the exact quantized dot") {
+    // md5('e0_1_2')[:15] = '461ecd36c29dc6a' (python hashlib, outside
+    // both engines) — low bit 0 → sign -1; DuckDB derives the same.
+    assert(Dedup.md5Sign("e0_1_2") == -1L)
+    val rows = Dedup.dedupEmbeddingExact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dots = rows.map(_.getAs[Long]("qdot"))
+    assert(dots.sameElements(dots.sorted(Ordering[Long].reverse)))
+    // the reported score must equal an independent driver-side
+    // requantization of the pair — no hidden FP path anywhere
+    val top = rows.head
+    val ids = Seq(top.getAs[Long]("vec_a"), top.getAs[Long]("vec_b"))
+    val e = graft.Tables.embeddings(spark, sf)
+      .where(col("vec_id").isin(ids: _*))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    def q(v: Seq[Float]) = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    val expect = q(e(ids.head)).zip(q(e(ids(1)))).map { case (x, y) => x * y }.sum
+    assert(expect == top.getAs[Long]("qdot"))
+  }
+
   test("ann_bruteforce returns k neighbors per query, ranked") {
     val rows = Similarity.annBruteforce(spark, sf).collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
