@@ -356,7 +356,76 @@ object Streaming {
       |SELECT w_start, event_type, n, rank
       |FROM r WHERE rank <= 3 ORDER BY w_start, rank""".stripMargin
 
+  // --- stream_upsert_sink: foreachBatch keyed upsert -----------------
+  private val Dec18 = org.apache.spark.sql.types.DecimalType(18, 2)
+  private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 2)
+
+  /** Per-key state a foreachBatch upsert sink maintains: the newest
+    * (ts, event_id) event's columns (struct max = argmax with a
+    * deterministic tiebreak) plus running count and DECIMAL-exact sum.
+    * sum_dec is pinned to DECIMAL(38,2) so the state schema is
+    * identical after every merge (Spark widens SUM(DECIMAL) per level
+    * otherwise, and a drifting schema breaks the union-based merge).
+    */
+  def upsertState(batch: DataFrame): DataFrame =
+    batch.groupBy(col("user_id")).agg(
+      max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("last"),
+      count(lit(1)).as("n_events"),
+      sum(col("value").cast(Dec18)).cast(Dec38).as("sum_dec"))
+
+  /** One micro-batch merge — MERGE INTO semantics as union + re-agg:
+    * the newest event wins `last`, counts and sums add. The merge is
+    * associative and commutative over batches, so the fold over ANY
+    * trigger partitioning equals the one-shot aggregation of all
+    * events — the property that makes an incremental sink exactly
+    * re-derivable (and lets the DuckDB oracle gate it). Each merge
+    * shuffles only |state| + |batch-keys| rows; at scale the state
+    * side is a keyed Delta/Iceberg table and this is its MERGE INTO,
+    * with the same per-key combine.
+    */
+  def upsertMerge(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(upsertState(batch)).groupBy(col("user_id")).agg(
+      max(col("last")).as("last"),
+      sum(col("n_events")).as("n_events"),
+      sum(col("sum_dec")).cast(Dec38).as("sum_dec"))
+
+  /** stream_upsert_sink: the oracle-gated anchor — folds 4
+    * deterministic micro-batches (event_id residues standing in for
+    * trigger boundaries) through the SAME merge StreamingSpec drives
+    * via foreachBatch, then emits the final state. sum_value lands as
+    * DOUBLE on both engines (same exact decimal → same IEEE bits).
+    */
+  val streamUpsertSink: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+    val batches = (0 until 4).map(i => ev.filter(pmod(col("event_id"), lit(4)) === i))
+    batches.tail.foldLeft(upsertState(batches.head))(upsertMerge)
+      .select(col("user_id"),
+        col("last.ts").as("last_ts"), col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"), col("last.value").as("last_value"),
+        col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamUpsertSinkSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY user_id)
+      |SELECT a.user_id, r.ts AS last_ts, r.event_id AS last_event_id,
+      |  r.event_type AS last_event_type, r.value AS last_value,
+      |  a.n_events, a.sum_value
+      |FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rn = 1
+      |ORDER BY a.user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream_upsert_sink" -> streamUpsertSink,
     "stream_sessionize" -> streamSessionize,
     "stream_window_counts" -> streamWindowCounts,
     "stream_interval_join" -> streamIntervalJoin,
@@ -364,6 +433,7 @@ object Streaming {
     "stream_dup_gate" -> streamDupGate,
     "stream_dup_gate_exact" -> streamDupGateExact)
   val oracles: Map[String, String] = Map(
+    "stream_upsert_sink" -> streamUpsertSinkSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_window_counts" -> streamWindowCountsSql,
     "stream_interval_join" -> streamIntervalJoinSql,

@@ -298,4 +298,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(usage.calls.value >= 4L && usage.calls.value < 60L)
     } finally q.stop()
   }
+
+  test("foreachBatch upsert sink: incremental state equals the one-shot batch twin") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.5),
+      (1L, 11L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "view", 2.25),
+      (2L, 12L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "click", 4.0),
+      (2L, 13L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), "purchase", 8.0),
+      (3L, 14L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "click", 0.5))
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("user_id", "event_id", "ts", "event_type", "value")
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = df.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // localCheckpoint: the merged state must not keep a lazy
+        // dependency on the transient micro-batch plan
+        state = Some((state match {
+          case None => Streaming.upsertState(batch.toDF())
+          case Some(st) => Streaming.upsertMerge(st, batch.toDF())
+        }).localCheckpoint(true))
+        ()
+      }.start()
+    try {
+      mem.addData(data(0), data(1)); q.processAllAvailable()
+      mem.addData(data(2)); q.processAllAvailable()
+      mem.addData(data(3), data(4)); q.processAllAvailable()
+      def canon(dfx: org.apache.spark.sql.DataFrame) =
+        dfx.select(col("user_id"), col("last.event_id").as("le"), col("n_events"),
+          col("sum_dec").cast("double").as("sv"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val folded = canon(state.get)
+      assert(folded == canon(Streaming.upsertState(
+        data.toDF("user_id", "event_id", "ts", "event_type", "value"))))
+      // `last` is by EVENT time: user 2's event 13 arrived last but is
+      // older than event 12, so 12 must win
+      assert(folded.map(t => t._1 -> t._2).toMap == Map(1L -> 11L, 2L -> 12L, 3L -> 14L))
+    } finally q.stop()
+  }
 }
