@@ -358,11 +358,44 @@ object ScaleOps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --- src_partitioned_scan: partition-pruned source layout ----------
+  /** The 100 TB layout question: data written `partitionBy` a coarse
+    * key must read back with partition PRUNING — a filter on the
+    * partition column eliminates whole directories before any IO
+    * (PlanAuditSpec asserts the scan's PartitionFilters carries the
+    * event_type predicate). Events are re-laid-out partitioned by
+    * event_type, then a single-partition read aggregates clicks per
+    * hour. The rewrite uses Tables.events (µs timestamps) so the
+    * round-tripped parquet is plain TIMESTAMP, not the source's NANOS.
+    */
+  val srcPartitionedScan: Q = (s, d) => {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_part_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    val src = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    src.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    // explicit schema: an empty corpus writes zero files and leaves
+    // nothing to infer from (and production pins read schemas anyway)
+    s.read.schema(src.schema).parquet(base)
+      .filter(col("event_type") === "click")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("hour"))
+  }
+
+  val srcPartitionedScanSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY 1 ORDER BY hour""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_topk_group" -> qTopkGroup,
     "q_skew_join" -> qSkewJoin,
     "profile_table" -> profileTable,
     "src_format_roundtrip" -> srcFormatRoundtrip,
+    "src_partitioned_scan" -> srcPartitionedScan,
     "etl_schema_evolve" -> etlSchemaEvolve,
     "q_bucket_join" -> qBucketJoin)
 
@@ -371,6 +404,7 @@ object ScaleOps {
     "q_skew_join" -> qSkewJoinSql,
     "profile_table" -> profileTableSql,
     "src_format_roundtrip" -> srcFormatRoundtripSql,
+    "src_partitioned_scan" -> srcPartitionedScanSql,
     "etl_schema_evolve" -> etlSchemaEvolveSql,
     "q_bucket_join" -> qBucketJoinSql)
 }

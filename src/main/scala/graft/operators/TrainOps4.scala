@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2C training-data pipeline, part 4: epoch shuffling and
+  * token-budget curation — the ordering/selection stages between a
+  * curated corpus and the training loader.
+  */
+object TrainOps4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- shuffle_epoch: deterministic distributed training order ------
+  /** Training loaders need a different, reproducible document order
+    * per epoch, computed WITHOUT a global sort point: the shuffle key
+    * is md5(epoch || '_' || doc_id) (stateless, seedable, identical
+    * on any cluster size), the 60-bit key prefix places the doc in
+    * one of 32 shards, and rank is a window WITHIN (epoch, shard) —
+    * so the only shuffle is the by-shard exchange and no single
+    * partition ever sees more than ~n/32 rows. A loader streams
+    * shards in order, rows in rank order; at 100 TB shards map to
+    * range-partitioned output files (one writer task each).
+    */
+  val EPOCHS = 2
+  val SHARDS = 32
+
+  val shuffleEpoch: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val epochs = (0 until EPOCHS).map(e => docs.withColumn("epoch", lit(e.toLong)))
+      .reduce(_ unionByName _)
+    val key = conv(substring(md5(concat(col("epoch"), lit("_"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long")
+    val keyed = epochs.withColumn("k", key)
+      .withColumn("shard", pmod(col("k"), lit(SHARDS.toLong)))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("k"), col("doc_id"))
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  val shuffleEpochSql: String =
+    s"""WITH ep AS (SELECT doc_id, e.epoch
+      |           FROM documents
+      |           CROSS JOIN (SELECT unnest(range($EPOCHS)) AS epoch) e),
+      |keyed AS (SELECT epoch, doc_id,
+      |            CAST(concat('0x', substr(md5(epoch || '_' || doc_id), 1, 15)) AS BIGINT) AS k
+      |          FROM ep)
+      |SELECT epoch, k % $SHARDS AS shard,
+      |  CAST(row_number() OVER (PARTITION BY epoch, k % $SHARDS
+      |    ORDER BY k, doc_id) AS BIGINT) AS pos,
+      |  doc_id
+      |FROM keyed ORDER BY epoch, shard, pos""".stripMargin
+
+  // --- budget_select: per-source token-budget curation ---------------
+  /** Data curation under a token budget: each source contributes its
+    * longest documents (n_chars DESC, doc_id tiebreak) until the
+    * source's cumulative token count would exceed the budget. All
+    * counts are integers (whitespace tokens), the running sum is a
+    * per-source window — the shuffle key is `source`, so the work
+    * distributes by source and a skewed source bounds only its own
+    * partition (a production run sub-budgets giant sources first).
+    */
+  val TOKEN_BUDGET = 2000L
+
+  val budgetSelect: Q = (s, d) => {
+    // single-space split — the text_tokens parity-proven tokenizer
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_tok", sum(col("tok")).over(w))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      .filter(col("cum_tok") <= TOKEN_BUDGET)
+      .select(col("source"), col("rank"), col("doc_id"), col("tok"), col("cum_tok"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val budgetSelectSql: String =
+    s"""WITH t AS (SELECT source, doc_id, n_chars,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |           FROM documents),
+      |r AS (SELECT source, doc_id, tok,
+      |        CAST(SUM(tok) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok,
+      |        CAST(row_number() OVER (PARTITION BY source
+      |          ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+      |      FROM t)
+      |SELECT source, rank, doc_id, tok, cum_tok
+      |FROM r WHERE cum_tok <= $TOKEN_BUDGET
+      |ORDER BY source, rank""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "shuffle_epoch" -> shuffleEpoch,
+    "budget_select" -> budgetSelect)
+
+  val oracles: Map[String, String] = Map(
+    "shuffle_epoch" -> shuffleEpochSql,
+    "budget_select" -> budgetSelectSql)
+}

@@ -146,4 +146,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 1,
       s"per-row entropy must not shuffle before the final sort ($exchanges exchanges):\n${physical.take(1500)}")
   }
+
+  test("src_partitioned_scan prunes partitions on event_type before IO") {
+    val plan = executedPlan("src_partitioned_scan")
+    assert(plan.contains("PartitionFilters"), s"no partition filters:\n${plan.take(1500)}")
+    // the event_type predicate must sit in PartitionFilters (directory
+    // pruning), not in the post-scan Filter
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_type"),
+      s"event_type not a partition filter:\n${plan.take(1500)}")
+  }
+
+  test("shuffle_epoch windows stay sharded — no single-partition global sort") {
+    val plan = executedPlan("shuffle_epoch")
+    // the rank window must be hash-partitioned by (epoch, shard); the
+    // only SinglePartition allowed is none (final sort is range)
+    assert(!plan.contains("SinglePartition"),
+      s"global-order window would serialize at scale:\n${plan.take(1500)}")
+  }
+
+  test("dedup_embedding_exact scores with the codegen'd long-dot kernel") {
+    val plan = executedPlan("dedup_embedding_exact")
+    assert(!plan.toLowerCase.contains("cartesian"), plan.take(1000))
+    assert(plan.contains("long_dot_product"), "long_dot kernel missing from plan")
+  }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TrainOps4
+
+class TrainOps4Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("shuffle_epoch: permutation per epoch, different across epochs, contiguous shard positions") {
+    val rows = TrainOps4.shuffleEpoch(spark, sf).collect()
+    val byEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet == Set(0L, 1L))
+    val nDocs = byEpoch(0L).length
+    // every doc exactly once per epoch
+    byEpoch.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("doc_id")).distinct.length == nDocs)
+    }
+    // positions are 1..n within each (epoch, shard)
+    rows.groupBy(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard"))).foreach {
+      case (_, rs) =>
+        assert(rs.map(_.getAs[Long]("pos")).sorted.sameElements(1L to rs.length.toLong))
+    }
+    // the two epochs must produce different orders (md5 re-keys docs)
+    def order(e: Long) = byEpoch(e).sortBy(r =>
+      (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).map(_.getAs[Long]("doc_id")).toSeq
+    assert(order(0L) != order(1L), "epochs must shuffle differently")
+  }
+
+  test("budget_select: greedy per-source selection never exceeds the budget, ranks contiguous") {
+    val rows = TrainOps4.budgetSelect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).sameElements(1L to rs.length.toLong),
+        s"$src: selected ranks must be a prefix")
+      val cums = byRank.map(_.getAs[Long]("cum_tok"))
+      assert(cums.last <= TrainOps4.TOKEN_BUDGET)
+      // cum_tok really is the running sum of tok
+      assert(cums.sameElements(byRank.map(_.getAs[Long]("tok")).scanLeft(0L)(_ + _).tail))
+    }
+  }
+}
