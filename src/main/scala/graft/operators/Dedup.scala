@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Expr
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2C deduplication over `documents` / `embeddings`.
@@ -411,7 +412,23 @@ object Dedup {
     * the union is deduplicated before any exact scoring.
     */
   def bandedEmbeddingPairs(corpus: DataFrame, n: Long, bands: Int = 4): DataFrame = {
-    val e = corpus.select(col("vec_id"), col("embedding"))
+    val e0 = corpus.select(col("vec_id"), col("embedding"))
+    // Identical-vector collapse: mass-duplicated documents carry
+    // bit-identical embeddings, which land in the SAME bucket in every
+    // band AND the same sub-split (the sub bucket is a function of the
+    // vector) — the one shape the cap cannot break. Same cure as the
+    // minhash/simhash paths: one representative per distinct vector
+    // enters the band joins; members attach as rep→member star pairs,
+    // preserving the transitive closure dedup consumes while the
+    // clique (k²/2 pairs per duplicate group) never materializes.
+    val w = Window.partitionBy(col("embedding"))
+    val tagged = cached(e0
+      .withColumn("rep", min(col("vec_id")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w)))
+    val e = tagged.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("embedding"))
+    val star = tagged.filter(col("cnt") > 1 && col("vec_id") =!= col("rep"))
+      .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
     val nPlanes = planesFor(n)
     val perBand = (0 until bands).map { b =>
       val capped = cappedBuckets(e, "embedding", n,
@@ -421,7 +438,7 @@ object Dedup {
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
     }
-    perBand.reduce(_ unionByName _).distinct()
+    perBand.reduce(_ unionByName _).unionByName(star).distinct()
   }
 
   val dedupEmbedding: Q = (s, d) => {
@@ -473,8 +490,18 @@ object Dedup {
     }.reduce(_ + _)
 
   val dedupEmbeddingExact: Q = (s, d) => {
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
+    val e0 = Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => floor(x * 1e6).cast("long")).as("q"))
+    // Identical-vector collapse, mirrored from bandedEmbeddingPairs
+    // (and reproduced in the oracle SQL): reps enter the band joins,
+    // members attach as rep→member star pairs.
+    val wq = Window.partitionBy(col("q"))
+    val tagged = cached(e0
+      .withColumn("rep", min(col("vec_id")).over(wq))
+      .withColumn("cnt", count(lit(1)).over(wq)))
+    val e = tagged.filter(col("vec_id") === col("rep")).select(col("vec_id"), col("q"))
+    val star = tagged.filter(col("cnt") > 1 && col("vec_id") =!= col("rep"))
+      .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
     // The sub-split planes are band-independent (mirrors cappedBuckets'
     // fixed extra table), so the sub bucket is computed once per vector.
     val withSub = cached(e.withColumn("xbucket", md5Bucket(col("q"), md5Planes("x", EMB_PLANES))))
@@ -488,18 +515,24 @@ object Dedup {
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
     }
-    perBand.reduce(_ unionByName _).distinct()
-      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb")), "vec_b")
+    // score against ALL vectors (star members are not representatives)
+    perBand.reduce(_ unionByName _).unionByName(star).distinct()
+      .join(e0.select(col("vec_id").as("vec_a"), col("q").as("qa")), "vec_a")
+      .join(e0.select(col("vec_id").as("vec_b"), col("q").as("qb")), "vec_b")
       .select(col("vec_a"), col("vec_b"), Expr.longDot(col("qa"), col("qb")).as("qdot"))
       .orderBy(col("qdot").desc, col("vec_a"), col("vec_b"))
       .limit(50)
   }
 
   val dedupEmbeddingExactSql: String =
-    s"""WITH e AS (SELECT vec_id,
+    s"""WITH e0 AS (SELECT vec_id,
       |             [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS q
       |           FROM embeddings),
+      |grp AS (SELECT q, MIN(vec_id) AS rep, COUNT(*) AS cnt FROM e0 GROUP BY q),
+      |e AS (SELECT rep AS vec_id, q FROM grp),
+      |star AS (SELECT g.rep AS vec_a, x.vec_id AS vec_b
+      |         FROM grp g JOIN e0 x ON x.q = g.q
+      |         WHERE g.cnt > 1 AND x.vec_id <> g.rep),
       |dims AS (SELECT unnest(range($EMB_DIM)) AS j),
       |bp AS (SELECT b, p FROM (SELECT unnest(range($EMB_BANDS)) AS b) bb
       |       CROSS JOIN (SELECT unnest(range($EMB_PLANES)) AS p) pp),
@@ -524,14 +557,16 @@ object Dedup {
       |          CASE WHEN sz.c > $MAX_BUCKET THEN xb.xbucket ELSE 0 END AS sub
       |        FROM bk JOIN sz ON bk.b = sz.b AND bk.bucket = sz.bucket
       |                JOIN xb ON bk.vec_id = xb.vec_id),
-      |pairs AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |pairs AS (SELECT DISTINCT vec_a, vec_b FROM (
+      |          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
       |          FROM sub x JOIN sub y
       |            ON x.b = y.b AND x.bucket = y.bucket AND x.sub = y.sub
-      |               AND x.vec_id < y.vec_id),
+      |               AND x.vec_id < y.vec_id
+      |          UNION ALL SELECT vec_a, vec_b FROM star) u),
       |scored AS (SELECT vec_a, vec_b,
       |             CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS BIGINT) AS qdot
-      |           FROM pairs JOIN e a ON pairs.vec_a = a.vec_id
-      |                      JOIN e b ON pairs.vec_b = b.vec_id)
+      |           FROM pairs JOIN e0 a ON pairs.vec_a = a.vec_id
+      |                      JOIN e0 b ON pairs.vec_b = b.vec_id)
       |SELECT vec_a, vec_b, qdot FROM scored
       |ORDER BY qdot DESC, vec_a, vec_b LIMIT 50""".stripMargin
 

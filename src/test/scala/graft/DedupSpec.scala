@@ -254,6 +254,45 @@ class DedupSpec extends AnyFunSuite {
     assert(cos.forall(c => c <= 1.0001 && c >= -1.0001))
   }
 
+  test("bandedEmbeddingPairs collapses identical vectors to a star, not a clique") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 3000 bit-identical vectors share every band bucket AND the same
+    // sub-split (sub is a function of the vector) — the one shape the
+    // cap cannot break. The collapse must keep candidates linear.
+    val dup = (0 until 3000).map(i => (i.toLong, Array.fill(64)(0.5f)))
+    val others = (0 until 10).map(i =>
+      (3000L + i, Array.tabulate(64)(j => ((i * 64 + j) % 97) / 97.0f)))
+    val df = (dup ++ others).toDF("vec_id", "embedding")
+    val pairs = Dedup.bandedEmbeddingPairs(df, 3010L).collect()
+    assert(pairs.length < 4000,
+      s"${pairs.length} candidate pairs — identical-vector clique not collapsed")
+    val star = pairs.filter(r => r.getLong(0) == 0L && r.getLong(1) < 3000L)
+    assert(star.length == 2999, s"star carried ${star.length}/2999 members")
+  }
+
+  test("dedup_embedding_exact stars planted duplicate vectors at the representative") {
+    val spark2 = spark
+    import spark2.implicits._
+    // plant a corpus where the collapse path actually runs (cnt > 1):
+    // ids 100..119 all carry vector 0's embedding
+    val src = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding", "label")
+    val v0 = src.filter(col("vec_id") === 0L).select("embedding", "label")
+    val dups = (100 until 120).map(i => v0.select(lit(i.toLong).as("vec_id"),
+      col("embedding"), col("label"))).reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("emb_exact_star").toString
+    src.filter(col("vec_id") < 100).unionByName(dups)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Dedup.dedupEmbeddingExact(spark, dir).collect()
+    val starPairs = rows.filter(r => r.getAs[Long]("vec_a") == 0L && r.getAs[Long]("vec_b") >= 100L)
+    assert(starPairs.length == 20, s"${starPairs.length}/20 duplicates attached to rep 0")
+    // identical vectors score the self-dot, the maximum for the group,
+    // and member-member pairs must NOT appear (star, not clique)
+    val selfDot = starPairs.map(_.getAs[Long]("qdot")).distinct
+    assert(selfDot.length == 1)
+    assert(!rows.exists(r => r.getAs[Long]("vec_a") >= 100L && r.getAs[Long]("vec_b") >= 100L))
+  }
+
   test("dedup_embedding_exact: md5 plane signs anchored; qdot is the exact quantized dot") {
     // md5('e0_1_2')[:15] = '461ecd36c29dc6a' (python hashlib, outside
     // both engines) — low bit 0 → sign -1; DuckDB derives the same.
