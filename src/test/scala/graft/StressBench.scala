@@ -67,6 +67,20 @@ object StressBench {
       graft.Caches.release(blocking = true)
       time(s"$tag knn_graph")(TrainOps3.knnGraph(spark, dir).count())
       graft.Caches.release(blocking = true)
+      // embedding star: corpus vectors + 4 000 planted bit-identical
+      // copies — same bucket in every band and same sub-split, the
+      // shape only the rep→member collapse keeps linear
+      val v0 = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+      val dupVecs = spark.range(4000)
+        .select((col("id") + 10000000L).as("vec_id"))
+        .crossJoin(broadcast(v0))
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).unionByName(dupVecs)
+      time(s"$tag dedup_embedding (star)") {
+        Dedup.bandedEmbeddingPairs(vecs, vecs.count()).count()
+      }
+      graft.Caches.release(blocking = true)
     }
 
     // warm JVM/codegen on the small side first, then measure both
