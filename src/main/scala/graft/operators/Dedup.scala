@@ -478,13 +478,13 @@ object Dedup {
     if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1L else -1L
   }
 
-  private def md5Planes(salt: String, nPlanes: Int): Array[Array[Long]] =
+  private[operators] def md5Planes(salt: String, nPlanes: Int): Array[Array[Long]] =
     Array.tabulate(nPlanes)(p => Array.tabulate(EMB_DIM)(j => md5Sign(s"${salt}_${p}_${j}")))
 
   /** Bucket id = sign bits of the quantized vector against each ±1
     * plane — EMB_PLANES codegen'd integer dots per row, no shuffle.
     */
-  private def md5Bucket(qCol: Column, planes: Array[Array[Long]]): Column =
+  private[operators] def md5Bucket(qCol: Column, planes: Array[Array[Long]]): Column =
     planes.zipWithIndex.map { case (pl, p) =>
       when(Expr.longDot(qCol, typedLit(pl.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -380,9 +380,73 @@ object Similarity {
       |SELECT query_id, vec_id, qdot, rnk AS rank FROM ranked
       |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // --- ann_lsh_exact: md5-plane multiprobe twin under the hash gate --
+  /** The SAME bucket→multiprobe→score→top-k plan as ann_lsh, with
+    * reproducible geometry: 8 md5-derived ±1 planes (Dedup.md5Planes,
+    * salt "a"), int64-quantized vectors, hamming-1 probe set, scores
+    * from the codegen'd long-dot kernel. The RNG-plane + float-dot
+    * variant stays rows-only by nature; this twin puts the LSH ANN
+    * plan family — bucketed candidates, broadcast multiprobe query
+    * set, TopKPerGroup reduction — under the DuckDB hash gate.
+    */
+  private val LSH_EXACT_PLANES = 8
+
+  val annLshExact: Q = (s, d) => {
+    def quant(c: Column): Column = transform(c, x => floor(x * 1e6).cast("long"))
+    val planes = Dedup.md5Planes("a", LSH_EXACT_PLANES)
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), quant(col("embedding")).as("cv"))
+      .withColumn("bucket", Dedup.md5Bucket(col("cv"), planes))
+    val probes = array((0L +: (0 until LSH_EXACT_PLANES).map(i => 1L << i)).map(lit): _*)
+    val qs = queriesDf(s, d).select(col("query_id"), quant(col("qvec")).as("qv"))
+      .withColumn("qb", Dedup.md5Bucket(col("qv"), planes))
+      .withColumn("qbucket", explode(transform(probes, f => col("qb").bitwiseXOR(f))))
+    val scored = corpus.join(broadcast(qs),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), Expr.longDot(col("qv"), col("cv")).as("qdot"))
+    val top = TopK.topKPerGroup(scored, Seq("query_id"),
+      Seq(("qdot", true), ("vec_id", false)), TOPK)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annLshExactSql: String = {
+    val probeList = (0L +: (0 until LSH_EXACT_PLANES).map(i => 1L << i)).mkString(", ")
+    s"""WITH e AS (SELECT vec_id,
+      |             [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS cv
+      |           FROM embeddings),
+      |dims AS (SELECT unnest(range(${Dedup.EMB_DIM})) AS j),
+      |signs AS (SELECT p, dims.j,
+      |    CASE WHEN CAST(concat('0x', substr(md5('a_' || p || '_' || dims.j), 1, 15)) AS BIGINT) & 1 = 1
+      |         THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range($LSH_EXACT_PLANES)) AS p) pp CROSS JOIN dims),
+      |bd AS (SELECT e.vec_id, signs.p, SUM(e.cv[signs.j + 1] * signs.s) AS dot
+      |       FROM e CROSS JOIN signs GROUP BY e.vec_id, signs.p),
+      |bk AS (SELECT vec_id, SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket
+      |       FROM bd GROUP BY vec_id),
+      |q AS (SELECT e.vec_id AS query_id, e.cv AS qv, bk.bucket AS qb
+      |      FROM e JOIN bk ON e.vec_id = bk.vec_id WHERE e.vec_id < 5),
+      |qp AS (SELECT query_id, qv, xor(qb, f) AS qbucket
+      |       FROM q CROSS JOIN (SELECT unnest([$probeList]) AS f) pr),
+      |cand AS (SELECT qp.query_id, bk.vec_id, qp.qv
+      |         FROM qp JOIN bk ON bk.bucket = qp.qbucket
+      |         WHERE bk.vec_id <> qp.query_id),
+      |scored AS (SELECT c.query_id, c.vec_id,
+      |             CAST(list_sum([c.qv[i] * e.cv[i] FOR i IN range(1, len(e.cv) + 1)]) AS BIGINT) AS qdot
+      |           FROM cand c JOIN e ON e.vec_id = c.vec_id),
+      |rk AS (SELECT query_id, vec_id, qdot,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |           ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+      |       FROM scored)
+      |SELECT query_id, vec_id, qdot, rnk AS rank FROM rk
+      |WHERE rnk <= $TOPK ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
+    "ann_lsh_exact" -> annLshExact,
     "ann_ivf" -> annIvf,
     "ann_ivf_index" -> annIvfIndex,
     "ann_quantized" -> annQuantized)
@@ -393,5 +457,6 @@ object Similarity {
     * integer scores are drift-free by construction.
     */
   val oracles: Map[String, String] = Map(
-    "ann_quantized" -> annQuantizedSql)
+    "ann_quantized" -> annQuantizedSql,
+    "ann_lsh_exact" -> annLshExactSql)
 }

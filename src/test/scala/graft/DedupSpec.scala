@@ -313,6 +313,18 @@ class DedupSpec extends AnyFunSuite {
     assert(expect == top.getAs[Long]("qdot"))
   }
 
+  test("ann_lsh_exact: ranked integer scores; rank contiguous per query") {
+    val rows = Similarity.annLshExact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).sameElements(1L to rs.length.toLong))
+      val dots = sorted.map(_.getAs[Long]("qdot"))
+      assert(dots.sameElements(dots.sorted(Ordering[Long].reverse)), s"query $q not ranked")
+      assert(rs.length <= 10)
+    }
+  }
+
   test("ann_bruteforce returns k neighbors per query, ranked") {
     val rows = Similarity.annBruteforce(spark, sf).collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
