@@ -462,12 +462,12 @@ object Dedup {
     * floor(x·1e6) int64, and every dot — plane projections and the
     * final score — is an exact integer sum, so there is no RNG and no
     * FP accumulation drift between engines. Geometry is fixed (4 bands
-    * × 8 planes, an 8-plane sub-split past MAX_BUCKET) so the SQL stays
+    * × 10 planes, a 10-plane sub-split past MAX_BUCKET) so the SQL stays
     * static; the corpus-scaled planesFor(n) geometry remains on the
     * rows-only dedup_embedding path whose plan shape this twin gates.
     */
   private val EMB_BANDS = 4
-  private val EMB_PLANES = 8
+  private val EMB_PLANES = 10
 
   /** ±1 from the low bit of the first 15 md5 hex chars — exactly
     * DuckDB's CAST(concat('0x', substr(md5(key),1,15)) AS BIGINT) & 1.
