@@ -774,10 +774,14 @@ object Dedup {
     * split at half-cap mean),
     * the SQL mirror of jaccardBlockedDocs. Ends defining `bb`.
     */
-  private val jaccardBlockSqlBody: String =
+  /** The blocking chain parameterized on its source relation, so
+    * composed pipelines (pipe_dedup_e2e) can run it over a CTE of
+    * exact-dedup survivors instead of the raw table.
+    */
+  private def jaccardBlockSqlBodyFrom(src: String): String =
     s"""n AS (SELECT doc_id,
       |             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-      |           FROM documents),
+      |           FROM $src),
       |tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
       |sh AS (SELECT doc_id,
       |         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -799,6 +803,8 @@ object Dedup {
       |              % CAST(ceil(sz2.bsz2 / ${JACCARD_BLOCK_CAP / 2}.0) AS BIGINT)
       |         ELSE 0 END AS sub2
       |  FROM b1 JOIN sz2 ON b1.blk = sz2.blk AND b1.sub = sz2.sub)""".stripMargin
+
+  private val jaccardBlockSqlBody: String = jaccardBlockSqlBodyFrom("documents")
 
   val dedupJaccardBlockSql: String =
     s"""WITH $jaccardBlockSqlBody,
@@ -838,7 +844,95 @@ object Dedup {
       |SELECT id, CAST(MIN(label) AS BIGINT) AS cluster_id
       |FROM cc GROUP BY id ORDER BY id""".stripMargin
 
+  // --- pipe_dedup_e2e: the full dedup pipeline under one gate --------
+  /** End-to-end corpus dedup as one composed, fully deterministic
+    * flow — the dedup counterpart of pipe_extract_e2e:
+    *
+    *   normalize → exact-dup removal (md5 groups, min-id keeps)
+    *             → blocked near-dup pairs over the SURVIVORS
+    *             → connected components (pointer-jump min-label)
+    *             → per-cluster quality keep (max n_chars, min-id tie)
+    *
+    * Emits one disposition row per document: kept / exact_dup /
+    * near_dup with its canonical id. Every stage is a path already
+    * gated on its own (dedup_exact, dedup_jaccard_block,
+    * dedup_cluster_exact); this query gates their COMPOSITION — the
+    * hand-offs (survivor filtering, left-join of unpaired survivors,
+    * keep policy) are where pipeline bugs live, not in the stages.
+    */
+  val pipeDedupE2e: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("n_chars"))
+    val wH = Window.partitionBy(col("h"))
+    val tagged = cached(docs.withColumn("h", md5(normText(col("text"))))
+      .withColumn("keep", min(col("doc_id")).over(wH)))
+    val exactDups = tagged.filter(col("doc_id") =!= col("keep"))
+      .select(col("doc_id"), lit("exact_dup").as("status"), col("keep").as("canonical"))
+    val survivors = tagged.filter(col("doc_id") === col("keep"))
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val labels = clusterPairs(jaccardBlockPairs(survivors))
+    val wC = Window.partitionBy(col("cid"))
+    val disposed = survivors
+      .join(labels, survivors("doc_id") === labels("id"), "left")
+      .select(survivors("doc_id"), col("n_chars"),
+        coalesce(col("cluster_id"), survivors("doc_id")).as("cid"))
+      // quality keep: longest doc wins its cluster, min id on ties
+      .withColumn("bst", min(struct((-col("n_chars")).as("negc"),
+        col("doc_id").as("did"))).over(wC))
+      .select(col("doc_id"),
+        when(col("doc_id") === col("bst.did"), lit("kept"))
+          .otherwise(lit("near_dup")).as("status"),
+        col("bst.did").as("canonical"))
+    exactDups.unionByName(disposed).orderBy(col("doc_id"))
+  }
+
+  val pipeDedupE2eSql: String =
+    s"""WITH RECURSIVE
+      |nh AS (SELECT doc_id, text, n_chars,
+      |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+      |       FROM documents),
+      |kp AS (SELECT h, MIN(doc_id) AS keep FROM nh GROUP BY h),
+      |exact_dups AS (
+      |  SELECT nh.doc_id, 'exact_dup' AS status, kp.keep AS canonical
+      |  FROM nh JOIN kp ON nh.h = kp.h WHERE nh.doc_id <> kp.keep),
+      |survivors AS (
+      |  SELECT nh.doc_id, nh.text, nh.n_chars
+      |  FROM nh JOIN kp ON nh.h = kp.h AND nh.doc_id = kp.keep),
+      |${jaccardBlockSqlBodyFrom("survivors")},
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM bb a JOIN bb b2 ON a.blk = b2.blk AND a.sub = b2.sub
+      |    AND a.sub2 = b2.sub2 AND a.doc_id < b2.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.s, b2.s))) AS DOUBLE) >= $JACCARD_THRESH),
+      |e AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |  UNION SELECT doc_a, doc_a FROM pairs
+      |  UNION SELECT doc_b, doc_b FROM pairs),
+      |cc(id, label) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT e.src, cc.label FROM cc JOIN e ON e.dst = cc.id),
+      |lbl AS (SELECT id, MIN(label) AS cid FROM cc GROUP BY id),
+      |withc AS (
+      |  SELECT s.doc_id, s.n_chars, coalesce(l.cid, s.doc_id) AS cid
+      |  FROM survivors s LEFT JOIN lbl l ON s.doc_id = l.id),
+      |disposed AS (
+      |  SELECT doc_id,
+      |    first_value(doc_id) OVER (PARTITION BY cid
+      |      ORDER BY n_chars DESC, doc_id) AS canonical
+      |  FROM withc)
+      |SELECT doc_id, status, CAST(canonical AS BIGINT) AS canonical FROM (
+      |  SELECT doc_id, status, canonical FROM exact_dups
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id = canonical THEN 'kept' ELSE 'near_dup' END AS status,
+      |    canonical
+      |  FROM disposed) u
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pipe_dedup_e2e" -> pipeDedupE2e,
     "dedup_cluster" -> dedupCluster,
     "dedup_cluster_exact" -> dedupClusterExact,
     "dedup_jaccard_block" -> dedupJaccardBlock,
@@ -857,6 +951,7 @@ object Dedup {
     * carries a full DuckDB oracle.
     */
   val oracles: Map[String, String] = Map(
+    "pipe_dedup_e2e" -> pipeDedupE2eSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_cluster_exact" -> dedupClusterExactSql,
     "dedup_simhash_exact" -> dedupSimhashExactSql,

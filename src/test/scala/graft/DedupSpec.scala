@@ -254,6 +254,24 @@ class DedupSpec extends AnyFunSuite {
     assert(cos.forall(c => c <= 1.0001 && c >= -1.0001))
   }
 
+  test("pipe_dedup_e2e: one disposition per doc, canonical chain well-formed") {
+    val rows = Dedup.pipeDedupE2e(spark, sf).collect()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == n.toInt, "exactly one disposition row per document")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == n.toInt)
+    val status = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    rows.foreach { r =>
+      val canon = r.getAs[Long]("canonical")
+      r.getAs[String]("status") match {
+        case "kept" => assert(canon == r.getAs[Long]("doc_id"))
+        case "near_dup" => assert(status(canon) == "kept",
+          s"near_dup canonical $canon must be kept, was ${status(canon)}")
+        case "exact_dup" => assert(status(canon) != "exact_dup",
+          s"exact_dup canonical $canon must be a survivor")
+      }
+    }
+  }
+
   test("bandedEmbeddingPairs collapses identical vectors to a star, not a clique") {
     val spark2 = spark
     import spark2.implicits._
