@@ -96,11 +96,56 @@ object TrainOps4 {
       |FROM r WHERE cum_tok <= $TOKEN_BUDGET
       |ORDER BY source, rank""".stripMargin
 
+  // --- corpus_report: per-source corpus health in one pass -----------
+  /** The summary a curation run starts from: per source, document and
+    * token volume, length distribution, language mix, and the exact-
+    * duplicate rate (distinct normalized-text hashes vs rows). One
+    * groupBy over a per-row projection — a single shuffle keyed by
+    * source at any corpus size; the dup rate rides the same pass as a
+    * count distinct. All emitted numbers are integers (ppm for rates)
+    * so the gate compares exactly.
+    */
+  val corpusReport: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("source"), col("lang"),
+      col("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("tok"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("tok")).as("total_tokens"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      sum(col("n_chars")).as("sum_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("h")).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("min_chars"), col("max_chars"),
+        expr("(sum_chars * 1000000) div n_docs").as("mean_chars_ppm"),
+        col("n_langs"),
+        expr("((n_docs - n_distinct) * 1000000) div n_docs").as("dup_rate_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val corpusReportSql: String =
+    """WITH t AS (SELECT source, lang, n_chars,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      |           FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  CAST(CAST(SUM(n_chars) AS BIGINT) * 1000000 // COUNT(*) AS BIGINT) AS mean_chars_ppm,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST((COUNT(*) - COUNT(DISTINCT h)) * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_ppm
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "shuffle_epoch" -> shuffleEpoch,
-    "budget_select" -> budgetSelect)
+    "budget_select" -> budgetSelect,
+    "corpus_report" -> corpusReport)
 
   val oracles: Map[String, String] = Map(
     "shuffle_epoch" -> shuffleEpochSql,
-    "budget_select" -> budgetSelectSql)
+    "budget_select" -> budgetSelectSql,
+    "corpus_report" -> corpusReportSql)
 }

@@ -26,6 +26,21 @@ class TrainOps4Spec extends AnyFunSuite {
     assert(order(0L) != order(1L), "epochs must shuffle differently")
   }
 
+  test("corpus_report: one row per source, ppm stats within bounds") {
+    val rows = TrainOps4.corpusReport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("source")).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0)
+      assert(r.getAs[Long]("total_tokens") > 0)
+      val mean = r.getAs[Long]("mean_chars_ppm")
+      assert(mean >= r.getAs[Long]("min_chars") * 1000000L)
+      assert(mean <= r.getAs[Long]("max_chars") * 1000000L)
+      val dup = r.getAs[Long]("dup_rate_ppm")
+      assert(dup >= 0L && dup < 1000000L)
+    }
+  }
+
   test("budget_select: greedy per-source selection never exceeds the budget, ranks contiguous") {
     val rows = TrainOps4.budgetSelect(spark, sf).collect()
     assert(rows.nonEmpty)
