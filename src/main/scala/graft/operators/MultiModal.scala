@@ -154,10 +154,57 @@ object MultiModal {
       |  frame_idx * frame_bytes AS byte_off
       |FROM x ORDER BY doc_id, frame_idx""".stripMargin
 
+  // --- mm_audio_window: audio windowing plumbing ---------------------
+  // The windowing stage of an audio ingest (the audio sibling of
+  // mm_frame_sample): per-clip metadata (sample rate, duration)
+  // determines overlapping 1-second analysis windows — hop sized so
+  // ≤16 windows survive per clip — and each window becomes one row
+  // carrying its start sample, timestamp, and the byte offset a
+  // 16-bit-mono decoder would seek to. Pure integer metadata
+  // arithmetic (sequence + explode, no shuffle until the sort), so
+  // the whole plan sits under the hash gate; the sample decode is the
+  // stubbed kernel, as in mm_pipeline.
+  val mmAudioWindow: Q = (s, d) => {
+    val sr = (pmod(col("doc_id"), lit(2)) * 28100 + 16000).cast("long")  // 16 k or 44.1 k
+    val durMs = (pmod(col("n_chars"), lit(29001)) + 1000).cast("long")   // 1..30 s
+    Tables.documents(s, d)
+      .select(col("doc_id"), sr.as("sr"), durMs.as("dur_ms"))
+      .withColumn("n_samples", expr("dur_ms * sr div 1000"))
+      .withColumn("lim", col("n_samples") - col("sr"))                   // last window start
+      .withColumn("hop", greatest(expr("sr div 2"), expr("(lim + 14) div 15")))
+      .select(col("doc_id"), col("sr"),
+        explode(sequence(lit(0L), col("lim"), col("hop"))).as("start_sample"))
+      .select(col("doc_id"), col("start_sample"),
+        expr("start_sample * 1000 div sr").as("ts_ms"),
+        (col("start_sample") * 2L).as("byte_off"))
+      .orderBy(col("doc_id"), col("start_sample"))
+  }
+
+  val mmAudioWindowSql: String =
+    """WITH meta AS (
+      |  SELECT doc_id,
+      |    doc_id % 2 * 28100 + 16000 AS sr,
+      |    n_chars % 29001 + 1000 AS dur_ms
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, sr,
+      |    dur_ms * sr // 1000 - sr AS lim,
+      |    greatest(sr // 2, (dur_ms * sr // 1000 - sr + 14) // 15) AS hop
+      |  FROM meta),
+      |x AS (
+      |  SELECT doc_id, sr,
+      |    unnest([i FOR i IN range(0, lim + 1, CAST(hop AS BIGINT))]) AS start_sample
+      |  FROM w)
+      |SELECT doc_id, start_sample,
+      |  start_sample * 1000 // sr AS ts_ms,
+      |  start_sample * 2 AS byte_off
+      |FROM x ORDER BY doc_id, start_sample""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_pipeline" -> mmPipeline,
     "mm_metadata" -> mmMetadata,
-    "mm_frame_sample" -> mmFrameSample)
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_audio_window" -> mmAudioWindow)
 
   /** Decode kernel is a stub → mm_pipeline stays rows-only (n_bytes/
     * fmt asserted in MultiModalSpec); mm_metadata gates the
@@ -166,5 +213,6 @@ object MultiModal {
     */
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> mmMetadataSql,
-    "mm_frame_sample" -> mmFrameSampleSql)
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_audio_window" -> mmAudioWindowSql)
 }

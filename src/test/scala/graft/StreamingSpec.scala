@@ -299,6 +299,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parquet file sink is exactly-once across a query restart (checkpoint recovery)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("sink_once").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    val mem = MemoryStream[(Long, String)]
+    def start() = mem.toDF().toDF("event_id", "event_type")
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).format("parquet").start(out)
+    val q1 = start()
+    try {
+      mem.addData((1L, "click"), (2L, "view"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: the sink's commit log must
+    // carry over — batch 0 must not be re-emitted, batch 1 must land
+    val q2 = start()
+    try {
+      mem.addData((3L, "purchase"))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out).collect()
+        .map(_.getAs[Long]("event_id")).sorted
+      assert(rows.sameElements(Array(1L, 2L, 3L)),
+        s"exactly-once violated: ${rows.mkString(",")}")
+    } finally q2.stop()
+  }
+
   test("foreachBatch upsert sink: incremental state equals the one-shot batch twin") {
     val spark2 = spark
     import spark2.implicits._

@@ -69,6 +69,24 @@ class TextAndMultiModalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_audio_window: ≤16 windows per clip, 1s coverage, consistent offsets") {
+    val rows = graft.operators.MultiModal.mmAudioWindow(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == Tables.documents(spark, sf).count(),
+      "every clip contributes at least one window")
+    byDoc.foreach { case (doc, ws) =>
+      assert(ws.length <= 16, s"clip $doc got ${ws.length} windows (hop sizing)")
+      val sr = doc % 2 * 28100 + 16000
+      ws.foreach { r =>
+        val (st, tsMs, off) = (r.getAs[Long]("start_sample"),
+          r.getAs[Long]("ts_ms"), r.getAs[Long]("byte_off"))
+        assert(tsMs == st * 1000 / sr, "timestamp is sample time")
+        assert(off == st * 2, "offset assumes 16-bit mono")
+      }
+    }
+  }
+
   test("mm_frame_sample: ≤8+1 frames per video, consistent timestamps and offsets") {
     val rows = graft.operators.MultiModal.mmFrameSample(spark, sf).collect()
     assert(rows.nonEmpty)
