@@ -398,7 +398,41 @@ object EtlOps2 {
       |  conf < $REVIEW_THRESHOLD AS needs_review
       |FROM vb ORDER BY doc, param""".stripMargin
 
+  // --- etl_scd2: type-2 slowly-changing-dimension history ------------
+  /** Each key's events become version rows with validity intervals:
+    * valid_from = the event's time, valid_to = the next event's time
+    * (open-ended for the current version). The classic warehouse
+    * history shape — ONE window shuffle keyed by user_id, so the op
+    * distributes by key at any scale; a production run would write
+    * this partitioned by valid_from date for interval-pruned reads.
+    */
+  val etlScd2: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("version"), col("event_id"), col("event_type"),
+        col("value"), col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val etlScd2Sql: String =
+    """SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  event_id, event_type, value,
+      |  ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  lead(ts) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "etl_scd2" -> etlScd2,
     "etl_infer_category" -> etlInferCategory,
     "etl_category_header" -> etlCategoryHeader,
     "etl_header_merge" -> etlHeaderMerge,
@@ -407,6 +441,7 @@ object EtlOps2 {
     "etl_review_payload" -> etlReviewPayload,
     "etl_export_csv" -> etlExportCsv)
   val oracles: Map[String, String] = Map(
+    "etl_scd2" -> etlScd2Sql,
     "etl_infer_category" -> etlInferCategorySql,
     "etl_category_header" -> etlCategoryHeaderSql,
     "etl_header_merge" -> etlHeaderMergeSql,

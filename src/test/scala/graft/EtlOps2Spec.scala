@@ -115,4 +115,22 @@ class EtlOps2Spec extends AnyFunSuite {
     assert(Set("Buck Converter", "DC-DC Converter", "LDO", "Unknown").subsetOf(cats.keySet),
       s"missing branches: $cats")
   }
+
+  test("etl_scd2: versions chain into gap-free validity intervals, one current per key") {
+    val rows = EtlOps2.etlScd2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).sameElements(1L to vs.length.toLong))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+            b.getAs[java.sql.Timestamp]("valid_from"),
+            s"user $u: interval gap between v${a.getAs[Long]("version")} and next")
+        case _ =>
+      }
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1, s"user $u current count")
+      assert(sorted.last.getAs[Boolean]("is_current"))
+    }
+  }
 }
