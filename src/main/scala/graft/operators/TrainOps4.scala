@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -139,13 +139,75 @@ object TrainOps4 {
       |  CAST((COUNT(*) - COUNT(DISTINCT h)) * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_ppm
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  // --- sketch_cms_exact: count-min sketch with derivable hashes ------
+  /** A 4-row × 1024-bucket count-min sketch over the corpus token
+    * stream, with hash rows derived from md5 — so the SKETCH ITSELF is
+    * bit-identical in both engines and the whole sketch lifecycle
+    * (build → point query → error observation) sits under the hash
+    * gate. Emits the top-20 tokens with true count, CMS estimate, and
+    * overcount (estimate − truth ≥ 0, the CMS guarantee the spec
+    * asserts). The build is one groupBy over (row, bucket) — 4 096
+    * cells regardless of corpus size, the whole point of a sketch at
+    * 100 TB: the shuffle reduces to a fixed-size frame that then
+    * broadcasts to answer point queries.
+    */
+  val CMS_ROWS = 4
+  val CMS_BUCKETS = 1024L
+
+  private def cmsBucket(r: Int, w: Column): Column =
+    pmod(conv(substring(md5(concat(lit(s"c${r}_"), w)), 1, 15), 16, 10).cast("long"),
+      lit(CMS_BUCKETS))
+
+  val sketchCmsExact: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val truth = toks.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
+    // fixed-size sketch: 4 independent hash rows over the same stream
+    val sketch = (0 until CMS_ROWS).map { r =>
+      toks.select(lit(r).as("r"), cmsBucket(r, col("w")).as("bucket"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cell"))
+    val queried = truth
+      .orderBy(col("true_cnt").desc, col("w")).limit(20)
+    val est = (0 until CMS_ROWS).map { r =>
+      queried.select(col("w"), col("true_cnt"),
+        lit(r).as("r"), cmsBucket(r, col("w")).as("bucket"))
+    }.reduce(_ unionByName _)
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("w"), col("true_cnt")).agg(min(col("cell")).as("cms_est"))
+    est.select(col("w"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("true_cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("w"))
+  }
+
+  val sketchCmsExactSql: String =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |truth AS (SELECT w, COUNT(*) AS true_cnt FROM toks GROUP BY w),
+      |rows_ AS (SELECT unnest(range($CMS_ROWS)) AS r),
+      |sk AS (SELECT r,
+      |         CAST(concat('0x', substr(md5('c' || r || '_' || w), 1, 15)) AS BIGINT)
+      |           % $CMS_BUCKETS AS bucket,
+      |         COUNT(*) AS cell
+      |       FROM toks CROSS JOIN rows_ GROUP BY 1, 2),
+      |queried AS (SELECT w, true_cnt FROM truth ORDER BY true_cnt DESC, w LIMIT 20),
+      |est AS (SELECT q.w, q.true_cnt, MIN(sk.cell) AS cms_est
+      |        FROM queried q CROSS JOIN rows_
+      |        JOIN sk ON sk.r = rows_.r AND sk.bucket =
+      |          CAST(concat('0x', substr(md5('c' || rows_.r || '_' || q.w), 1, 15)) AS BIGINT)
+      |            % $CMS_BUCKETS
+      |        GROUP BY q.w, q.true_cnt)
+      |SELECT w, true_cnt, cms_est, cms_est - true_cnt AS overcount
+      |FROM est ORDER BY true_cnt DESC, w""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "shuffle_epoch" -> shuffleEpoch,
     "budget_select" -> budgetSelect,
-    "corpus_report" -> corpusReport)
+    "corpus_report" -> corpusReport,
+    "sketch_cms_exact" -> sketchCmsExact)
 
   val oracles: Map[String, String] = Map(
     "shuffle_epoch" -> shuffleEpochSql,
     "budget_select" -> budgetSelectSql,
-    "corpus_report" -> corpusReportSql)
+    "corpus_report" -> corpusReportSql,
+    "sketch_cms_exact" -> sketchCmsExactSql)
 }

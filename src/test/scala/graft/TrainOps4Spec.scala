@@ -41,6 +41,19 @@ class TrainOps4Spec extends AnyFunSuite {
     }
   }
 
+  test("sketch_cms_exact: CMS never undercounts, top-20 emitted in truth order") {
+    val rows = TrainOps4.sketchCmsExact(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val truths = rows.map(_.getAs[Long]("true_cnt"))
+    assert(truths.sameElements(truths.sorted(Ordering[Long].reverse)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("true_cnt"),
+        s"CMS undercounted ${r.getAs[String]("w")}")
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("cms_est") - r.getAs[Long]("true_cnt"))
+    }
+  }
+
   test("budget_select: greedy per-source selection never exceeds the budget, ranks contiguous") {
     val rows = TrainOps4.budgetSelect(spark, sf).collect()
     assert(rows.nonEmpty)
