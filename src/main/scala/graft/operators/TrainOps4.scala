@@ -199,15 +199,95 @@ object TrainOps4 {
       |SELECT w, true_cnt, cms_est, cms_est - true_cnt AS overcount
       |FROM est ORDER BY true_cnt DESC, w""".stripMargin
 
+  // --- sketch_bloom_exact: Bloom-filter join pruning, derivable ------
+  /** The join-pruning sketch: a k=3 / 8192-bit Bloom filter over the
+    * corpus's normalized-text keys, probed by an incoming batch (100
+    * exact corpus copies that MUST hit + 100 'novel'-prefixed texts
+    * that should miss). Bit positions come from md5, so filter and
+    * probes are bit-identical across engines and the emitted rows —
+    * in_bloom, exact membership, and the observed false positives —
+    * all sit under the hash gate. This is the structure behind
+    * runtime bloom-filter join pruning at scale: the filter is a
+    * fixed-size broadcast regardless of corpus size, and every probe
+    * that misses skips the expensive exact join.
+    */
+  val BLOOM_BITS = 8192L
+  val BLOOM_K = 3
+
+  private def bloomBit(k: Int, key: Column): Column =
+    pmod(conv(substring(md5(concat(lit(s"b${k}_"), key)), 1, 15), 16, 10).cast("long"),
+      lit(BLOOM_BITS))
+
+  private def textKey(t: Column): Column =
+    md5(regexp_replace(lower(trim(t)), "\\s+", " "))
+
+  val sketchBloomExact: Q = (s, d) => {
+    val corpusKeys = Tables.documents(s, d).select(textKey(col("text")).as("key")).distinct()
+    val bits = (0 until BLOOM_K).map(k =>
+      corpusKeys.select(lit(k).as("k"), bloomBit(k, col("key")).as("bit")))
+      .reduce(_ unionByName _).distinct()
+    val head = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val incoming = head.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(head.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("novel "), col("text")).as("text")))
+      .select(col("doc_id"), textKey(col("text")).as("key"))
+    val probes = (0 until BLOOM_K).map(k =>
+      incoming.select(col("doc_id"), col("key"), lit(k).as("k"),
+        bloomBit(k, col("key")).as("bit")))
+      .reduce(_ unionByName _)
+    val hitCount = probes
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("k", "bit"), "left")
+      .groupBy(col("doc_id"), col("key"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("nbits"))
+    hitCount
+      .withColumn("in_bloom", col("nbits") === BLOOM_K)
+      .join(corpusKeys.withColumn("m", lit(true)), Seq("key"), "left")
+      .withColumn("is_member", coalesce(col("m"), lit(false)))
+      .select(col("doc_id"), col("in_bloom"), col("is_member"),
+        (col("in_bloom") && !col("is_member")).as("false_positive"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sketchBloomExactSql: String =
+    s"""WITH keyc AS (SELECT DISTINCT
+      |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS key
+      |       FROM documents),
+      |ks AS (SELECT unnest(range($BLOOM_K)) AS k),
+      |bits AS (SELECT DISTINCT ks.k,
+      |           CAST(concat('0x', substr(md5('b' || ks.k || '_' || key), 1, 15)) AS BIGINT)
+      |             % $BLOOM_BITS AS bit
+      |         FROM keyc CROSS JOIN ks),
+      |head AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      |inc AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS key FROM head
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    md5(regexp_replace(lower(trim('novel ' || text)), '\\s+', ' ', 'g')) FROM head),
+      |probes AS (SELECT doc_id, key, ks.k,
+      |             CAST(concat('0x', substr(md5('b' || ks.k || '_' || key), 1, 15)) AS BIGINT)
+      |               % $BLOOM_BITS AS bit
+      |           FROM inc CROSS JOIN ks),
+      |hc AS (SELECT p.doc_id, p.key,
+      |         SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS nbits
+      |       FROM probes p LEFT JOIN bits b ON b.k = p.k AND b.bit = p.bit
+      |       GROUP BY p.doc_id, p.key)
+      |SELECT doc_id, nbits = $BLOOM_K AS in_bloom,
+      |  key IN (SELECT key FROM keyc) AS is_member,
+      |  nbits = $BLOOM_K AND key NOT IN (SELECT key FROM keyc) AS false_positive
+      |FROM hc ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "shuffle_epoch" -> shuffleEpoch,
     "budget_select" -> budgetSelect,
     "corpus_report" -> corpusReport,
-    "sketch_cms_exact" -> sketchCmsExact)
+    "sketch_cms_exact" -> sketchCmsExact,
+    "sketch_bloom_exact" -> sketchBloomExact)
 
   val oracles: Map[String, String] = Map(
     "shuffle_epoch" -> shuffleEpochSql,
     "budget_select" -> budgetSelectSql,
     "corpus_report" -> corpusReportSql,
-    "sketch_cms_exact" -> sketchCmsExactSql)
+    "sketch_cms_exact" -> sketchCmsExactSql,
+    "sketch_bloom_exact" -> sketchBloomExactSql)
 }

@@ -54,6 +54,19 @@ class TrainOps4Spec extends AnyFunSuite {
     }
   }
 
+  test("sketch_bloom_exact: no false negatives; members always in bloom") {
+    val rows = TrainOps4.sketchBloomExact(spark, sf).collect()
+    assert(rows.length == 200, "100 copies + 100 novels")
+    rows.foreach { r =>
+      val (inB, isM, fp) = (r.getAs[Boolean]("in_bloom"),
+        r.getAs[Boolean]("is_member"), r.getAs[Boolean]("false_positive"))
+      if (isM) assert(inB, s"false NEGATIVE on ${r.getAs[Long]("doc_id")} — bloom broken")
+      assert(fp == (inB && !isM))
+    }
+    // the 100 exact copies are members; the 100 novels are not
+    assert(rows.count(_.getAs[Boolean]("is_member")) == 100)
+  }
+
   test("budget_select: greedy per-source selection never exceeds the budget, ranks contiguous") {
     val rows = TrainOps4.budgetSelect(spark, sf).collect()
     assert(rows.nonEmpty)
