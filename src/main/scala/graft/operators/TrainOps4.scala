@@ -277,17 +277,79 @@ object TrainOps4 {
       |  nbits = $BLOOM_K AND key NOT IN (SELECT key FROM keyc) AS false_positive
       |FROM hc ORDER BY doc_id""".stripMargin
 
+  // --- sketch_quantile_exact: histogram quantile sketch --------------
+  /** The quantile sketch completing the trio (frequency = CMS,
+    * membership = Bloom, quantiles = this): a 1024-bin equi-width
+    * histogram over integer price cents, queried for 7 percentiles by
+    * cumulative-count walk. Everything is integer arithmetic over a
+    * ≤1024-row frame after one groupBy — the t-digest role with
+    * deterministic, engine-independent bins. The only full-corpus
+    * work is the min/max/count pass and the binning groupBy; the
+    * cumulative window runs over the bounded bin frame, never the
+    * data. Estimate error ≤ one bin width by construction
+    * (spec-asserted against the exact order statistic).
+    */
+  val QSKETCH_BINS = 1024L
+  private val QSKETCH_PCTS = Seq(1, 5, 25, 50, 75, 95, 99)
+
+  val sketchQuantileExact: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val v = Tables.lineitem(s, d)
+      .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+    val statsDf = v.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+      count(lit(1)).as("n"))
+    val binned = v.crossJoin(broadcast(statsDf))
+      .select(expr(s"((c - mn) * $QSKETCH_BINS) div (mx - mn + 1)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned.withColumn("cum", sum(col("cnt")).over(wcum))
+    val qdf = statsDf.select(
+        explode(array(QSKETCH_PCTS.map(p => lit(p.toLong)): _*)).as("q_pct"),
+        col("n"), col("mn"), col("mx"))
+      .withColumn("k", expr("(q_pct * n + 99) div 100"))
+    qdf.join(cum, cum("cum") >= qdf("k"))
+      .groupBy(col("q_pct"), col("k"), col("mn"), col("mx"))
+      .agg(min(col("bin")).as("qbin"))
+      .select(col("q_pct"), col("qbin"),
+        expr(s"mn + (qbin * (mx - mn + 1)) div $QSKETCH_BINS").as("est_cents"),
+        col("k"))
+      .orderBy(col("q_pct"))
+  }
+
+  val sketchQuantileExactSql: String =
+    s"""WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |           FROM lineitem),
+      |st AS (SELECT min(c) AS mn, max(c) AS mx, COUNT(*) AS n FROM v),
+      |binned AS (SELECT CAST((c - mn) * $QSKETCH_BINS // (mx - mn + 1) AS BIGINT) AS bin,
+      |             COUNT(*) AS cnt
+      |           FROM v CROSS JOIN st GROUP BY 1),
+      |cum AS (SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |        FROM binned),
+      |q AS (SELECT q_pct, mn, mx,
+      |        CAST((q_pct * n + 99) // 100 AS BIGINT) AS k
+      |      FROM st CROSS JOIN (SELECT unnest([${QSKETCH_PCTS.mkString(", ")}]) AS q_pct) p),
+      |sel AS (SELECT q.q_pct, q.k, q.mn, q.mx, MIN(cum.bin) AS qbin
+      |        FROM q JOIN cum ON cum.cum >= q.k
+      |        GROUP BY q.q_pct, q.k, q.mn, q.mx)
+      |SELECT CAST(q_pct AS BIGINT) AS q_pct, qbin,
+      |  CAST(mn + (qbin * (mx - mn + 1)) // $QSKETCH_BINS AS BIGINT) AS est_cents, k
+      |FROM sel ORDER BY q_pct""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "shuffle_epoch" -> shuffleEpoch,
     "budget_select" -> budgetSelect,
     "corpus_report" -> corpusReport,
     "sketch_cms_exact" -> sketchCmsExact,
-    "sketch_bloom_exact" -> sketchBloomExact)
+    "sketch_bloom_exact" -> sketchBloomExact,
+    "sketch_quantile_exact" -> sketchQuantileExact)
 
   val oracles: Map[String, String] = Map(
     "shuffle_epoch" -> shuffleEpochSql,
     "budget_select" -> budgetSelectSql,
     "corpus_report" -> corpusReportSql,
     "sketch_cms_exact" -> sketchCmsExactSql,
-    "sketch_bloom_exact" -> sketchBloomExactSql)
+    "sketch_bloom_exact" -> sketchBloomExactSql,
+    "sketch_quantile_exact" -> sketchQuantileExactSql)
 }

@@ -67,6 +67,24 @@ class TrainOps4Spec extends AnyFunSuite {
     assert(rows.count(_.getAs[Boolean]("is_member")) == 100)
   }
 
+  test("sketch_quantile_exact: estimates within one bin of the exact order statistic") {
+    import org.apache.spark.sql.functions._
+    val rows = TrainOps4.sketchQuantileExact(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("q_pct")).toSeq == Seq(1L, 5L, 25L, 50L, 75L, 95L, 99L))
+    val cents = graft.Tables.lineitem(spark, sf)
+      .select((col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("c")).collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    val binW = (cents.last - cents.head + 1024) / 1024 + 1
+    rows.foreach { r =>
+      val k = ((r.getAs[Long]("q_pct") * n + 99) / 100).toInt
+      val exact = cents(k - 1)
+      val est = r.getAs[Long]("est_cents")
+      assert(math.abs(est - exact) <= binW,
+        s"q${r.getAs[Long]("q_pct")}: est $est vs exact $exact (bin width $binW)")
+    }
+  }
+
   test("budget_select: greedy per-source selection never exceeds the budget, ranks contiguous") {
     val rows = TrainOps4.budgetSelect(spark, sf).collect()
     assert(rows.nonEmpty)
