@@ -170,4 +170,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cartesian"), plan.take(1000))
     assert(plan.contains("long_dot_product"), "long_dot kernel missing from plan")
   }
+
+  test("sketch point queries broadcast the fixed-size sketch, never shuffle it") {
+    for (q <- Seq("sketch_cms_exact", "sketch_bloom_exact")) {
+      val plan = executedPlan(q)
+      assert(plan.toLowerCase.contains("broadcast"),
+        s"$q: sketch side must broadcast:\n${plan.take(1200)}")
+      assert(!plan.toLowerCase.contains("cartesian"), s"$q: cartesian in plan")
+    }
+  }
+
+  test("pipe_dedup_e2e composition stays join-keyed (no cartesian)") {
+    val plan = executedPlan("pipe_dedup_e2e")
+    assert(!plan.toLowerCase.contains("cartesian"), plan.take(1200))
+  }
 }
