@@ -251,7 +251,13 @@ object Kernels {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
-      val s = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      // skip nulls: DuckDB's md5(NULL) is NULL and MIN ignores it, and
+      // the xxhash64 sibling kernel skips them too — hashing '' here
+      // would silently break the bit-for-bit twin contract on any
+      // caller that feeds null elements
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
+      val s = arr.getUTF8String(i)
       md.reset()
       val dig = md.digest(s.getBytes)
       var v = 0L
@@ -267,6 +273,7 @@ object Kernels {
         j += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(mins)
   }

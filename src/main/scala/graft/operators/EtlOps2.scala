@@ -272,8 +272,12 @@ object EtlOps2 {
       .unionByName(p.filter(col("p_brand").startsWith("Brand#1"))
         .select(col("p_partkey"), lit("quiescent_current_typ").as("param"),
           (col("p_size") * 3).cast("long").cast("string").as("value")))
-    val keys = params.select(col("param")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    // The flatten columns are the RULE SET (static), not the keys
+    // observed in this corpus: a defined-but-unmatched rule emits an
+    // all-'' column. A data-driven schema would silently diverge from
+    // the static oracle on any corpus where a rule matches zero rows
+    // (and would need a driver-side distinct-collect to discover).
+    val keys = Seq("efficiency_typ", "quiescent_current_typ", "switching_frequency_typ")
     val wide = params.groupBy(col("p_partkey").as("doc"))
       .pivot("param", keys).agg(first(col("value")))
     EtlOps.etlFieldVerify(s, d).select(col("doc"), col("confidence"), col("status"))

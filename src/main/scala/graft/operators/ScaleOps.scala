@@ -268,7 +268,10 @@ object ScaleOps {
       else {
         val kids = fs.listStatus(p)
         val maxM = kids.map(_.getModificationTime).foldLeft(0L)(math.max)
-        s"${kids.length}:$maxM"
+        // total bytes too: mtime has 1 s granularity on many
+        // filesystems, so a same-second in-place regeneration with an
+        // unchanged part-file count would otherwise go undetected
+        s"${kids.length}:$maxM:${kids.map(_.getLen).sum}"
       }
     }.mkString("|")
   }
@@ -279,7 +282,7 @@ object ScaleOps {
     * filesystem doesn't), so without this the warehouse grows one
     * table pair per (JVM, corpus) forever.
     */
-  private def reapStaleBucketTables(s: SparkSession): Unit = {
+  private def reapStaleBucketTables(s: SparkSession, knownStale: Set[String]): Unit = {
     val liveTags = {
       import scala.jdk.CollectionConverters._
       bucketTables.values.asScala.map(_.tag).toSet
@@ -288,9 +291,18 @@ object ScaleOps {
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val whPath = new org.apache.hadoop.fs.Path(wh)
     val fs = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // Liveness is only knowable for THIS process's map: a sibling
+    // process sharing the warehouse has live tags this map can't see,
+    // and its tables are necessarily recent. So reap immediately only
+    // tags THIS process knows are stale (the corpus's own superseded
+    // tag), and age-gate everything else — a fresh foreign dir may be
+    // a running sibling's, an hour-old unreferenced one is litter.
+    val minAgeMs = 60L * 60 * 1000
+    val now = System.currentTimeMillis()
     if (fs.exists(whPath)) fs.listStatus(whPath).foreach { st =>
       st.getPath.getName match {
-        case pat(_, tag) if !liveTags.contains(tag) =>
+        case pat(_, tag) if !liveTags.contains(tag) &&
+            (knownStale.contains(tag) || now - st.getModificationTime > minAgeMs) =>
           s.sql(s"DROP TABLE IF EXISTS ${st.getPath.getName}")
           fs.delete(st.getPath, true)
         case _ => ()
@@ -314,8 +326,9 @@ object ScaleOps {
         val again = bucketTables.get(d)
         if (live(again)) again
         else {
+          val superseded = Option(again).map(_.tag).toSet
           bucketTables.remove(d)
-          reapStaleBucketTables(s)
+          reapStaleBucketTables(s, superseded)
           // 64-bit md5 prefix of (corpus dir, fingerprint): a 32-bit
           // String.hashCode can collide across dirs in one JVM and
           // silently serve the wrong corpus's bucket tables; folding

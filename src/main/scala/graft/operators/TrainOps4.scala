@@ -154,24 +154,26 @@ object TrainOps4 {
   val CMS_ROWS = 4
   val CMS_BUCKETS = 1024L
 
-  private def cmsBucket(r: Int, w: Column): Column =
-    pmod(conv(substring(md5(concat(lit(s"c${r}_"), w)), 1, 15), 16, 10).cast("long"),
-      lit(CMS_BUCKETS))
+  private def cmsBucket(r: Column, w: Column): Column =
+    pmod(conv(substring(md5(concat(lit("c"), r.cast("string"), lit("_"), w)), 1, 15),
+      16, 10).cast("long"), lit(CMS_BUCKETS))
 
   val sketchCmsExact: Q = (s, d) => {
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
     val truth = toks.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
-    // fixed-size sketch: 4 independent hash rows over the same stream
-    val sketch = (0 until CMS_ROWS).map { r =>
-      toks.select(lit(r).as("r"), cmsBucket(r, col("w")).as("bucket"))
-    }.reduce(_ unionByName _)
+    // fixed-size sketch: 4 independent hash rows over ONE token scan
+    // (the salt rides as a column through a 4-way explode — a union of
+    // per-row scans would re-read and re-tokenize the corpus 4×)
+    val sketch = toks
+      .select(col("w"), explode(array((0 until CMS_ROWS).map(r => lit(r.toLong)): _*)).as("r"))
+      .select(col("r"), cmsBucket(col("r"), col("w")).as("bucket"))
       .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cell"))
     val queried = truth
       .orderBy(col("true_cnt").desc, col("w")).limit(20)
     val est = (0 until CMS_ROWS).map { r =>
       queried.select(col("w"), col("true_cnt"),
-        lit(r).as("r"), cmsBucket(r, col("w")).as("bucket"))
+        lit(r.toLong).as("r"), cmsBucket(lit(r), col("w")).as("bucket"))
     }.reduce(_ unionByName _)
       .join(broadcast(sketch), Seq("r", "bucket"))
       .groupBy(col("w"), col("true_cnt")).agg(min(col("cell")).as("cms_est"))
