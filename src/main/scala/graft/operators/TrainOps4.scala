@@ -339,13 +339,57 @@ object TrainOps4 {
       |  CAST(mn + (qbin * (mx - mn + 1)) // $QSKETCH_BINS AS BIGINT) AS est_cents, k
       |FROM sel ORDER BY q_pct""".stripMargin
 
+  // --- sketch_kmv_exact: k-minimum-values cardinality sketch --------
+  /** Cardinality estimation completing the sketch quartet (frequency,
+    * membership, quantiles, and now distinct counts — the HLL role):
+    * keep the k smallest 60-bit md5 hash values of the key stream;
+    * the k-th smallest estimates density, so n̂ = (k−1)·U/kth. The
+    * estimate divides on the 2³⁰-scaled kth so every intermediate
+    * fits int64 on both engines ((k−1)·2³⁰ ≤ 2³⁶) — deterministic,
+    * identical rounding, no HUGEINT dependence. Fewer than k distinct
+    * values means the sketch IS the exact set. The sketch state is k
+    * values regardless of corpus size — a TakeOrdered(k), no full
+    * shuffle; true_distinct rides along as the accuracy baseline.
+    */
+  val KMV_K = 64
+
+  val sketchKmvExact: Q = (s, d) => {
+    val h = Tables.documents(s, d)
+      .select(conv(substring(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")),
+        1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val kmin = h.orderBy(col("h")).limit(KMV_K)
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("kk"))
+    val truth = h.agg(count(lit(1)).as("true_distinct"))
+    kmin.crossJoin(truth)
+      .select(col("kk"), col("kth"), col("true_distinct"),
+        expr(s"""CASE WHEN kk < $KMV_K THEN kk
+                 ELSE ((kk - 1) * 1073741824) div greatest(1, kth div 1073741824)
+                 END""").as("est_distinct"))
+  }
+
+  val sketchKmvExactSql: String =
+    s"""WITH h AS (SELECT DISTINCT
+      |         CAST(concat('0x', substr(md5(
+      |           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS h
+      |       FROM documents),
+      |kmin AS (SELECT max(h) AS kth, COUNT(*) AS kk
+      |         FROM (SELECT h FROM h ORDER BY h LIMIT $KMV_K) t),
+      |truth AS (SELECT COUNT(*) AS true_distinct FROM h)
+      |SELECT kk, kth, true_distinct,
+      |  CAST(CASE WHEN kk < $KMV_K THEN kk
+      |       ELSE ((kk - 1) * 1073741824) // greatest(1, kth // 1073741824)
+      |       END AS BIGINT) AS est_distinct
+      |FROM kmin CROSS JOIN truth""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "shuffle_epoch" -> shuffleEpoch,
     "budget_select" -> budgetSelect,
     "corpus_report" -> corpusReport,
     "sketch_cms_exact" -> sketchCmsExact,
     "sketch_bloom_exact" -> sketchBloomExact,
-    "sketch_quantile_exact" -> sketchQuantileExact)
+    "sketch_quantile_exact" -> sketchQuantileExact,
+    "sketch_kmv_exact" -> sketchKmvExact)
 
   val oracles: Map[String, String] = Map(
     "shuffle_epoch" -> shuffleEpochSql,
@@ -353,5 +397,6 @@ object TrainOps4 {
     "corpus_report" -> corpusReportSql,
     "sketch_cms_exact" -> sketchCmsExactSql,
     "sketch_bloom_exact" -> sketchBloomExactSql,
-    "sketch_quantile_exact" -> sketchQuantileExactSql)
+    "sketch_quantile_exact" -> sketchQuantileExactSql,
+    "sketch_kmv_exact" -> sketchKmvExactSql)
 }

@@ -85,6 +85,19 @@ class TrainOps4Spec extends AnyFunSuite {
     }
   }
 
+  test("sketch_kmv_exact: estimate within the k=64 error band of the true cardinality") {
+    val r = TrainOps4.sketchKmvExact(spark, sf).collect()(0)
+    val (kk, truth, est) = (r.getAs[Long]("kk"),
+      r.getAs[Long]("true_distinct"), r.getAs[Long]("est_distinct"))
+    assert(kk <= 64)
+    if (kk < 64) assert(est == truth, "below k the sketch IS the exact set")
+    else {
+      // KMV relative sigma ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma
+      assert(math.abs(est - truth).toDouble / truth <= 0.5,
+        s"estimate $est too far from $truth")
+    }
+  }
+
   test("budget_select: greedy per-source selection never exceeds the budget, ranks contiguous") {
     val rows = TrainOps4.budgetSelect(spark, sf).collect()
     assert(rows.nonEmpty)
