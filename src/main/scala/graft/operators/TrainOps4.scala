@@ -162,12 +162,17 @@ object TrainOps4 {
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
     val truth = toks.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
-    // fixed-size sketch: 4 independent hash rows over ONE token scan
-    // (the salt rides as a column through a 4-way explode — a union of
-    // per-row scans would re-read and re-tokenize the corpus 4×)
-    val sketch = toks
-      .select(col("w"), explode(array((0 until CMS_ROWS).map(r => lit(r.toLong)): _*)).as("r"))
-      .select(col("r"), cmsBucket(col("r"), col("w")).as("bucket"))
+    // fixed-size sketch: 4 independent hash rows, one scan per row.
+    // MEASURED, not assumed: the union form runs 0.7 s at sf0.1 vs
+    // 2.3 s for the "one scan" explode-the-salt form — the documents
+    // scan is tiny next to the hashing, each union leg constant-folds
+    // its salt into the md5 prefix inside one codegen stage, while
+    // chaining a second Generate after the token explode de-fuses the
+    // pipeline. At 100 TB the scan term grows, but so does Spark's
+    // scan-reuse; revisit only with a measurement in hand.
+    val sketch = (0 until CMS_ROWS).map { r =>
+      toks.select(lit(r.toLong).as("r"), cmsBucket(lit(r), col("w")).as("bucket"))
+    }.reduce(_ unionByName _)
       .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cell"))
     val queried = truth
       .orderBy(col("true_cnt").desc, col("w")).limit(20)
