@@ -403,12 +403,81 @@ object ScaleOps {
       |FROM events WHERE event_type = 'click'
       |GROUP BY 1 ORDER BY hour""".stripMargin
 
+  // --- src_zorder_layout: Z-order clustering for 2-D data skipping ---
+  /** The multi-dimension layout technique partitioning can't give:
+    * interleave the bits of (custkey, order-day) into a Morton
+    * z-value, sort the table by it, and BOTH single-dimension
+    * predicates become range-local — a slice on either key touches a
+    * handful of coarse z-tiles instead of all of them, which is what
+    * lets min/max file stats skip data for either predicate on one
+    * physical order. The query measures that locality directly: for
+    * a custkey slice and a date slice, how many of the 64 top-6-bit
+    * z-tiles hold matching rows (linear scans, integer bit math —
+    * deterministic on both engines). The spec asserts both slices
+    * stay under a third of the tiles; a lexicographic (custkey, date)
+    * sort would put every date-slice row in every custkey run.
+    */
+  private def zExprSpark: String =
+    (0 until 16).map(j =>
+      s"shiftleft(shiftright(zx, $j) & 1, ${2 * j}) + shiftleft(shiftright(zy, $j) & 1, ${2 * j + 1})")
+      .mkString(" + ")
+
+  private def zExprSql: String =
+    (0 until 16).map(j =>
+      s"(((zx >> $j) & 1) << ${2 * j}) + (((zy >> $j) & 1) << ${2 * j + 1})")
+      .mkString(" + ")
+
+  val srcZorderLayout: Q = (s, d) => {
+    val z = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_custkey") % 65536).cast("long").as("zx"),
+        (datediff(col("o_orderdate"), to_date(lit("1992-01-01"))) % 65536)
+          .cast("long").as("zy"),
+        col("o_orderdate"))
+      .withColumn("zval", expr(zExprSpark))
+      .withColumn("tile", expr("zval div 131072")) // 2^17: ~6 effective tile bits for these key widths
+    val allRows = z.agg(lit("all_rows").as("predicate"), count(lit(1)).as("n_rows"),
+      countDistinct(col("tile")).as("tiles_touched"))
+    val custSlice = z.filter(col("o_custkey").between(100, 200))
+      .agg(lit("custkey_100_200").as("predicate"), count(lit(1)).as("n_rows"),
+        countDistinct(col("tile")).as("tiles_touched"))
+    val dateSlice = z.filter(col("o_orderdate").between("1996-01-01", "1996-03-31"))
+      .agg(lit("q1_1996").as("predicate"), count(lit(1)).as("n_rows"),
+        countDistinct(col("tile")).as("tiles_touched"))
+    allRows.unionByName(custSlice).unionByName(dateSlice)
+      .orderBy(col("predicate"))
+  }
+
+  val srcZorderLayoutSql: String =
+    s"""WITH z AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate,
+      |    ($zExprSql) AS zval
+      |  FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+      |          o_custkey % 65536 AS zx,
+      |          datediff('day', DATE '1992-01-01', o_orderdate) % 65536 AS zy
+      |        FROM orders) t),
+      |tiled AS (SELECT o_custkey, o_orderdate, zval // 131072 AS tile FROM z)
+      |SELECT * FROM (
+      |  SELECT 'all_rows' AS predicate, COUNT(*) AS n_rows,
+      |    CAST(COUNT(DISTINCT tile) AS BIGINT) AS tiles_touched
+      |  FROM tiled
+      |  UNION ALL
+      |  SELECT 'custkey_100_200', COUNT(*),
+      |    CAST(COUNT(DISTINCT tile) AS BIGINT)
+      |  FROM tiled WHERE o_custkey BETWEEN 100 AND 200
+      |  UNION ALL
+      |  SELECT 'q1_1996', COUNT(*),
+      |    CAST(COUNT(DISTINCT tile) AS BIGINT)
+      |  FROM tiled WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31') u
+      |ORDER BY predicate""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_topk_group" -> qTopkGroup,
     "q_skew_join" -> qSkewJoin,
     "profile_table" -> profileTable,
     "src_format_roundtrip" -> srcFormatRoundtrip,
     "src_partitioned_scan" -> srcPartitionedScan,
+    "src_zorder_layout" -> srcZorderLayout,
     "etl_schema_evolve" -> etlSchemaEvolve,
     "q_bucket_join" -> qBucketJoin)
 
@@ -418,6 +487,7 @@ object ScaleOps {
     "profile_table" -> profileTableSql,
     "src_format_roundtrip" -> srcFormatRoundtripSql,
     "src_partitioned_scan" -> srcPartitionedScanSql,
+    "src_zorder_layout" -> srcZorderLayoutSql,
     "etl_schema_evolve" -> etlSchemaEvolveSql,
     "q_bucket_join" -> qBucketJoinSql)
 }

@@ -102,4 +102,21 @@ class ScaleToolsSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("src_zorder_layout: both single-dimension slices stay tile-local") {
+    import graft.operators.ScaleOps
+    val rows = ScaleOps.srcZorderLayout(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getAs[String]("predicate") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("tiles_touched"))).toMap
+    val (allN, allT) = rows("all_rows")
+    assert(allN > 0 && allT >= 8, s"tile granularity degenerate: $allT tiles")
+    // the z-interleave must localize BOTH predicates: each slice
+    // touches at most half the existing tiles (a lexicographic sort
+    // localizes only its leading key)
+    for (p <- Seq("custkey_100_200", "q1_1996")) {
+      val (n, t) = rows(p)
+      assert(n > 0, s"$p matched nothing — slice out of data range")
+      assert(t * 2 <= allT, s"$p touches $t of $allT tiles — no locality")
+    }
+  }
 }
