@@ -411,11 +411,12 @@ object ScaleOps {
     * handful of coarse z-tiles instead of all of them, which is what
     * lets min/max file stats skip data for either predicate on one
     * physical order. The query measures that locality directly: for
-    * a custkey slice and a date slice, how many of the 64 top-6-bit
-    * z-tiles hold matching rows (linear scans, integer bit math —
-    * deterministic on both engines). The spec asserts both slices
-    * stay under a third of the tiles; a lexicographic (custkey, date)
-    * sort would put every date-slice row in every custkey run.
+    * a custkey slice and a date slice, how many of the occupied
+    * 2^17-wide coarse z-tiles hold matching rows (ONE scan with
+    * conditional aggregation, integer bit math — deterministic on
+    * both engines). The spec asserts each slice touches at most HALF
+    * the occupied tiles; a lexicographic (custkey, date) sort would
+    * put every date-slice row in every custkey run.
     */
   private def zExprSpark: String =
     (0 until 16).map(j =>
@@ -436,15 +437,23 @@ object ScaleOps {
         col("o_orderdate"))
       .withColumn("zval", expr(zExprSpark))
       .withColumn("tile", expr("zval div 131072")) // 2^17: ~6 effective tile bits for these key widths
-    val allRows = z.agg(lit("all_rows").as("predicate"), count(lit(1)).as("n_rows"),
-      countDistinct(col("tile")).as("tiles_touched"))
-    val custSlice = z.filter(col("o_custkey").between(100, 200))
-      .agg(lit("custkey_100_200").as("predicate"), count(lit(1)).as("n_rows"),
-        countDistinct(col("tile")).as("tiles_touched"))
-    val dateSlice = z.filter(col("o_orderdate").between("1996-01-01", "1996-03-31"))
-      .agg(lit("q1_1996").as("predicate"), count(lit(1)).as("n_rows"),
-        countDistinct(col("tile")).as("tiles_touched"))
-    allRows.unionByName(custSlice).unionByName(dateSlice)
+    val cCust = col("o_custkey").between(100, 200)
+    val cDate = col("o_orderdate").between("1996-01-01", "1996-03-31")
+    z.agg(
+        count(lit(1)).as("n_all"), countDistinct(col("tile")).as("t_all"),
+        count(when(cCust, 1)).as("n_cust"),
+        countDistinct(when(cCust, col("tile"))).as("t_cust"),
+        count(when(cDate, 1)).as("n_date"),
+        countDistinct(when(cDate, col("tile"))).as("t_date"))
+      .select(explode(array(
+        struct(lit("all_rows").as("predicate"), col("n_all").as("n_rows"),
+          col("t_all").as("tiles_touched")),
+        struct(lit("custkey_100_200").as("predicate"), col("n_cust").as("n_rows"),
+          col("t_cust").as("tiles_touched")),
+        struct(lit("q1_1996").as("predicate"), col("n_date").as("n_rows"),
+          col("t_date").as("tiles_touched")))).as("r"))
+      .select(col("r.predicate").as("predicate"), col("r.n_rows").as("n_rows"),
+        col("r.tiles_touched").as("tiles_touched"))
       .orderBy(col("predicate"))
   }
 
@@ -456,19 +465,23 @@ object ScaleOps {
       |          o_custkey % 65536 AS zx,
       |          datediff('day', DATE '1992-01-01', o_orderdate) % 65536 AS zy
       |        FROM orders) t),
-      |tiled AS (SELECT o_custkey, o_orderdate, zval // 131072 AS tile FROM z)
+      |tiled AS (SELECT o_custkey, o_orderdate, zval // 131072 AS tile FROM z),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_all,
+      |    CAST(COUNT(DISTINCT tile) AS BIGINT) AS t_all,
+      |    COUNT(*) FILTER (o_custkey BETWEEN 100 AND 200) AS n_cust,
+      |    CAST(COUNT(DISTINCT tile)
+      |      FILTER (o_custkey BETWEEN 100 AND 200) AS BIGINT) AS t_cust,
+      |    COUNT(*) FILTER (o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31') AS n_date,
+      |    CAST(COUNT(DISTINCT tile)
+      |      FILTER (o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31') AS BIGINT) AS t_date
+      |  FROM tiled)
       |SELECT * FROM (
-      |  SELECT 'all_rows' AS predicate, COUNT(*) AS n_rows,
-      |    CAST(COUNT(DISTINCT tile) AS BIGINT) AS tiles_touched
-      |  FROM tiled
+      |  SELECT 'all_rows' AS predicate, n_all AS n_rows, t_all AS tiles_touched FROM agg
       |  UNION ALL
-      |  SELECT 'custkey_100_200', COUNT(*),
-      |    CAST(COUNT(DISTINCT tile) AS BIGINT)
-      |  FROM tiled WHERE o_custkey BETWEEN 100 AND 200
+      |  SELECT 'custkey_100_200', n_cust, t_cust FROM agg
       |  UNION ALL
-      |  SELECT 'q1_1996', COUNT(*),
-      |    CAST(COUNT(DISTINCT tile) AS BIGINT)
-      |  FROM tiled WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31') u
+      |  SELECT 'q1_1996', n_date, t_date FROM agg) u
       |ORDER BY predicate""".stripMargin
 
   val queries: Map[String, Q] = Map(

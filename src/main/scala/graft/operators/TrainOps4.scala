@@ -359,9 +359,13 @@ object TrainOps4 {
   val KMV_K = 64
 
   val sketchKmvExact: Q = (s, d) => {
+    // one key derivation (textKey), and NULLs filtered on BOTH sides:
+    // Spark's orderBy is NULLS FIRST, DuckDB's LIMIT is NULLS LAST —
+    // a null text would put a null hash in one engine's k-window only
     val h = Tables.documents(s, d)
-      .select(conv(substring(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")),
-        1, 15), 16, 10).cast("long").as("h"))
+      .select(conv(substring(textKey(col("text")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .filter(col("h").isNotNull)
       .distinct()
     val kmin = h.orderBy(col("h")).limit(KMV_K)
       .agg(max(col("h")).as("kth"), count(lit(1)).as("kk"))
@@ -377,7 +381,7 @@ object TrainOps4 {
     s"""WITH h AS (SELECT DISTINCT
       |         CAST(concat('0x', substr(md5(
       |           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS h
-      |       FROM documents),
+      |       FROM documents WHERE text IS NOT NULL),
       |kmin AS (SELECT max(h) AS kth, COUNT(*) AS kk
       |         FROM (SELECT h FROM h ORDER BY h LIMIT $KMV_K) t),
       |truth AS (SELECT COUNT(*) AS true_distinct FROM h)
