@@ -184,4 +184,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = executedPlan("pipe_dedup_e2e")
     assert(!plan.toLowerCase.contains("cartesian"), plan.take(1200))
   }
+
+  test("src_zorder_layout reads orders exactly once (conditional agg, not 3 scans)") {
+    val plan = executedPlan("src_zorder_layout")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"$scans scans — locality rows must share one pass:\n${plan.take(1200)}")
+  }
 }
