@@ -276,6 +276,24 @@ object ScaleOps {
     }.mkString("|")
   }
 
+  private val HeartbeatFile = "_graft_heartbeat"
+
+  /** Builders drop a `_graft_heartbeat` marker (underscore prefix —
+    * invisible to Spark scans, like _SUCCESS) in each bucket-table dir
+    * and re-touch it every time the table pair is served, so a sibling
+    * JVM sharing the warehouse keeps its tables visibly live no matter
+    * how long its session runs; the reaper ages on the heartbeat, not
+    * the dir mtime (which never changes after the initial write).
+    */
+  private def touchHeartbeat(s: SparkSession, table: String): Unit = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val dir = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
+    val p = new org.apache.hadoop.fs.Path(dir, HeartbeatFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.setTimes(p, System.currentTimeMillis(), -1)
+    else if (fs.exists(dir)) fs.create(p, true).close()
+  }
+
   /** Reap bucket tables whose tag no session-live corpus owns: drop
     * the catalog entries and delete the warehouse dirs. Previous JVMs
     * leave their `*_bj_*` dirs behind (the catalog forgets them, the
@@ -292,19 +310,26 @@ object ScaleOps {
     val whPath = new org.apache.hadoop.fs.Path(wh)
     val fs = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     // Liveness is only knowable for THIS process's map: a sibling
-    // process sharing the warehouse has live tags this map can't see,
-    // and its tables are necessarily recent. So reap immediately only
-    // tags THIS process knows are stale (the corpus's own superseded
-    // tag), and age-gate everything else — a fresh foreign dir may be
-    // a running sibling's, an hour-old unreferenced one is litter.
+    // process sharing the warehouse has live tags this map can't see.
+    // So reap immediately only tags THIS process knows are stale (the
+    // corpus's own superseded tag), and age-gate everything else on
+    // the table's HEARTBEAT file — a long-running sibling re-touches
+    // it on every serve, so "stale" means no process has used the
+    // table for an hour, not merely that it was CREATED over an hour
+    // ago. Dirs from pre-heartbeat builds fall back to dir mtime.
     val minAgeMs = 60L * 60 * 1000
     val now = System.currentTimeMillis()
     if (fs.exists(whPath)) fs.listStatus(whPath).foreach { st =>
       st.getPath.getName match {
-        case pat(_, tag) if !liveTags.contains(tag) &&
-            (knownStale.contains(tag) || now - st.getModificationTime > minAgeMs) =>
-          s.sql(s"DROP TABLE IF EXISTS ${st.getPath.getName}")
-          fs.delete(st.getPath, true)
+        case pat(_, tag) if !liveTags.contains(tag) =>
+          val hb = new org.apache.hadoop.fs.Path(st.getPath, HeartbeatFile)
+          val lastAlive =
+            if (fs.exists(hb)) fs.getFileStatus(hb).getModificationTime
+            else st.getModificationTime
+          if (knownStale.contains(tag) || now - lastAlive > minAgeMs) {
+            s.sql(s"DROP TABLE IF EXISTS ${st.getPath.getName}")
+            fs.delete(st.getPath, true)
+          }
         case _ => ()
       }
     }
@@ -350,6 +375,8 @@ object ScaleOps {
           e
         }
       }
+    touchHeartbeat(s, s"orders_bj_${entry.tag}")
+    touchHeartbeat(s, s"lineitem_bj_${entry.tag}")
     (s"lineitem_bj_${entry.tag}", s"orders_bj_${entry.tag}")
   }
 

@@ -17,16 +17,33 @@ object TrainOps4 {
     * per epoch, computed WITHOUT a global sort point: the shuffle key
     * is md5(epoch || '_' || doc_id) (stateless, seedable, identical
     * on any cluster size), the 60-bit key prefix places the doc in
-    * one of 32 shards, and rank is a window WITHIN (epoch, shard) —
-    * so the only shuffle is the by-shard exchange and no single
-    * partition ever sees more than ~n/32 rows. A loader streams
-    * shards in order, rows in rank order; at 100 TB shards map to
-    * range-partitioned output files (one writer task each).
+    * one of 32 shards, and rank is
+    * row_number() OVER (PARTITION BY epoch, shard ORDER BY k, doc_id)
+    * — but computed WITHOUT funneling a shard through one task. A
+    * per-shard window would make one partition sort a whole shard
+    * (~3 TB per task at 100 TB); instead the global row_number over
+    * the total (epoch, shard, k, doc_id) order comes from
+    * Rank.globalRowNumber (range-partition on the sort keys +
+    * per-partition rank + broadcast offsets — every task holds a
+    * balanced range slice regardless of shard count or shard skew),
+    * and the per-group rank is rebased by subtracting the group's
+    * first global rank (a SHARDS×EPOCHS-row broadcast aggregate).
+    * Groups are contiguous in the global order, so the two
+    * formulations are identical row-for-row — the oracle stays the
+    * plain window SQL. A loader streams shards in order, rows in
+    * rank order; shards map to output files, parallelism to range
+    * slices, and neither is a per-task sort ceiling.
     */
   val EPOCHS = 2
   val SHARDS = 32
 
-  val shuffleEpoch: Q = (s, d) => {
+  /** The ranked frame before the presentation sort — partitioning here
+    * is globalRowNumber's balanced range slices (broadcast joins keep
+    * the streamed side's partitioning), which is what the scale spec
+    * measures: no slice holds more than ~n/parallelism rows no matter
+    * how skewed the (epoch, shard) groups are.
+    */
+  def shuffleEpochRanked(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val epochs = (0 until EPOCHS).map(e => docs.withColumn("epoch", lit(e.toLong)))
       .reduce(_ unionByName _)
@@ -34,12 +51,17 @@ object TrainOps4 {
       .cast("long")
     val keyed = epochs.withColumn("k", key)
       .withColumn("shard", pmod(col("k"), lit(SHARDS.toLong)))
-    val w = Window.partitionBy(col("epoch"), col("shard"))
-      .orderBy(col("k"), col("doc_id"))
-    keyed.withColumn("pos", row_number().over(w).cast("long"))
+    val ranked = Rank.globalRowNumber(keyed,
+      Seq(col("epoch"), col("shard"), col("k"), col("doc_id")), "__grn")
+    val bases = ranked.groupBy(col("epoch"), col("shard"))
+      .agg(min(col("__grn")).as("__base"))
+    ranked.join(broadcast(bases), Seq("epoch", "shard"))
+      .withColumn("pos", col("__grn") - col("__base") + lit(1L))
       .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
-      .orderBy(col("epoch"), col("shard"), col("pos"))
   }
+
+  val shuffleEpoch: Q = (s, d) =>
+    shuffleEpochRanked(s, d).orderBy(col("epoch"), col("shard"), col("pos"))
 
   val shuffleEpochSql: String =
     s"""WITH ep AS (SELECT doc_id, e.epoch
@@ -120,9 +142,14 @@ object TrainOps4 {
       countDistinct(col("h")).as("n_distinct"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
         col("min_chars"), col("max_chars"),
-        expr("(sum_chars * 1000000) div n_docs").as("mean_chars_ppm"),
+        // scaled numerators in DECIMAL(38,0) before the integral div
+        // (same class as embed_dim_stats): sum_chars * 1e6 wraps int64
+        // at ~9 TB of text per source — exactly this op's target scale
+        expr("(cast(sum_chars as decimal(38,0)) * 1000000) div n_docs")
+          .as("mean_chars_ppm"),
         col("n_langs"),
-        expr("((n_docs - n_distinct) * 1000000) div n_docs").as("dup_rate_ppm"))
+        expr("(cast(n_docs - n_distinct as decimal(38,0)) * 1000000) div n_docs")
+          .as("dup_rate_ppm"))
       .orderBy(col("source"))
   }
 
@@ -134,9 +161,9 @@ object TrainOps4 {
       |SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-      |  CAST(CAST(SUM(n_chars) AS BIGINT) * 1000000 // COUNT(*) AS BIGINT) AS mean_chars_ppm,
+      |  CAST(CAST(SUM(n_chars) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS mean_chars_ppm,
       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-      |  CAST((COUNT(*) - COUNT(DISTINCT h)) * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_ppm
+      |  CAST(CAST(COUNT(*) - COUNT(DISTINCT h) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_ppm
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
   // --- sketch_cms_exact: count-min sketch with derivable hashes ------
@@ -229,7 +256,12 @@ object TrainOps4 {
     md5(regexp_replace(lower(trim(t)), "\\s+", " "))
 
   val sketchBloomExact: Q = (s, d) => {
-    val corpusKeys = Tables.documents(s, d).select(textKey(col("text")).as("key")).distinct()
+    // NULL texts hash to NULL keys; keep them out of the key set on
+    // BOTH engines — a NULL in DuckDB's IN-subquery would turn every
+    // non-matching membership probe into NULL (three-valued logic)
+    // while Spark's left-join coalesces to false
+    val corpusKeys = Tables.documents(s, d).select(textKey(col("text")).as("key"))
+      .filter(col("key").isNotNull).distinct()
     val bits = (0 until BLOOM_K).map(k =>
       corpusKeys.select(lit(k).as("k"), bloomBit(k, col("key")).as("bit")))
       .reduce(_ unionByName _).distinct()
@@ -258,7 +290,7 @@ object TrainOps4 {
   val sketchBloomExactSql: String =
     s"""WITH keyc AS (SELECT DISTINCT
       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS key
-      |       FROM documents),
+      |       FROM documents WHERE text IS NOT NULL),
       |ks AS (SELECT unnest(range($BLOOM_K)) AS k),
       |bits AS (SELECT DISTINCT ks.k,
       |           CAST(concat('0x', substr(md5('b' || ks.k || '_' || key), 1, 15)) AS BIGINT)
@@ -280,8 +312,9 @@ object TrainOps4 {
       |       FROM probes p LEFT JOIN bits b ON b.k = p.k AND b.bit = p.bit
       |       GROUP BY p.doc_id, p.key)
       |SELECT doc_id, nbits = $BLOOM_K AS in_bloom,
-      |  key IN (SELECT key FROM keyc) AS is_member,
-      |  nbits = $BLOOM_K AND key NOT IN (SELECT key FROM keyc) AS false_positive
+      |  COALESCE(key IN (SELECT key FROM keyc), FALSE) AS is_member,
+      |  nbits = $BLOOM_K AND NOT COALESCE(key IN (SELECT key FROM keyc), FALSE)
+      |    AS false_positive
       |FROM hc ORDER BY doc_id""".stripMargin
 
   // --- sketch_quantile_exact: histogram quantile sketch --------------
