@@ -285,13 +285,24 @@ object ScaleOps {
     * how long its session runs; the reaper ages on the heartbeat, not
     * the dir mtime (which never changes after the initial write).
     */
-  private def touchHeartbeat(s: SparkSession, table: String): Unit = {
+  /** Returns false when the table dir is gone — including when a
+    * sibling JVM's reaper deletes it BETWEEN the exists check and the
+    * touch (the FileNotFoundException is that race, not an error). A
+    * false return is a liveness signal: the caller must invalidate its
+    * memoized entry and rebuild.
+    */
+  private def touchHeartbeat(s: SparkSession, table: String): Boolean = {
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val dir = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
     val p = new org.apache.hadoop.fs.Path(dir, HeartbeatFile)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.setTimes(p, System.currentTimeMillis(), -1)
-    else if (fs.exists(dir)) fs.create(p, true).close()
+    try {
+      if (fs.exists(p)) { fs.setTimes(p, System.currentTimeMillis(), -1); true }
+      else if (fs.exists(dir)) { fs.create(p, true).close(); true }
+      else false
+    } catch {
+      case _: java.io.FileNotFoundException => false
+    }
   }
 
   /** Reap bucket tables whose tag no session-live corpus owns: drop
@@ -323,9 +334,14 @@ object ScaleOps {
       st.getPath.getName match {
         case pat(_, tag) if !liveTags.contains(tag) =>
           val hb = new org.apache.hadoop.fs.Path(st.getPath, HeartbeatFile)
+          // a sibling process can reap this same dir between listStatus
+          // and here — a vanished heartbeat falls back to the listed
+          // dir mtime (already in memory) instead of aborting the pass
+          // (and the enclosing bucket-table build); fs.delete on an
+          // already-reaped dir is a no-op
           val lastAlive =
-            if (fs.exists(hb)) fs.getFileStatus(hb).getModificationTime
-            else st.getModificationTime
+            try fs.getFileStatus(hb).getModificationTime
+            catch { case _: java.io.FileNotFoundException => st.getModificationTime }
           if (knownStale.contains(tag) || now - lastAlive > minAgeMs) {
             s.sql(s"DROP TABLE IF EXISTS ${st.getPath.getName}")
             fs.delete(st.getPath, true)
@@ -336,6 +352,27 @@ object ScaleOps {
   }
 
   private[graft] def ensureBucketTables(s: SparkSession, d: String): (String, String) = {
+    // Serve loop: a sibling JVM's reaper can delete our tables between
+    // the liveness check and the heartbeat touch (the tables are
+    // reapable once idle >1h even in a live session). A failed touch
+    // invalidates the memo AND the catalog entries so the next pass
+    // takes the rebuild path instead of re-serving a deleted dir.
+    var attempt = 0
+    while (attempt < 3) {
+      val entry = obtainBucketEntry(s, d)
+      if (touchHeartbeat(s, s"orders_bj_${entry.tag}") &&
+          touchHeartbeat(s, s"lineitem_bj_${entry.tag}"))
+        return (s"lineitem_bj_${entry.tag}", s"orders_bj_${entry.tag}")
+      bucketTables.remove(d, entry)
+      s.sql(s"DROP TABLE IF EXISTS orders_bj_${entry.tag}")
+      s.sql(s"DROP TABLE IF EXISTS lineitem_bj_${entry.tag}")
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"bucket tables for $d reaped concurrently 3 times in a row")
+  }
+
+  private def obtainBucketEntry(s: SparkSession, d: String): BucketEntry = {
     val fp = corpusFingerprint(s, d)
     // an entry only counts as live if the corpus is unchanged AND both
     // tables still exist in THIS session's catalog (the first builder
@@ -375,9 +412,7 @@ object ScaleOps {
           e
         }
       }
-    touchHeartbeat(s, s"orders_bj_${entry.tag}")
-    touchHeartbeat(s, s"lineitem_bj_${entry.tag}")
-    (s"lineitem_bj_${entry.tag}", s"orders_bj_${entry.tag}")
+    entry
   }
 
   val qBucketJoin: Q = (s, d) => {

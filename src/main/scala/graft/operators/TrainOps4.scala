@@ -23,16 +23,20 @@ object TrainOps4 {
     * per-shard window would make one partition sort a whole shard
     * (~3 TB per task at 100 TB); instead the global row_number over
     * the total (epoch, shard, k, doc_id) order comes from
-    * Rank.globalRowNumber (range-partition on the sort keys +
-    * per-partition rank + broadcast offsets — every task holds a
-    * balanced range slice regardless of shard count or shard skew),
-    * and the per-group rank is rebased by subtracting the group's
-    * first global rank (a SHARDS×EPOCHS-row broadcast aggregate).
-    * Groups are contiguous in the global order, so the two
-    * formulations are identical row-for-row — the oracle stays the
-    * plain window SQL. A loader streams shards in order, rows in
-    * rank order; shards map to output files, parallelism to range
-    * slices, and neither is a per-task sort ceiling.
+    * Rank.globalRowNumber (ONE range shuffle + in-partition sort +
+    * projection-derived local rank + broadcast offsets — every task
+    * holds a balanced range slice regardless of shard count or shard
+    * skew), and the per-group rank is rebased to the group's first
+    * global rank. The base is NOT re-aggregated from the ranked
+    * frame: groups are contiguous in the global order, so
+    * base(epoch, shard) = 1 + Σ counts of lexically earlier groups —
+    * a SHARDS×EPOCHS-row aggregate over the keyed input with a
+    * broadcast theta-join running sum, never touching the ranked
+    * subtree twice. The two formulations are identical row-for-row —
+    * the oracle stays the plain window SQL. A loader streams shards
+    * in order, rows in rank order; shards map to output files,
+    * parallelism to range slices, and neither is a per-task sort
+    * ceiling.
     */
   val EPOCHS = 2
   val SHARDS = 32
@@ -40,8 +44,9 @@ object TrainOps4 {
   /** The ranked frame before the presentation sort — partitioning here
     * is globalRowNumber's balanced range slices (broadcast joins keep
     * the streamed side's partitioning), which is what the scale spec
-    * measures: no slice holds more than ~n/parallelism rows no matter
-    * how skewed the (epoch, shard) groups are.
+    * measures: the data is shuffled exactly once (the range exchange),
+    * and no slice holds more than ~n/parallelism rows no matter how
+    * skewed the (epoch, shard) groups are.
     */
   def shuffleEpochRanked(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
@@ -53,8 +58,19 @@ object TrainOps4 {
       .withColumn("shard", pmod(col("k"), lit(SHARDS.toLong)))
     val ranked = Rank.globalRowNumber(keyed,
       Seq(col("epoch"), col("shard"), col("k"), col("doc_id")), "__grn")
-    val bases = ranked.groupBy(col("epoch"), col("shard"))
-      .agg(min(col("__grn")).as("__base"))
+    // Group bases WITHOUT re-deriving the ranked subtree: groups are
+    // contiguous in the (epoch, shard, k, doc_id) order, so a group's
+    // first global rank is 1 + the total count of lexically earlier
+    // groups. One map-side-combined aggregate (≤ EPOCHS×SHARDS rows)
+    // plus a broadcast theta-join running sum over that bounded frame.
+    val gcnt = keyed.groupBy(col("epoch"), col("shard")).agg(count(lit(1)).as("__cnt"))
+    val bases = gcnt.alias("a")
+      .join(broadcast(gcnt.alias("b")),
+        col("b.epoch") < col("a.epoch") ||
+          (col("b.epoch") === col("a.epoch") && col("b.shard") < col("a.shard")),
+        "left")
+      .groupBy(col("a.epoch").as("epoch"), col("a.shard").as("shard"))
+      .agg((coalesce(sum(col("b.__cnt")), lit(0L)) + 1L).as("__base"))
     ranked.join(broadcast(bases), Seq("epoch", "shard"))
       .withColumn("pos", col("__grn") - col("__base") + lit(1L))
       .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))

@@ -157,12 +157,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"event_type not a partition filter:\n${plan.take(1500)}")
   }
 
-  test("shuffle_epoch windows stay sharded — no single-partition global sort") {
+  test("shuffle_epoch rank is one range shuffle — no single-partition stage, no Window") {
     val plan = executedPlan("shuffle_epoch")
-    // the rank window must be hash-partitioned by (epoch, shard); the
-    // only SinglePartition allowed is none (final sort is range)
+    // globalRowNumber's offsets are a broadcast theta-join over the
+    // bounded counts frame, so NOTHING in the plan — data path or
+    // metadata path — may demand a SinglePartition distribution
     assert(!plan.contains("SinglePartition"),
-      s"global-order window would serialize at scale:\n${plan.take(1500)}")
+      s"global-order stage would serialize at scale:\n${plan.take(1500)}")
+    // the rank itself is a projection over range-sorted slices
+    // (monotonically_increasing_id low bits), not a Window operator —
+    // the data takes exactly one shuffle, the range exchange
+    assert(!plan.contains("Window"),
+      s"rank must be projection-derived, not a window:\n${plan.take(1500)}")
+    assert(plan.contains("rangepartitioning"),
+      s"balanced range slices missing from plan:\n${plan.take(1500)}")
+    graft.Caches.release(blocking = true)
   }
 
   test("dedup_embedding_exact scores with the codegen'd long-dot kernel") {

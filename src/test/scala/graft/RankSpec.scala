@@ -22,13 +22,20 @@ class RankSpec extends AnyFunSuite {
     assert(scalable == naive)
   }
 
-  test("globalRowNumber plan range-partitions and windows per partition") {
+  test("globalRowNumber plan is one range shuffle, no Window, no SinglePartition") {
     val orders = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
     val plan = Rank.globalRowNumber(
       orders, Seq(col("o_totalprice").desc, col("o_orderkey")), "priority")
       .queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"), s"expected a range shuffle:\n$plan")
-    assert(plan.contains("[__pid"), s"expected data-side window partitioned by __pid:\n$plan")
+    // local rank is a projection over the range-sorted slices
+    // (monotonically_increasing_id low bits) — no Window operator, and
+    // the offsets running sum is a broadcast theta-join over the
+    // bounded counts frame — no SinglePartition anywhere
+    assert(!plan.contains("Window"), s"rank must be projection-derived:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"no stage may serialize:\n$plan")
+    assert(plan.contains("monotonically_increasing_id"), s"local-rank projection missing:\n$plan")
+    graft.Caches.release(blocking = true)
   }
 
   test("globalRowNumber handles empty input") {
