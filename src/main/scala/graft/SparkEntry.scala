@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, DiagramOps, EtlOps, EtlOps2, ExtractPipeline, GraphOps, Inference, MultiModal, RegionOps, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, ScaleOps, Similarity, TableAssembly, TextOps, TrainOps, TrainOps2, TrainOps3, TrainOps4}
+import graft.operators.{AsOf, Dedup, DiagramOps, EtlOps, EtlOps2, EtlOps3, ExtractPipeline, GraphOps, Inference, MultiModal, RegionOps, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, ScaleOps, Similarity, TableAssembly, TextOps, TrainOps, TrainOps2, TrainOps3, TrainOps4}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -15,7 +15,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++ Relational5.queries ++ Relational6.queries ++ AsOf.queries ++
-      EtlOps.queries ++ EtlOps2.queries ++ TextOps.queries ++
+      EtlOps.queries ++ EtlOps2.queries ++ EtlOps3.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ MultiModal.queries ++
       Inference.queries ++ TableAssembly.queries ++ DiagramOps.queries ++
       ExtractPipeline.queries ++ RegionOps.queries ++ ScaleOps.queries ++
@@ -27,7 +27,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       Relational4.oracles ++ Relational5.oracles ++ Relational6.oracles ++ AsOf.oracles ++
-      EtlOps.oracles ++ EtlOps2.oracles ++ TextOps.oracles ++
+      EtlOps.oracles ++ EtlOps2.oracles ++ EtlOps3.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ MultiModal.oracles ++
       Inference.oracles ++ TableAssembly.oracles ++ DiagramOps.oracles ++
       ExtractPipeline.oracles ++ RegionOps.oracles ++ ScaleOps.oracles ++

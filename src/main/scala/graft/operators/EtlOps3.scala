@@ -1,0 +1,273 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2B reference-ETL operators, part 3: position-based merged-cell
+  * detection and the vision-fallback routing decision — the
+  * merge_detector half of the reference's extraction pipeline
+  * re-expressed as distributed per-(table, column) aggregates.
+  */
+object EtlOps3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NROWS = 6L
+  private val NCOLS = 4L
+
+  /** Deterministic synthetic cell frame standing in for the per-page
+    * `(raw_table, char_positions)` pair (merge_detector.py:192-203):
+    * one table per document, NROWS×NCOLS cells, each with nullable
+    * content and an (x_start, x_end) character span. Widths hover
+    * around a per-column base (40 + 10·col, ±3 jitter) except for
+    * deterministic "merged" cells (every 11th (table,row,col)
+    * residue) that are ~2× or ~3× the base — the ground truth the
+    * position detector must recover. Content cycles NULL and four
+    * phrases, two of which are category headers, so the empty-pattern
+    * detector has real work too. All coordinates are integers so both
+    * engines compute bit-identical widths.
+    */
+  private def positionCells(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id").as("table_id"))
+      .withColumn("row_idx", explode(sequence(lit(0L), lit(NROWS - 1))))
+      .withColumn("col_idx", explode(sequence(lit(0L), lit(NCOLS - 1))))
+      .withColumn("res", pmod(col("table_id") * 3 + col("row_idx") * 2 + col("col_idx"), lit(5L)))
+      .withColumn("content",
+        when(col("res") === 1, "Electrical Characteristics")
+          .when(col("res") === 2, "3.3")
+          .when(col("res") === 3, "VIN max")
+          .when(col("res") === 4, "Operating Conditions"))
+      .withColumn("base", lit(40L) + col("col_idx") * 10)
+      .withColumn("width",
+        when(pmod(col("table_id") + col("row_idx") + col("col_idx"), lit(11L)) === 0,
+          when(pmod(col("table_id") + col("row_idx") * 2 + col("col_idx"), lit(2L)) === 0,
+            col("base") * 2 + 12).otherwise(col("base") * 3 + 20))
+          .otherwise(col("base") +
+            pmod(col("table_id") + col("row_idx") * 3 + col("col_idx") * 5, lit(7L)) - 3))
+      .select(col("table_id"), col("row_idx"), col("col_idx"), col("content"),
+        (col("col_idx") * 80).as("x_start"),
+        (col("col_idx") * 80 + col("width")).as("x_end"))
+
+  /** The same frame as a DuckDB CTE body, shared by both oracles. */
+  private val cellsSql: String =
+    """cells AS (
+      |  SELECT doc_id AS table_id, r.row_idx, c.col_idx,
+      |    CASE (doc_id * 3 + r.row_idx * 2 + c.col_idx) % 5
+      |      WHEN 1 THEN 'Electrical Characteristics'
+      |      WHEN 2 THEN '3.3'
+      |      WHEN 3 THEN 'VIN max'
+      |      WHEN 4 THEN 'Operating Conditions' END AS content,
+      |    c.col_idx * 80 AS x_start,
+      |    c.col_idx * 80 +
+      |      CASE WHEN (doc_id + r.row_idx + c.col_idx) % 11 = 0
+      |        THEN CASE WHEN (doc_id + r.row_idx * 2 + c.col_idx) % 2 = 0
+      |          THEN (40 + c.col_idx * 10) * 2 + 12
+      |          ELSE (40 + c.col_idx * 10) * 3 + 20 END
+      |        ELSE 40 + c.col_idx * 10 + ((doc_id + r.row_idx * 3 + c.col_idx * 5) % 7) - 3
+      |      END AS x_end
+      |  FROM documents
+      |  CROSS JOIN (SELECT unnest(range(6)) AS row_idx) r
+      |  CROSS JOIN (SELECT unnest(range(4)) AS col_idx) c)""".stripMargin
+
+  // --- etl_merge_positions: x-coordinate merged-cell detection -------
+  /** Distributed `_detect_by_positions` (merge_detector.py:192-231 with
+    * `_calculate_column_widths`, :233-255): a cell whose x-span beats
+    * 1.5× its column's typical width is a horizontal merge spanning
+    * `width div typical` columns, confidence 0.90. "Typical" is the
+    * reference's exact discrete median — the value at sorted index
+    * n//2 — computed per (table, col) over ALL positioned cells
+    * (empty-content cells included, exactly as the reference's width
+    * pass is content-blind while its detection pass is content-only).
+    * Everything is ONE shuffle: a single window partitioned by
+    * (table_id, col_idx) carries the rank, the count, and the
+    * median-pick; detection is then a stateless filter. At 100 TB the
+    * shuffle key is (table, column) — millions of small independent
+    * groups, no skew ceiling, no join.
+    */
+  val etlMergePositions: Q = (s, d) => {
+    val byCol = Window.partitionBy(col("table_id"), col("col_idx"))
+    val ordByW = byCol.orderBy(col("w"), col("row_idx"))
+    positionCells(s, d)
+      .withColumn("w", col("x_end") - col("x_start"))
+      .withColumn("rn", row_number().over(ordByW).cast("long"))
+      .withColumn("n", count(lit(1)).over(byCol))
+      // discrete median, reference semantics: sorted[n // 2] (ties
+      // carry equal values, so the tiebreak order cannot change it)
+      .withColumn("typical", max(when(col("rn") === expr("n div 2 + 1"), col("w"))).over(byCol))
+      .filter(col("content").isNotNull && length(trim(col("content"))) > 0)
+      // width > 1.5 × typical, in exact integer arithmetic
+      .filter(col("w") * 2 > col("typical") * 3)
+      .withColumn("span", expr("w div typical"))
+      .filter(col("span") > 1)
+      .select(col("table_id"), col("row_idx"), col("col_idx").as("col_start"),
+        (col("col_idx") + col("span") - 1).as("col_end"), col("span"),
+        col("content"), lit(0.9).as("confidence"))
+      .orderBy(col("table_id"), col("row_idx"), col("col_start"))
+  }
+
+  val etlMergePositionsSql: String =
+    s"""WITH $cellsSql,
+      |wd AS (SELECT *, x_end - x_start AS w FROM cells),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY table_id, col_idx ORDER BY w, row_idx) AS rn,
+      |        COUNT(*) OVER (PARTITION BY table_id, col_idx) AS n
+      |      FROM wd),
+      |t AS (SELECT *, MAX(CASE WHEN rn = n // 2 + 1 THEN w END)
+      |        OVER (PARTITION BY table_id, col_idx) AS typical FROM r)
+      |SELECT table_id, row_idx, col_idx AS col_start,
+      |  col_idx + (w // typical) - 1 AS col_end, w // typical AS span,
+      |  content, CAST(0.9 AS DOUBLE) AS confidence
+      |FROM t
+      |WHERE content IS NOT NULL AND length(trim(content)) > 0
+      |  AND w * 2 > typical * 3 AND w // typical > 1
+      |ORDER BY table_id, row_idx, col_start""".stripMargin
+
+  // --- etl_vision_route: merge confidence → extraction routing -------
+  /** `get_confidence` / `needs_vision_fallback` (merge_detector.py:
+    * 398-417) stacked with the double-verifier's status rule
+    * (double_verifier.py:365-384): per table, run BOTH horizontal-merge
+    * detectors (positions at 0.90, empty-pattern at 0.70 gated on
+    * `_is_category_header` — merge_detector.py:150-189), deduplicate by
+    * (row, col_start) keeping the highest confidence
+    * (merge_detector.py:288-301), then
+    *   merge_conf = avg(confidence), or 1.0 for a merge-free table;
+    *   needs_vision = merge_conf < 0.60 (CONFIDENCE_THRESHOLD).
+    * Detector disagreements (a merge one detector sees and the other
+    * does not) play the verifier-conflict role: span ≥ 3 is high
+    * severity (-0.050), else medium (-0.025), and the route stacks the
+    * reference's two fallbacks in its order: vision when merge_conf is
+    * low, manual_review on any high-severity disagreement, then
+    * low_confidence, then auto. Confidences are exact integer ppm so
+    * the gate hash-compares. Faithful quirk: the reference's detector
+    * confidences are all ≥ 0.70, so merge_conf alone can never dip
+    * below 0.60 — vision routing is only reachable through the
+    * verification stack, which is precisely why the pipeline stacks
+    * them. Plan: two window passes over the same cell frame, one
+    * (table,row,col) dedup aggregate, one per-table aggregate, one
+    * equi-join back to tables — every stage keyed by table_id or
+    * finer, nothing broadcast-unbounded, no skew ceiling at 100 TB.
+    */
+  val etlVisionRoute: Q = (s, d) => {
+    val cells = positionCells(s, d).withColumn("w", col("x_end") - col("x_start"))
+    val hasContent = col("content").isNotNull && length(trim(col("content"))) > 0
+
+    val byCol = Window.partitionBy(col("table_id"), col("col_idx"))
+    val posM = cells
+      .withColumn("rn", row_number().over(byCol.orderBy(col("w"), col("row_idx"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byCol))
+      .withColumn("typical", max(when(col("rn") === expr("n div 2 + 1"), col("w"))).over(byCol))
+      .filter(hasContent && col("w") * 2 > col("typical") * 3)
+      .withColumn("span", expr("w div typical"))
+      .filter(col("span") > 1)
+      .select(col("table_id"), col("row_idx"), col("col_idx").as("col_start"),
+        col("span"), lit(900000L).as("conf_ppm"))
+
+    val wNext = Window.partitionBy(col("table_id"), col("row_idx")).orderBy(col("col_idx"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val patM = cells
+      .withColumn("next_c", min(when(hasContent, col("col_idx"))).over(wNext))
+      .withColumn("span", coalesce(col("next_c"), lit(NCOLS)) - col("col_idx"))
+      .filter(hasContent && col("span") >= 2 && col("span") <= 4 &&
+        EtlOps2.isCategoryHeader(col("content")))
+      .select(col("table_id"), col("row_idx"), col("col_idx").as("col_start"),
+        col("span"), lit(700000L).as("conf_ppm"))
+
+    val merged = posM.unionByName(patM)
+      .groupBy(col("table_id"), col("row_idx"), col("col_start"))
+      .agg(max(col("conf_ppm")).as("conf_ppm"), count(lit(1)).as("n_det"),
+        max(col("span")).as("span"))
+    val perTable = merged.groupBy(col("table_id")).agg(
+      count(lit(1)).as("nm"),
+      sum(col("conf_ppm")).as("sum_conf"),
+      sum(when(col("n_det") === 1 && col("span") >= 3, 1L).otherwise(0L)).as("nh"),
+      sum(when(col("n_det") === 1 && col("span") < 3, 1L).otherwise(0L)).as("nmed"))
+
+    Tables.documents(s, d).select(col("doc_id").as("table_id"))
+      .join(perTable, Seq("table_id"), "left")
+      .select(col("table_id"),
+        coalesce(col("nm"), lit(0L)).as("n_merges"),
+        when(col("nm").isNull, lit(1000000L))
+          .otherwise(expr("sum_conf div nm")).as("merge_conf_ppm"),
+        coalesce(col("nh"), lit(0L)).as("n_high"),
+        coalesce(col("nmed"), lit(0L)).as("n_medium"))
+      .withColumn("verify_conf_ppm",
+        greatest(lit(0L), lit(1000000L) - col("n_high") * 50000 - col("n_medium") * 25000))
+      .withColumn("needs_vision", col("merge_conf_ppm") < 600000)
+      .withColumn("route",
+        when(col("needs_vision"), "vision")
+          .when(col("n_high") > 0, "manual_review")
+          .when(col("verify_conf_ppm") < 600000, "low_confidence")
+          .otherwise("auto"))
+      .orderBy(col("table_id"))
+  }
+
+  private val headerPredSql: String =
+    """(regexp_matches(lower(trim(content)), '^(input|output|power|thermal|timing|electrical)')
+      | OR regexp_matches(lower(trim(content)), 'characteristics$')
+      | OR regexp_matches(lower(trim(content)), '^(absolute|recommended|operating)')
+      | OR regexp_matches(lower(trim(content)), 'conditions$')
+      | OR regexp_matches(lower(trim(content)), '^(dc|ac)\s')
+      | OR CAST(length(regexp_replace(trim(content), '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |    / length(trim(content)) > 0.8)""".stripMargin
+
+  val etlVisionRouteSql: String =
+    s"""WITH $cellsSql,
+      |wd AS (SELECT *, x_end - x_start AS w FROM cells),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY table_id, col_idx ORDER BY w, row_idx) AS rn,
+      |        COUNT(*) OVER (PARTITION BY table_id, col_idx) AS n
+      |      FROM wd),
+      |t AS (SELECT *, MAX(CASE WHEN rn = n // 2 + 1 THEN w END)
+      |        OVER (PARTITION BY table_id, col_idx) AS typical FROM r),
+      |pos AS (SELECT table_id, row_idx, col_idx AS col_start,
+      |          w // typical AS span, 900000 AS conf_ppm
+      |        FROM t
+      |        WHERE content IS NOT NULL AND length(trim(content)) > 0
+      |          AND w * 2 > typical * 3 AND w // typical > 1),
+      |nx AS (SELECT *,
+      |         MIN(CASE WHEN content IS NOT NULL AND length(trim(content)) > 0
+      |               THEN col_idx END)
+      |           OVER (PARTITION BY table_id, row_idx ORDER BY col_idx
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
+      |       FROM wd),
+      |pat AS (SELECT table_id, row_idx, col_idx AS col_start,
+      |          COALESCE(next_c, 4) - col_idx AS span, 700000 AS conf_ppm
+      |        FROM nx
+      |        WHERE content IS NOT NULL AND length(trim(content)) > 0
+      |          AND COALESCE(next_c, 4) - col_idx BETWEEN 2 AND 4
+      |          AND $headerPredSql),
+      |mg AS (SELECT table_id, row_idx, col_start, MAX(conf_ppm) AS conf_ppm,
+      |         COUNT(*) AS n_det, MAX(span) AS span
+      |       FROM (SELECT * FROM pos UNION ALL SELECT * FROM pat)
+      |       GROUP BY 1, 2, 3),
+      |pt AS (SELECT table_id, COUNT(*) AS nm, SUM(conf_ppm) AS sum_conf,
+      |         SUM(CASE WHEN n_det = 1 AND span >= 3 THEN 1 ELSE 0 END) AS nh,
+      |         SUM(CASE WHEN n_det = 1 AND span < 3 THEN 1 ELSE 0 END) AS nmed
+      |       FROM mg GROUP BY 1),
+      |j AS (SELECT d.doc_id AS table_id,
+      |        CAST(COALESCE(pt.nm, 0) AS BIGINT) AS n_merges,
+      |        CAST(CASE WHEN pt.nm IS NULL THEN 1000000
+      |             ELSE pt.sum_conf // pt.nm END AS BIGINT) AS merge_conf_ppm,
+      |        CAST(COALESCE(pt.nh, 0) AS BIGINT) AS n_high,
+      |        CAST(COALESCE(pt.nmed, 0) AS BIGINT) AS n_medium
+      |      FROM documents d LEFT JOIN pt ON pt.table_id = d.doc_id)
+      |SELECT table_id, n_merges, merge_conf_ppm, n_high, n_medium,
+      |  CAST(GREATEST(0, 1000000 - n_high * 50000 - n_medium * 25000) AS BIGINT)
+      |    AS verify_conf_ppm,
+      |  merge_conf_ppm < 600000 AS needs_vision,
+      |  CASE WHEN merge_conf_ppm < 600000 THEN 'vision'
+      |       WHEN n_high > 0 THEN 'manual_review'
+      |       WHEN GREATEST(0, 1000000 - n_high * 50000 - n_medium * 25000) < 600000
+      |         THEN 'low_confidence'
+      |       ELSE 'auto' END AS route
+      |FROM j ORDER BY table_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "etl_merge_positions" -> etlMergePositions,
+    "etl_vision_route" -> etlVisionRoute)
+
+  val oracles: Map[String, String] = Map(
+    "etl_merge_positions" -> etlMergePositionsSql,
+    "etl_vision_route" -> etlVisionRouteSql)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EtlOps3Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("etl_merge_positions recovers exactly the synthetic wide cells") {
+    val got = SparkEntry.queries("etl_merge_positions")(spark, sf).collect()
+    assert(got.nonEmpty)
+    // ground truth from the generator: a cell is wide iff
+    // (table + row + col) % 11 == 0, and detectable iff its content is
+    // non-null, i.e. (3·table + 2·row + col) % 5 != 0
+    val nDocs = Tables.documents(spark, sf).count()
+    val expected = (for {
+      t <- 0L until nDocs
+      r <- 0L until 6L
+      c <- 0L until 4L
+      if (t + r + c) % 11 == 0 && (3 * t + 2 * r + c) % 5 != 0
+    } yield (t, r, c)).toSet
+    val found = got.map(x =>
+      (x.getAs[Long]("table_id"), x.getAs[Long]("row_idx"), x.getAs[Long]("col_start"))).toSet
+    assert(found == expected, s"missed=${expected -- found} extra=${found -- expected}")
+    got.foreach { x =>
+      val span = x.getAs[Long]("span")
+      val kind = (x.getAs[Long]("table_id") + 2 * x.getAs[Long]("row_idx") +
+        x.getAs[Long]("col_start")) % 2
+      assert(span == (if (kind == 0) 2L else 3L), s"wrong span in $x")
+      assert(x.getAs[Long]("col_end") == x.getAs[Long]("col_start") + span - 1)
+      assert(x.getAs[Double]("confidence") == 0.9)
+    }
+  }
+
+  test("etl_merge_positions is one data shuffle keyed (table, col), no join") {
+    val plan = SparkEntry.queries("etl_merge_positions")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"median must not self-join:\n${plan.take(1200)}")
+    assert(plan.contains("hashpartitioning(table_id"),
+      s"window must shard by (table, col):\n${plan.take(1200)}")
+  }
+
+  test("etl_vision_route: one row per table, reference confidence algebra") {
+    val rows = SparkEntry.queries("etl_vision_route")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val nm = r.getAs[Long]("n_merges")
+      val conf = r.getAs[Long]("merge_conf_ppm")
+      val nh = r.getAs[Long]("n_high")
+      val nmed = r.getAs[Long]("n_medium")
+      val verify = r.getAs[Long]("verify_conf_ppm")
+      if (nm == 0) assert(conf == 1000000L, s"no-merges table must score 1.0: $r")
+      else assert(conf >= 700000L && conf <= 900000L, s"avg outside detector range: $r")
+      assert(verify == math.max(0L, 1000000L - nh * 50000 - nmed * 25000))
+      // faithful reference quirk: detector confidences are all >= 0.70,
+      // so merge confidence alone can never trip the 0.60 vision gate
+      assert(!r.getAs[Boolean]("needs_vision"))
+      val route = r.getAs[String]("route")
+      if (nh > 0) assert(route == "manual_review", s"high conflict must route to review: $r")
+      else if (verify < 600000L) assert(route == "low_confidence")
+      else assert(route == "auto")
+    }
+    // the routing must actually vary: both detectors fire and disagree
+    assert(rows.exists(_.getAs[String]("route") == "manual_review"))
+    assert(rows.exists(_.getAs[String]("route") == "auto"))
+    assert(rows.exists(_.getAs[Long]("n_merges") > 0))
+  }
+}
