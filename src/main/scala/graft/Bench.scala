@@ -35,6 +35,37 @@ object Bench {
     // emits "0,123" (invalid JSON) on comma-decimal locales.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Machine-load sentinel: a contended sandbox has produced 2×
+    // whole-battery artifacts from ambient load alone (BENCH_r07 vs
+    // its bench-alone re-measure). Two fixed-work probes timed at
+    // battery start AND end make a contaminated run self-evident in
+    // the artifact instead of needing post-hoc adjudication: a
+    // single-thread xorshift spin (pure CPU scheduling pressure) and
+    // a fixed all-core Spark job (executor-pool pressure), plus the
+    // OS 1-min load average.
+    def spinMs(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 200000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e6
+      if (x == 42L) Console.err.println("sentinel")  // defeat dead-code elim
+      dt
+    }
+    def sparkMs(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: summing 2e8 hashes overflows long under ANSI
+      spark.range(0L, 200000000L, 1, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // untimed probe warmups: the first Spark job pays codegen/JIT
+    // (observed 3.0s vs 0.3s steady) — without these the start/end
+    // comparison measures warmup, not load
+    spinMs(); sparkMs()
+    val spinStart = spinMs(); val sparkStart = sparkMs(); val loadStart = loadAvg()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val r = try {
@@ -64,11 +95,16 @@ object Bench {
       System.gc()
       r
     }
+    val spinEnd = spinMs(); val sparkEnd = sparkMs(); val loadEnd = loadAvg()
+    val sentinel =
+      s"""{"spin_ms_start":${f3(spinStart)},"spin_ms_end":${f3(spinEnd)},""" +
+        s""""spark_ms_start":${f3(sparkStart)},"spark_ms_end":${f3(sparkEnd)},""" +
+        s""""load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)}}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sentinel":$sentinel,"sf":"$sfDir"}"""
     // The driver captures only the last ~2000 chars of stdout; the full
     // 80-query map (~2.5 KB) printed last gets truncated mid-line and
     // fails to parse (observed in BENCH_r01/r02). Persist the full map
@@ -90,7 +126,7 @@ object Bench {
     val resMap = results.toMap
     val hs = headline.flatMap(k => resMap.get(k).map(v => "\"" + k + "\":" + f3(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$hs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$hs,"sentinel":$sentinel,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,12 +15,19 @@ import org.apache.spark.sql.DataFrame
 object Caches {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Cache `df` and track it for release. */
-  def cached(df: DataFrame): DataFrame = {
-    val c = df.cache()
-    live.add(c)
-    c
-  }
+  /** Cache `df` and track it for release. Skips the re-cache (and the
+    * CacheManager "Asked to cache already cached data" WARN it logs)
+    * when the canonicalized plan is already in the cache — repeated
+    * invocations of an operator inside one phase hit this constantly
+    * (bench warmup + timed runs, spec + gate in one JVM).
+    */
+  def cached(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else {
+      val c = df.cache()
+      live.add(c)
+      c
+    }
 
   /** Unpersist every registered cache. */
   def release(blocking: Boolean = false): Unit = {
