@@ -166,4 +166,41 @@ class StressSpec extends AnyFunSuite {
     assert(planted > 100L, s"only $planted planted near-dup pairs recovered")
     Dedup.releaseCaches(blocking = true)
   }
+
+  /** 10× documents corpus for the shuffle_epoch balance check: the
+    * full /tmp/scale10 (ScaleData) when present, else a documents-only
+    * 10× of sf0.1 generated once into /tmp (shuffle_epoch reads only
+    * doc_id, so key-offset copies are the whole requirement).
+    */
+  private def scale10DocsDir(): String =
+    if (new java.io.File("/tmp/scale10/documents.parquet").exists()) "/tmp/scale10"
+    else {
+      val out = "/tmp/graft_scale10_docs"
+      if (!new java.io.File(s"$out/documents.parquet/_SUCCESS").exists()) {
+        val src = Tables.documents(spark, "/root/testdata/sf0.1")
+        val off = src.agg(max(col("doc_id"))).first().getLong(0) + 1L
+        (0 until 10).map(i => src.withColumn("doc_id", col("doc_id") + lit(i * off)))
+          .reduce(_ unionByName _)
+          .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+      }
+      out
+    }
+
+  test("shuffle_epoch range slices stay balanced at 10x (no per-task sort ceiling)") {
+    // the scale property the globalRowNumber design buys: the executed
+    // ranked frame keeps the range partitioning, and no slice may hold
+    // more than ~2× the mean regardless of (epoch, shard) skew — the
+    // old per-shard window put a whole shard (~n/32 rows) in ONE task
+    val dir = scale10DocsDir()
+    val ranked = graft.operators.TrainOps4.shuffleEpochRanked(spark, dir)
+    val counts = ranked
+      .withColumn("__p", spark_partition_id())
+      .groupBy(col("__p")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getAs[Long]("n"))
+    val mean = counts.sum.toDouble / counts.length
+    assert(counts.length > 1, "balance check needs multiple slices")
+    assert(counts.max <= 2.0 * mean,
+      s"skewed range slices (max=${counts.max}, mean=$mean): ${counts.toSeq}")
+    graft.Caches.release(blocking = true)
+  }
 }
