@@ -263,11 +263,61 @@ object EtlOps3 {
       |       ELSE 'auto' END AS route
       |FROM j ORDER BY table_id""".stripMargin
 
+  // --- etl_column_widths: per-column geometry profile ----------------
+  /** The standalone profiling half of `_calculate_column_widths`
+    * (merge_detector.py:233-255) a curation run inspects before
+    * trusting position-based detection: per (table, col), the cell
+    * count, content count, width min/max, the discrete-median typical
+    * width, and how many cells exceed the 1.5× merge threshold. Same
+    * single (table_id, col_idx) window pass as etl_merge_positions;
+    * the summary aggregate reuses the window's partitioning, so the
+    * whole profile is still ONE data shuffle. All-integer geometry —
+    * exact on both engines.
+    */
+  val etlColumnWidths: Q = (s, d) => {
+    val byCol = Window.partitionBy(col("table_id"), col("col_idx"))
+    positionCells(s, d)
+      .withColumn("w", col("x_end") - col("x_start"))
+      .withColumn("rn", row_number().over(byCol.orderBy(col("w"), col("row_idx"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byCol))
+      .withColumn("typical", max(when(col("rn") === expr("n div 2 + 1"), col("w"))).over(byCol))
+      .groupBy(col("table_id"), col("col_idx"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("content").isNotNull && length(trim(col("content"))) > 0, 1L)
+          .otherwise(0L)).as("n_content"),
+        min(col("w")).as("min_w"),
+        max(col("w")).as("max_w"),
+        max(col("typical")).as("typical_w"),
+        sum(when(col("w") * 2 > col("typical") * 3, 1L).otherwise(0L)).as("n_wide"))
+      .orderBy(col("table_id"), col("col_idx"))
+  }
+
+  val etlColumnWidthsSql: String =
+    s"""WITH $cellsSql,
+      |wd AS (SELECT *, x_end - x_start AS w FROM cells),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY table_id, col_idx ORDER BY w, row_idx) AS rn,
+      |        COUNT(*) OVER (PARTITION BY table_id, col_idx) AS n
+      |      FROM wd),
+      |t AS (SELECT *, MAX(CASE WHEN rn = n // 2 + 1 THEN w END)
+      |        OVER (PARTITION BY table_id, col_idx) AS typical FROM r)
+      |SELECT table_id, col_idx,
+      |  COUNT(*) AS n_cells,
+      |  CAST(SUM(CASE WHEN content IS NOT NULL AND length(trim(content)) > 0
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_content,
+      |  min(w) AS min_w, max(w) AS max_w,
+      |  max(typical) AS typical_w,
+      |  CAST(SUM(CASE WHEN w * 2 > typical * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_wide
+      |FROM t GROUP BY table_id, col_idx
+      |ORDER BY table_id, col_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "etl_merge_positions" -> etlMergePositions,
-    "etl_vision_route" -> etlVisionRoute)
+    "etl_vision_route" -> etlVisionRoute,
+    "etl_column_widths" -> etlColumnWidths)
 
   val oracles: Map[String, String] = Map(
     "etl_merge_positions" -> etlMergePositionsSql,
-    "etl_vision_route" -> etlVisionRouteSql)
+    "etl_vision_route" -> etlVisionRouteSql,
+    "etl_column_widths" -> etlColumnWidthsSql)
 }

@@ -40,6 +40,24 @@ class EtlOps3Spec extends AnyFunSuite {
       s"window must shard by (table, col):\n${plan.take(1200)}")
   }
 
+  test("etl_column_widths profiles exact per-column geometry") {
+    val rows = SparkEntry.queries("etl_column_widths")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs * 4, "one row per (table, col)")
+    rows.foreach { r =>
+      val base = 40L + r.getAs[Long]("col_idx") * 10
+      assert(r.getAs[Long]("n_cells") == 6L)
+      val typ = r.getAs[Long]("typical_w")
+      assert(typ >= base - 3 && typ <= base + 3, s"median off base: $r")
+      assert(r.getAs[Long]("min_w") >= base - 3)
+      assert(r.getAs[Long]("max_w") <= base * 3 + 20)
+      // n_wide is geometry-only: exactly the generator's wide cells
+      val t = r.getAs[Long]("table_id"); val c = r.getAs[Long]("col_idx")
+      val expectedWide = (0L until 6L).count(rw => (t + rw + c) % 11 == 0)
+      assert(r.getAs[Long]("n_wide") == expectedWide, s"wide count mismatch: $r")
+    }
+  }
+
   test("etl_vision_route: one row per table, reference confidence algebra") {
     val rows = SparkEntry.queries("etl_vision_route")(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
