@@ -40,6 +40,13 @@ class EtlOps3Spec extends AnyFunSuite {
       s"window must shard by (table, col):\n${plan.take(1200)}")
   }
 
+  test("etl_vision_route plan stays keyed — no cartesian, no single-partition stage") {
+    val plan = SparkEntry.queries("etl_vision_route")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesianproduct"), s"cartesian:\n${plan.take(1200)}")
+    assert(!plan.contains("SinglePartition"), s"serializing stage:\n${plan.take(1200)}")
+  }
+
   test("etl_column_widths profiles exact per-column geometry") {
     val rows = SparkEntry.queries("etl_column_widths")(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
