@@ -101,6 +101,20 @@ object EtlOps2 {
       .orderBy(col("phrase"))
   }
 
+  /** `_is_category_header` as DuckDB SQL over column `c` (assumes
+    * non-empty input; wrap in a CASE for the empty guard). The single
+    * source for every oracle that mirrors isCategoryHeader — keep in
+    * lockstep with the Column version above.
+    */
+  def categoryHeaderPredSql(c: String): String =
+    s"""(regexp_matches(lower(trim($c)), '^(input|output|power|thermal|timing|electrical)')
+       |          OR regexp_matches(lower(trim($c)), 'characteristics$$')
+       |          OR regexp_matches(lower(trim($c)), '^(absolute|recommended|operating)')
+       |          OR regexp_matches(lower(trim($c)), 'conditions$$')
+       |          OR regexp_matches(lower(trim($c)), '^(dc|ac)\\s')
+       |          OR CAST(length(regexp_replace(trim($c), '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |             / length(trim($c)) > 0.8)""".stripMargin
+
   val etlCategoryHeaderSql: String = {
     val values = seedPhrases.map(p => s"('$p')").mkString(", ")
     s"""WITH phrases AS (
@@ -108,13 +122,7 @@ object EtlOps2 {
       |  UNION SELECT * FROM (VALUES $values) v(phrase))
       |SELECT phrase,
       |  CASE WHEN length(trim(phrase)) = 0 THEN false
-      |       ELSE (regexp_matches(lower(trim(phrase)), '^(input|output|power|thermal|timing|electrical)')
-      |          OR regexp_matches(lower(trim(phrase)), 'characteristics$$')
-      |          OR regexp_matches(lower(trim(phrase)), '^(absolute|recommended|operating)')
-      |          OR regexp_matches(lower(trim(phrase)), 'conditions$$')
-      |          OR regexp_matches(lower(trim(phrase)), '^(dc|ac)\\s')
-      |          OR CAST(length(regexp_replace(trim(phrase), '[^A-Za-z]', '', 'g')) AS DOUBLE)
-      |             / length(trim(phrase)) > 0.8) END AS is_header
+      |       ELSE ${categoryHeaderPredSql("phrase")} END AS is_header
       |FROM phrases ORDER BY phrase""".stripMargin
   }
 

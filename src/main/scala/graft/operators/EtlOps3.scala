@@ -70,6 +70,31 @@ object EtlOps3 {
       |  CROSS JOIN (SELECT unnest(range(6)) AS row_idx) r
       |  CROSS JOIN (SELECT unnest(range(4)) AS col_idx) c)""".stripMargin
 
+  /** The shared width/discrete-median window pass: adds `w` plus the
+    * per-(table_id, col_idx) rank `rn`, group size `n`, and reference
+    * median `typical` = sorted[n // 2] — ONE window shuffle that all
+    * three position operators build on. Ties carry equal values, so
+    * the row_idx tiebreak cannot change the median.
+    */
+  private def withTypicalWidth(cells: DataFrame): DataFrame = {
+    val byCol = Window.partitionBy(col("table_id"), col("col_idx"))
+    cells
+      .withColumn("w", col("x_end") - col("x_start"))
+      .withColumn("rn", row_number().over(byCol.orderBy(col("w"), col("row_idx"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byCol))
+      .withColumn("typical", max(when(col("rn") === expr("n div 2 + 1"), col("w"))).over(byCol))
+  }
+
+  /** The same pass as DuckDB CTEs (follows `cellsSql`; exposes `t`). */
+  private val typicalSql: String =
+    """wd AS (SELECT *, x_end - x_start AS w FROM cells),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY table_id, col_idx ORDER BY w, row_idx) AS rn,
+      |        COUNT(*) OVER (PARTITION BY table_id, col_idx) AS n
+      |      FROM wd),
+      |t AS (SELECT *, MAX(CASE WHEN rn = n // 2 + 1 THEN w END)
+      |        OVER (PARTITION BY table_id, col_idx) AS typical FROM r)""".stripMargin
+
   // --- etl_merge_positions: x-coordinate merged-cell detection -------
   /** Distributed `_detect_by_positions` (merge_detector.py:192-231 with
     * `_calculate_column_widths`, :233-255): a cell whose x-span beats
@@ -86,15 +111,7 @@ object EtlOps3 {
     * groups, no skew ceiling, no join.
     */
   val etlMergePositions: Q = (s, d) => {
-    val byCol = Window.partitionBy(col("table_id"), col("col_idx"))
-    val ordByW = byCol.orderBy(col("w"), col("row_idx"))
-    positionCells(s, d)
-      .withColumn("w", col("x_end") - col("x_start"))
-      .withColumn("rn", row_number().over(ordByW).cast("long"))
-      .withColumn("n", count(lit(1)).over(byCol))
-      // discrete median, reference semantics: sorted[n // 2] (ties
-      // carry equal values, so the tiebreak order cannot change it)
-      .withColumn("typical", max(when(col("rn") === expr("n div 2 + 1"), col("w"))).over(byCol))
+    withTypicalWidth(positionCells(s, d))
       .filter(col("content").isNotNull && length(trim(col("content"))) > 0)
       // width > 1.5 × typical, in exact integer arithmetic
       .filter(col("w") * 2 > col("typical") * 3)
@@ -108,13 +125,7 @@ object EtlOps3 {
 
   val etlMergePositionsSql: String =
     s"""WITH $cellsSql,
-      |wd AS (SELECT *, x_end - x_start AS w FROM cells),
-      |r AS (SELECT *,
-      |        row_number() OVER (PARTITION BY table_id, col_idx ORDER BY w, row_idx) AS rn,
-      |        COUNT(*) OVER (PARTITION BY table_id, col_idx) AS n
-      |      FROM wd),
-      |t AS (SELECT *, MAX(CASE WHEN rn = n // 2 + 1 THEN w END)
-      |        OVER (PARTITION BY table_id, col_idx) AS typical FROM r)
+      |$typicalSql
       |SELECT table_id, row_idx, col_idx AS col_start,
       |  col_idx + (w // typical) - 1 AS col_end, w // typical AS span,
       |  content, CAST(0.9 AS DOUBLE) AS confidence
@@ -149,14 +160,10 @@ object EtlOps3 {
     * finer, nothing broadcast-unbounded, no skew ceiling at 100 TB.
     */
   val etlVisionRoute: Q = (s, d) => {
-    val cells = positionCells(s, d).withColumn("w", col("x_end") - col("x_start"))
+    val cells = positionCells(s, d)
     val hasContent = col("content").isNotNull && length(trim(col("content"))) > 0
 
-    val byCol = Window.partitionBy(col("table_id"), col("col_idx"))
-    val posM = cells
-      .withColumn("rn", row_number().over(byCol.orderBy(col("w"), col("row_idx"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(byCol))
-      .withColumn("typical", max(when(col("rn") === expr("n div 2 + 1"), col("w"))).over(byCol))
+    val posM = withTypicalWidth(cells)
       .filter(hasContent && col("w") * 2 > col("typical") * 3)
       .withColumn("span", expr("w div typical"))
       .filter(col("span") > 1)
@@ -202,24 +209,13 @@ object EtlOps3 {
       .orderBy(col("table_id"))
   }
 
-  private val headerPredSql: String =
-    """(regexp_matches(lower(trim(content)), '^(input|output|power|thermal|timing|electrical)')
-      | OR regexp_matches(lower(trim(content)), 'characteristics$')
-      | OR regexp_matches(lower(trim(content)), '^(absolute|recommended|operating)')
-      | OR regexp_matches(lower(trim(content)), 'conditions$')
-      | OR regexp_matches(lower(trim(content)), '^(dc|ac)\s')
-      | OR CAST(length(regexp_replace(trim(content), '[^A-Za-z]', '', 'g')) AS DOUBLE)
-      |    / length(trim(content)) > 0.8)""".stripMargin
+  // single source with etl_category_header's oracle — EtlOps2 owns the
+  // predicate in both its Column and SQL forms
+  private def headerPredSql: String = EtlOps2.categoryHeaderPredSql("content")
 
   val etlVisionRouteSql: String =
     s"""WITH $cellsSql,
-      |wd AS (SELECT *, x_end - x_start AS w FROM cells),
-      |r AS (SELECT *,
-      |        row_number() OVER (PARTITION BY table_id, col_idx ORDER BY w, row_idx) AS rn,
-      |        COUNT(*) OVER (PARTITION BY table_id, col_idx) AS n
-      |      FROM wd),
-      |t AS (SELECT *, MAX(CASE WHEN rn = n // 2 + 1 THEN w END)
-      |        OVER (PARTITION BY table_id, col_idx) AS typical FROM r),
+      |$typicalSql,
       |pos AS (SELECT table_id, row_idx, col_idx AS col_start,
       |          w // typical AS span, 900000 AS conf_ppm
       |        FROM t
@@ -294,13 +290,7 @@ object EtlOps3 {
 
   val etlColumnWidthsSql: String =
     s"""WITH $cellsSql,
-      |wd AS (SELECT *, x_end - x_start AS w FROM cells),
-      |r AS (SELECT *,
-      |        row_number() OVER (PARTITION BY table_id, col_idx ORDER BY w, row_idx) AS rn,
-      |        COUNT(*) OVER (PARTITION BY table_id, col_idx) AS n
-      |      FROM wd),
-      |t AS (SELECT *, MAX(CASE WHEN rn = n // 2 + 1 THEN w END)
-      |        OVER (PARTITION BY table_id, col_idx) AS typical FROM r)
+      |$typicalSql
       |SELECT table_id, col_idx,
       |  COUNT(*) AS n_cells,
       |  CAST(SUM(CASE WHEN content IS NOT NULL AND length(trim(content)) > 0

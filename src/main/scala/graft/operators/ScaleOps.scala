@@ -298,7 +298,15 @@ object ScaleOps {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     try {
       if (fs.exists(p)) { fs.setTimes(p, System.currentTimeMillis(), -1); true }
-      else if (fs.exists(dir)) { fs.create(p, true).close(); true }
+      else if (fs.exists(dir)) {
+        fs.create(p, true).close()
+        // fs.create makes missing parents, so a dir reaped between the
+        // exists check and here would be silently resurrected as a
+        // zombie holding only the heartbeat — verify real table data
+        // is present, and undo the resurrection if not
+        val hasData = fs.listStatus(dir).exists(_.getPath.getName != HeartbeatFile)
+        if (!hasData) { fs.delete(dir, true); false } else true
+      }
       else false
     } catch {
       case _: java.io.FileNotFoundException => false
@@ -360,10 +368,22 @@ object ScaleOps {
     var attempt = 0
     while (attempt < 3) {
       val entry = obtainBucketEntry(s, d)
-      if (touchHeartbeat(s, s"orders_bj_${entry.tag}") &&
-          touchHeartbeat(s, s"lineitem_bj_${entry.tag}"))
+      def touched(): Boolean =
+        touchHeartbeat(s, s"orders_bj_${entry.tag}") &&
+          touchHeartbeat(s, s"lineitem_bj_${entry.tag}")
+      // second chance before any destructive step: tags are
+      // deterministic (md5 of dir+fingerprint), so a sibling JVM that
+      // reaped our tables may have already REBUILT the same names —
+      // if the dirs are back, serve them rather than dropping a table
+      // the sibling is actively querying
+      if (touched() || touched())
         return (s"lineitem_bj_${entry.tag}", s"orders_bj_${entry.tag}")
       bucketTables.remove(d, entry)
+      // dirs are (still) absent, so DROP only clears our catalog
+      // entries and deletes nothing on disk; the residual window where
+      // a sibling rebuilds between the re-touch and the DROP is the
+      // same already-reaped TOCTOU class the reaper accepts, and the
+      // rebuild path recreates the tables either way
       s.sql(s"DROP TABLE IF EXISTS orders_bj_${entry.tag}")
       s.sql(s"DROP TABLE IF EXISTS lineitem_bj_${entry.tag}")
       attempt += 1

@@ -191,6 +191,9 @@ class StressSpec extends AnyFunSuite {
     // ranked frame keeps the range partitioning, and no slice may hold
     // more than ~2× the mean regardless of (epoch, shard) skew — the
     // old per-shard window put a whole shard (~n/32 rows) in ONE task
+    assume(new java.io.File("/tmp/scale10/documents.parquet").exists() ||
+      new java.io.File("/root/testdata/sf0.1/documents.parquet").exists(),
+      "neither /tmp/scale10 nor the sf0.1 source corpus is present")
     val dir = scale10DocsDir()
     val ranked = graft.operators.TrainOps4.shuffleEpochRanked(spark, dir)
     val counts = ranked
