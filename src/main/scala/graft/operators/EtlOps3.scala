@@ -110,28 +110,40 @@ object EtlOps3 {
     * shuffle key is (table, column) — millions of small independent
     * groups, no skew ceiling, no join.
     */
-  val etlMergePositions: Q = (s, d) => {
+  /** The position-detected merge set (before presentation): width >
+    * 1.5 × typical in exact integer arithmetic, span = width div
+    * typical. Shared by etl_merge_positions, etl_vision_route's 0.90
+    * detector, and etl_merge_resolve's propagation.
+    */
+  private def positionMerges(s: SparkSession, d: String): DataFrame =
     withTypicalWidth(positionCells(s, d))
       .filter(col("content").isNotNull && length(trim(col("content"))) > 0)
-      // width > 1.5 × typical, in exact integer arithmetic
       .filter(col("w") * 2 > col("typical") * 3)
       .withColumn("span", expr("w div typical"))
       .filter(col("span") > 1)
       .select(col("table_id"), col("row_idx"), col("col_idx").as("col_start"),
-        (col("col_idx") + col("span") - 1).as("col_end"), col("span"),
-        col("content"), lit(0.9).as("confidence"))
+        (col("col_idx") + col("span") - 1).as("col_end"), col("span"), col("content"))
+
+  /** Same set as a CTE (follows `typicalSql`; exposes `pos`). */
+  private val posSql: String =
+    """pos AS (SELECT table_id, row_idx, col_idx AS col_start,
+      |          col_idx + (w // typical) - 1 AS col_end, w // typical AS span, content
+      |        FROM t
+      |        WHERE content IS NOT NULL AND length(trim(content)) > 0
+      |          AND w * 2 > typical * 3 AND w // typical > 1)""".stripMargin
+
+  val etlMergePositions: Q = (s, d) =>
+    positionMerges(s, d)
+      .withColumn("confidence", lit(0.9))
       .orderBy(col("table_id"), col("row_idx"), col("col_start"))
-  }
 
   val etlMergePositionsSql: String =
     s"""WITH $cellsSql,
-      |$typicalSql
-      |SELECT table_id, row_idx, col_idx AS col_start,
-      |  col_idx + (w // typical) - 1 AS col_end, w // typical AS span,
-      |  content, CAST(0.9 AS DOUBLE) AS confidence
-      |FROM t
-      |WHERE content IS NOT NULL AND length(trim(content)) > 0
-      |  AND w * 2 > typical * 3 AND w // typical > 1
+      |$typicalSql,
+      |$posSql
+      |SELECT table_id, row_idx, col_start, col_end, span, content,
+      |  CAST(0.9 AS DOUBLE) AS confidence
+      |FROM pos
       |ORDER BY table_id, row_idx, col_start""".stripMargin
 
   // --- etl_vision_route: merge confidence → extraction routing -------
@@ -163,11 +175,8 @@ object EtlOps3 {
     val cells = positionCells(s, d)
     val hasContent = col("content").isNotNull && length(trim(col("content"))) > 0
 
-    val posM = withTypicalWidth(cells)
-      .filter(hasContent && col("w") * 2 > col("typical") * 3)
-      .withColumn("span", expr("w div typical"))
-      .filter(col("span") > 1)
-      .select(col("table_id"), col("row_idx"), col("col_idx").as("col_start"),
+    val posM = positionMerges(s, d)
+      .select(col("table_id"), col("row_idx"), col("col_start"),
         col("span"), lit(900000L).as("conf_ppm"))
 
     val wNext = Window.partitionBy(col("table_id"), col("row_idx")).orderBy(col("col_idx"))
@@ -216,11 +225,8 @@ object EtlOps3 {
   val etlVisionRouteSql: String =
     s"""WITH $cellsSql,
       |$typicalSql,
-      |pos AS (SELECT table_id, row_idx, col_idx AS col_start,
-      |          w // typical AS span, 900000 AS conf_ppm
-      |        FROM t
-      |        WHERE content IS NOT NULL AND length(trim(content)) > 0
-      |          AND w * 2 > typical * 3 AND w // typical > 1),
+      |$posSql,
+      |posc AS (SELECT table_id, row_idx, col_start, span, 900000 AS conf_ppm FROM pos),
       |nx AS (SELECT *,
       |         MIN(CASE WHEN content IS NOT NULL AND length(trim(content)) > 0
       |               THEN col_idx END)
@@ -235,7 +241,7 @@ object EtlOps3 {
       |          AND $headerPredSql),
       |mg AS (SELECT table_id, row_idx, col_start, MAX(conf_ppm) AS conf_ppm,
       |         COUNT(*) AS n_det, MAX(span) AS span
-      |       FROM (SELECT * FROM pos UNION ALL SELECT * FROM pat)
+      |       FROM (SELECT * FROM posc UNION ALL SELECT * FROM pat)
       |       GROUP BY 1, 2, 3),
       |pt AS (SELECT table_id, COUNT(*) AS nm, SUM(conf_ppm) AS sum_conf,
       |         SUM(CASE WHEN n_det = 1 AND span >= 3 THEN 1 ELSE 0 END) AS nh,
@@ -301,13 +307,111 @@ object EtlOps3 {
       |FROM t GROUP BY table_id, col_idx
       |ORDER BY table_id, col_idx""".stripMargin
 
+  // --- etl_header_spans: header-row merge detection (Method 1) -------
+  /** Distributed `_detect_header_merges` (merge_detector.py:99-146):
+    * only when the header row has FEWER non-empty cells than the first
+    * data row, each header cell's span is 1 + its run of trailing
+    * empties, and spans > 1 emit at confidence 0.85. The whole check
+    * needs only rows 0-1 of each table (a pushed-down filter before
+    * any shuffle), then one window pass keyed by table_id — the
+    * per-table n0/n1 counts and the next-content-col scan share the
+    * same hashpartitioning(table_id) exchange.
+    */
+  val etlHeaderSpans: Q = (s, d) => {
+    val hasContent = col("content").isNotNull && length(trim(col("content"))) > 0
+    val byTable = Window.partitionBy(col("table_id"))
+    val wNext = Window.partitionBy(col("table_id"), col("row_idx")).orderBy(col("col_idx"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    positionCells(s, d).filter(col("row_idx") <= 1)
+      .withColumn("n0", sum(when(hasContent && col("row_idx") === 0, 1L).otherwise(0L))
+        .over(byTable))
+      .withColumn("n1", sum(when(hasContent && col("row_idx") === 1, 1L).otherwise(0L))
+        .over(byTable))
+      .withColumn("next_c", min(when(hasContent, col("col_idx"))).over(wNext))
+      .filter(col("row_idx") === 0 && hasContent && col("n0") < col("n1"))
+      .withColumn("span", coalesce(col("next_c"), lit(NCOLS)) - col("col_idx"))
+      .filter(col("span") > 1)
+      .select(col("table_id"), col("col_idx").as("col_start"),
+        (col("col_idx") + col("span") - 1).as("col_end"), col("span"),
+        col("content"), lit(0.85).as("confidence"))
+      .orderBy(col("table_id"), col("col_start"))
+  }
+
+  val etlHeaderSpansSql: String =
+    s"""WITH $cellsSql,
+      |h AS (SELECT * FROM cells WHERE row_idx <= 1),
+      |c AS (SELECT *,
+      |        SUM(CASE WHEN row_idx = 0 AND content IS NOT NULL
+      |              AND length(trim(content)) > 0 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY table_id) AS n0,
+      |        SUM(CASE WHEN row_idx = 1 AND content IS NOT NULL
+      |              AND length(trim(content)) > 0 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY table_id) AS n1,
+      |        MIN(CASE WHEN content IS NOT NULL AND length(trim(content)) > 0
+      |              THEN col_idx END)
+      |          OVER (PARTITION BY table_id, row_idx ORDER BY col_idx
+      |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
+      |      FROM h)
+      |SELECT table_id, col_idx AS col_start,
+      |  col_idx + (COALESCE(next_c, 4) - col_idx) - 1 AS col_end,
+      |  COALESCE(next_c, 4) - col_idx AS span, content,
+      |  CAST(0.85 AS DOUBLE) AS confidence
+      |FROM c
+      |WHERE row_idx = 0 AND content IS NOT NULL AND length(trim(content)) > 0
+      |  AND n0 < n1 AND COALESCE(next_c, 4) - col_idx > 1
+      |ORDER BY table_id, col_start""".stripMargin
+
+  // --- etl_merge_resolve: propagate merged content across its span ---
+  /** Distributed `resolve_merges` for data rows (merge_detector.py:
+    * 303-360): every cell covered by a detected merge takes the
+    * merge's content; all other cells keep their own. The merge set is
+    * the position detector's; its span cover is exploded to
+    * (table, row, col) keys and equi-joined back to the cells — a
+    * keyed join whose build side is the (sparse) merge set, never a
+    * range/cartesian shape. Covers are clipped to the table width, and
+    * the generator guarantees ≤ 1 wide cell per (table, row) (wide
+    * residues differ mod 11), so the join cannot duplicate cells.
+    */
+  val etlMergeResolve: Q = (s, d) => {
+    val cover = positionMerges(s, d)
+      .select(col("table_id"), col("row_idx"),
+        explode(sequence(col("col_start"),
+          least(col("col_end"), lit(NCOLS - 1)))).as("col_idx"),
+        col("content").as("mcontent"))
+    positionCells(s, d)
+      .join(cover, Seq("table_id", "row_idx", "col_idx"), "left")
+      .select(col("table_id"), col("row_idx"), col("col_idx"), col("content"),
+        coalesce(col("mcontent"), col("content")).as("resolved"),
+        col("mcontent").isNotNull.as("was_merged"))
+      .orderBy(col("table_id"), col("row_idx"), col("col_idx"))
+  }
+
+  val etlMergeResolveSql: String =
+    s"""WITH $cellsSql,
+      |$typicalSql,
+      |$posSql,
+      |cover AS (SELECT table_id, row_idx,
+      |            unnest(generate_series(col_start, LEAST(col_end, 3))) AS col_idx,
+      |            content AS mcontent
+      |          FROM pos)
+      |SELECT c.table_id, c.row_idx, c.col_idx, c.content,
+      |  COALESCE(v.mcontent, c.content) AS resolved,
+      |  v.mcontent IS NOT NULL AS was_merged
+      |FROM cells c LEFT JOIN cover v
+      |  ON v.table_id = c.table_id AND v.row_idx = c.row_idx AND v.col_idx = c.col_idx
+      |ORDER BY c.table_id, c.row_idx, c.col_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "etl_merge_positions" -> etlMergePositions,
     "etl_vision_route" -> etlVisionRoute,
-    "etl_column_widths" -> etlColumnWidths)
+    "etl_column_widths" -> etlColumnWidths,
+    "etl_header_spans" -> etlHeaderSpans,
+    "etl_merge_resolve" -> etlMergeResolve)
 
   val oracles: Map[String, String] = Map(
     "etl_merge_positions" -> etlMergePositionsSql,
     "etl_vision_route" -> etlVisionRouteSql,
-    "etl_column_widths" -> etlColumnWidthsSql)
+    "etl_column_widths" -> etlColumnWidthsSql,
+    "etl_header_spans" -> etlHeaderSpansSql,
+    "etl_merge_resolve" -> etlMergeResolveSql)
 }

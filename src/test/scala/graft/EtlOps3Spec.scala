@@ -40,6 +40,53 @@ class EtlOps3Spec extends AnyFunSuite {
       s"window must shard by (table, col):\n${plan.take(1200)}")
   }
 
+  test("etl_header_spans detects exactly the short-header tables") {
+    val got = SparkEntry.queries("etl_header_spans")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    // ground truth from the generator: content is null iff
+    // (3t + 2r + c) % 5 == 0; header-merge requires row 0's null at
+    // col >= 1 (span 2 off the cell to its left) AND row 1 fuller
+    def nullCol(t: Long, r: Long): Option[Long] =
+      (0L until 4L).find(c => (3 * t + 2 * r + c) % 5 == 0)
+    val expected = (0L until nDocs).flatMap { t =>
+      val c0 = nullCol(t, 0); val c1 = nullCol(t, 1)
+      val n0 = 4 - c0.size; val n1 = 4 - c1.size
+      c0 match {
+        case Some(c) if c >= 1 && n0 < n1 => Some((t, c - 1))
+        case _ => None
+      }
+    }.toSet
+    val found = got.map(r => (r.getAs[Long]("table_id"), r.getAs[Long]("col_start"))).toSet
+    assert(found == expected, s"missed=${expected -- found} extra=${found -- expected}")
+    got.foreach { r =>
+      assert(r.getAs[Long]("span") == 2L)
+      assert(r.getAs[Double]("confidence") == 0.85)
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("etl_merge_resolve propagates merge content exactly over its cover") {
+    val rows = SparkEntry.queries("etl_merge_resolve")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs * 24, "resolution must keep every cell exactly once")
+    var merged = 0L
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("was_merged")) {
+        merged += 1
+        assert(r.getAs[String]("resolved") != null)
+      } else {
+        assert(r.getAs[String]("resolved") == r.getAs[String]("content"))
+      }
+    }
+    // exact cover: each merge covers (min(col_end, 3) - col_start + 1)
+    // cells — a merge starting at the last column clips to one cell
+    val expectedCover = SparkEntry.queries("etl_merge_positions")(spark, sf)
+      .collect().map { m =>
+        math.min(m.getAs[Long]("col_end"), 3L) - m.getAs[Long]("col_start") + 1
+      }.sum
+    assert(merged == expectedCover, s"cover $merged != expected $expectedCover")
+  }
+
   test("etl_vision_route plan stays keyed — no cartesian, no single-partition stage") {
     val plan = SparkEntry.queries("etl_vision_route")(spark, sf)
       .queryExecution.executedPlan.toString
