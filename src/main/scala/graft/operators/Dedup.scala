@@ -402,6 +402,48 @@ object Dedup {
       .drop("__bsz")
   }
 
+  /** Identical-vector collapse: mass-duplicated documents carry
+    * bit-identical embeddings, which land in the SAME bucket in every
+    * band AND the same sub-split (the sub bucket is a function of the
+    * vector) — the one shape the bucket cap cannot break. Same cure as
+    * the minhash/simhash paths: one representative per distinct vector
+    * enters the band joins; members attach as rep→member star pairs,
+    * preserving the transitive closure dedup consumes while the clique
+    * (k²/2 pairs per duplicate group) never materializes.
+    *
+    * The collapse is insurance most corpora never need, so it starts
+    * with a one-row probe aggregate (metadata-sized collect, like
+    * corpusSize) on the cached frame: when every vector is already
+    * distinct, the input passes through untouched — zero extra
+    * shuffle. When duplicates ARE present, representatives come from a
+    * partial-aggregated groupBy (shuffles ~distinct vectors, not all
+    * rows) and members attach back with an equi-join against only the
+    * duplicated groups — no WindowExec and no global-sort semantics
+    * anywhere. groupBy/countDistinct/join keys all pass through
+    * Catalyst's float normalization (-0.0 = 0.0, one NaN class), so
+    * grouping matches the oracle's GROUP BY exactly — unlike a derived
+    * xxhash64 window key, which would hash unnormalized bits.
+    *
+    * `e0` must be cached by the caller (probe + groupBy + join all
+    * read it). Returns (representatives, star pairs).
+    */
+  private def collapseIdentical(e0: DataFrame, vecCol: String): (DataFrame, DataFrame) = {
+    val probe = e0.agg(count(lit(1)).as("n"), countDistinct(col(vecCol)).as("nd")).head()
+    if (probe.getLong(0) == probe.getLong(1)) {
+      (e0, e0.filter(lit(false))
+        .select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b")))
+    } else {
+      val grp = cached(e0.groupBy(col(vecCol))
+        .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("cnt")))
+      val reps = cached(grp.select(col("rep").as("vec_id"), col(vecCol)))
+      val star = grp.filter(col("cnt") > 1).select(col(vecCol), col("rep"))
+        .join(e0, Seq(vecCol))
+        .filter(col("vec_id") =!= col("rep"))
+        .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
+      (reps, star)
+    }
+  }
+
   /** Banded hyperplane candidate pairs: `bands` INDEPENDENT plane
     * tables, a pair is a candidate if it shares a (capped) bucket in
     * ANY band. A single table's recall decays as planes grow with the
@@ -409,33 +451,13 @@ object Dedup {
     * probability (1-θ/π)^p — so banding restores it:
     * 1-(1-(1-θ/π)^p)^B, while per-band bucket sizes stay bounded by
     * planesFor(n) + the hard cap. Work is B bucket-local self-joins;
-    * the union is deduplicated before any exact scoring.
+    * the union is deduplicated before any exact scoring. Identical
+    * vectors are collapsed to rep→member stars first (collapseIdentical
+    * — skipped entirely on duplicate-free corpora).
     */
   def bandedEmbeddingPairs(corpus: DataFrame, n: Long, bands: Int = 4): DataFrame = {
-    val e0 = corpus.select(col("vec_id"), col("embedding"))
-    // Identical-vector collapse: mass-duplicated documents carry
-    // bit-identical embeddings, which land in the SAME bucket in every
-    // band AND the same sub-split (the sub bucket is a function of the
-    // vector) — the one shape the cap cannot break. Same cure as the
-    // minhash/simhash paths: one representative per distinct vector
-    // enters the band joins; members attach as rep→member star pairs,
-    // preserving the transitive closure dedup consumes while the
-    // clique (k²/2 pairs per duplicate group) never materializes.
-    // The window key is prefixed with a 64-bit hash OF the vector:
-    // grouping is unchanged (the hash is a function of the vector) but
-    // WindowExec's required sort now resolves effectively every
-    // between-group comparison on the leading long instead of a
-    // 64-float array compare — A/B on the battery's two most expensive
-    // queries: dedup_embedding ~3.0-3.4 → ~2.8-3.1 s, the exact twin
-    // ~3.6-4.0 → ~3.4-3.8 s (isolated sf0.1, both variants ×3).
-    val w = Window.partitionBy(xxhash64(col("embedding")), col("embedding"))
-    val tagged = cached(e0
-      .withColumn("rep", min(col("vec_id")).over(w))
-      .withColumn("cnt", count(lit(1)).over(w)))
-    val e = tagged.filter(col("vec_id") === col("rep"))
-      .select(col("vec_id"), col("embedding"))
-    val star = tagged.filter(col("cnt") > 1 && col("vec_id") =!= col("rep"))
-      .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
+    val e0 = cached(corpus.select(col("vec_id"), col("embedding")))
+    val (e, star) = collapseIdentical(e0, "embedding")
     val nPlanes = planesFor(n)
     val perBand = (0 until bands).map { b =>
       val capped = cappedBuckets(e, "embedding", n,
@@ -497,18 +519,12 @@ object Dedup {
     }.reduce(_ + _)
 
   val dedupEmbeddingExact: Q = (s, d) => {
-    val e0 = Tables.embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), x => floor(x * 1e6).cast("long")).as("q"))
-    // Identical-vector collapse, mirrored from bandedEmbeddingPairs
-    // (and reproduced in the oracle SQL): reps enter the band joins,
-    // members attach as rep→member star pairs.
-    val wq = Window.partitionBy(col("q"))
-    val tagged = cached(e0
-      .withColumn("rep", min(col("vec_id")).over(wq))
-      .withColumn("cnt", count(lit(1)).over(wq)))
-    val e = tagged.filter(col("vec_id") === col("rep")).select(col("vec_id"), col("q"))
-    val star = tagged.filter(col("cnt") > 1 && col("vec_id") =!= col("rep"))
-      .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
+    val e0 = cached(Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => floor(x * 1e6).cast("long")).as("q")))
+    // Identical-vector collapse, mirrored from bandedEmbeddingPairs:
+    // the oracle SQL's grp/e/star CTEs are the SAME groupBy + join
+    // shape, so engine and oracle now share one plan structure.
+    val (e, star) = collapseIdentical(e0, "q")
     // The sub-split planes are band-independent (mirrors cappedBuckets'
     // fixed extra table), so the sub bucket is computed once per vector.
     val withSub = cached(e.withColumn("xbucket", md5Bucket(col("q"), md5Planes("x", EMB_PLANES))))

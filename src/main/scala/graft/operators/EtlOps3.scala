@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
 object EtlOps3 {
   type Q = (SparkSession, String) => DataFrame
 
-  private val NROWS = 6L
-  private val NCOLS = 4L
+  // private[graft]: the spec derives its ground-truth expectations from
+  // the same two constants, so engine, oracle SQL (interpolated below),
+  // and test all share one definition of the synthetic table shape.
+  private[graft] val NROWS = 6L
+  private[graft] val NCOLS = 4L
 
   /** Deterministic synthetic cell frame standing in for the per-page
     * `(raw_table, char_positions)` pair (merge_detector.py:192-203):
@@ -49,9 +52,12 @@ object EtlOps3 {
         (col("col_idx") * 80).as("x_start"),
         (col("col_idx") * 80 + col("width")).as("x_end"))
 
-  /** The same frame as a DuckDB CTE body, shared by both oracles. */
+  /** The same frame as a DuckDB CTE body, shared by both oracles.
+    * NROWS/NCOLS are interpolated so engine and oracle share ONE
+    * definition of the synthetic table shape.
+    */
   private val cellsSql: String =
-    """cells AS (
+    s"""cells AS (
       |  SELECT doc_id AS table_id, r.row_idx, c.col_idx,
       |    CASE (doc_id * 3 + r.row_idx * 2 + c.col_idx) % 5
       |      WHEN 1 THEN 'Electrical Characteristics'
@@ -67,8 +73,8 @@ object EtlOps3 {
       |        ELSE 40 + c.col_idx * 10 + ((doc_id + r.row_idx * 3 + c.col_idx * 5) % 7) - 3
       |      END AS x_end
       |  FROM documents
-      |  CROSS JOIN (SELECT unnest(range(6)) AS row_idx) r
-      |  CROSS JOIN (SELECT unnest(range(4)) AS col_idx) c)""".stripMargin
+      |  CROSS JOIN (SELECT unnest(range($NROWS)) AS row_idx) r
+      |  CROSS JOIN (SELECT unnest(range($NCOLS)) AS col_idx) c)""".stripMargin
 
   /** The shared width/discrete-median window pass: adds `w` plus the
     * per-(table_id, col_idx) rank `rn`, group size `n`, and reference
@@ -234,10 +240,10 @@ object EtlOps3 {
       |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
       |       FROM wd),
       |pat AS (SELECT table_id, row_idx, col_idx AS col_start,
-      |          COALESCE(next_c, 4) - col_idx AS span, 700000 AS conf_ppm
+      |          COALESCE(next_c, $NCOLS) - col_idx AS span, 700000 AS conf_ppm
       |        FROM nx
       |        WHERE content IS NOT NULL AND length(trim(content)) > 0
-      |          AND COALESCE(next_c, 4) - col_idx BETWEEN 2 AND 4
+      |          AND COALESCE(next_c, $NCOLS) - col_idx BETWEEN 2 AND 4
       |          AND $headerPredSql),
       |mg AS (SELECT table_id, row_idx, col_start, MAX(conf_ppm) AS conf_ppm,
       |         COUNT(*) AS n_det, MAX(span) AS span
@@ -353,12 +359,12 @@ object EtlOps3 {
       |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
       |      FROM h)
       |SELECT table_id, col_idx AS col_start,
-      |  col_idx + (COALESCE(next_c, 4) - col_idx) - 1 AS col_end,
-      |  COALESCE(next_c, 4) - col_idx AS span, content,
+      |  col_idx + (COALESCE(next_c, $NCOLS) - col_idx) - 1 AS col_end,
+      |  COALESCE(next_c, $NCOLS) - col_idx AS span, content,
       |  CAST(0.85 AS DOUBLE) AS confidence
       |FROM c
       |WHERE row_idx = 0 AND content IS NOT NULL AND length(trim(content)) > 0
-      |  AND n0 < n1 AND COALESCE(next_c, 4) - col_idx > 1
+      |  AND n0 < n1 AND COALESCE(next_c, $NCOLS) - col_idx > 1
       |ORDER BY table_id, col_start""".stripMargin
 
   // --- etl_merge_resolve: propagate merged content across its span ---
@@ -391,7 +397,7 @@ object EtlOps3 {
       |$typicalSql,
       |$posSql,
       |cover AS (SELECT table_id, row_idx,
-      |            unnest(generate_series(col_start, LEAST(col_end, 3))) AS col_idx,
+      |            unnest(generate_series(col_start, LEAST(col_end, ${NCOLS - 1}))) AS col_idx,
       |            content AS mcontent
       |          FROM pos)
       |SELECT c.table_id, c.row_idx, c.col_idx, c.content,

@@ -54,9 +54,25 @@ object Rank {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lrn", (monotonically_increasing_id().bitwiseAND(lit(LocalIdMask)) + 1L))
 
-    val counts = parted
-      .groupBy(spark_partition_id().as("__pid"))
-      .agg(count(lit(1)).as("__cnt"))
+    // The counts job doubles as a runtime invariant check: the low-33-bit
+    // layout of monotonically_increasing_id and the guarantee that
+    // Catalyst keeps the nondeterministic projection above the Sort are
+    // Spark implementation details, not API contracts. If either ever
+    // drifts, max(__lrn) per partition stops matching the row count —
+    // the job fails fast here (metadata-sized check, one row per
+    // partition) instead of silently emitting corrupt global ranks.
+    val counts = local
+      .groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"), max(col("__lrn")).as("__m"))
+      .select(col("__pid"),
+        when(col("__m") === col("__c"), col("__c"))
+          .otherwise(raise_error(concat(
+            lit("globalRowNumber invariant violated on partition "), col("__pid"),
+            lit(": max local row number "), col("__m"),
+            lit(" != partition count "), col("__c"),
+            lit(" — monotonically_increasing_id layout or projection "
+              + "placement changed in this Spark version"))))
+          .as("__cnt"))
     // Running sum over the counts frame WITHOUT an unpartitioned window:
     // ≤ numPartitions rows join ≤ numPartitions broadcast rows, so the
     // theta-join is metadata-sized by design and keeps every exchange in

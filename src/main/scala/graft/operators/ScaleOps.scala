@@ -302,10 +302,14 @@ object ScaleOps {
         fs.create(p, true).close()
         // fs.create makes missing parents, so a dir reaped between the
         // exists check and here would be silently resurrected as a
-        // zombie holding only the heartbeat — verify real table data
-        // is present, and undo the resurrection if not
+        // zombie holding only the heartbeat — verify real table data is
+        // present, and undo only OUR file if not. Deleting the whole
+        // dir here would race a sibling JVM that just created the same
+        // dir as the start of a rebuild (its first data file not yet
+        // landed); removing just the heartbeat leaves its build intact,
+        // and a genuinely empty zombie dir ages out via the reaper.
         val hasData = fs.listStatus(dir).exists(_.getPath.getName != HeartbeatFile)
-        if (!hasData) { fs.delete(dir, true); false } else true
+        if (!hasData) { fs.delete(p, false); false } else true
       }
       else false
     } catch {

@@ -6,6 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class EtlOps3Spec extends AnyFunSuite {
   import TestSpark._
 
+  // the generator's shape, shared with the engine and the oracle SQL
+  private val NR = operators.EtlOps3.NROWS
+  private val NC = operators.EtlOps3.NCOLS
+
   test("etl_merge_positions recovers exactly the synthetic wide cells") {
     val got = SparkEntry.queries("etl_merge_positions")(spark, sf).collect()
     assert(got.nonEmpty)
@@ -15,8 +19,8 @@ class EtlOps3Spec extends AnyFunSuite {
     val nDocs = Tables.documents(spark, sf).count()
     val expected = (for {
       t <- 0L until nDocs
-      r <- 0L until 6L
-      c <- 0L until 4L
+      r <- 0L until NR
+      c <- 0L until NC
       if (t + r + c) % 11 == 0 && (3 * t + 2 * r + c) % 5 != 0
     } yield (t, r, c)).toSet
     val found = got.map(x =>
@@ -47,10 +51,10 @@ class EtlOps3Spec extends AnyFunSuite {
     // (3t + 2r + c) % 5 == 0; header-merge requires row 0's null at
     // col >= 1 (span 2 off the cell to its left) AND row 1 fuller
     def nullCol(t: Long, r: Long): Option[Long] =
-      (0L until 4L).find(c => (3 * t + 2 * r + c) % 5 == 0)
+      (0L until NC).find(c => (3 * t + 2 * r + c) % 5 == 0)
     val expected = (0L until nDocs).flatMap { t =>
       val c0 = nullCol(t, 0); val c1 = nullCol(t, 1)
-      val n0 = 4 - c0.size; val n1 = 4 - c1.size
+      val n0 = NC - c0.size; val n1 = NC - c1.size
       c0 match {
         case Some(c) if c >= 1 && n0 < n1 => Some((t, c - 1))
         case _ => None
@@ -68,7 +72,7 @@ class EtlOps3Spec extends AnyFunSuite {
   test("etl_merge_resolve propagates merge content exactly over its cover") {
     val rows = SparkEntry.queries("etl_merge_resolve")(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
-    assert(rows.length == nDocs * 24, "resolution must keep every cell exactly once")
+    assert(rows.length == nDocs * NR * NC, "resolution must keep every cell exactly once")
     var merged = 0L
     rows.foreach { r =>
       if (r.getAs[Boolean]("was_merged")) {
@@ -82,7 +86,7 @@ class EtlOps3Spec extends AnyFunSuite {
     // cells — a merge starting at the last column clips to one cell
     val expectedCover = SparkEntry.queries("etl_merge_positions")(spark, sf)
       .collect().map { m =>
-        math.min(m.getAs[Long]("col_end"), 3L) - m.getAs[Long]("col_start") + 1
+        math.min(m.getAs[Long]("col_end"), NC - 1) - m.getAs[Long]("col_start") + 1
       }.sum
     assert(merged == expectedCover, s"cover $merged != expected $expectedCover")
   }
@@ -97,17 +101,17 @@ class EtlOps3Spec extends AnyFunSuite {
   test("etl_column_widths profiles exact per-column geometry") {
     val rows = SparkEntry.queries("etl_column_widths")(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
-    assert(rows.length == nDocs * 4, "one row per (table, col)")
+    assert(rows.length == nDocs * NC, "one row per (table, col)")
     rows.foreach { r =>
       val base = 40L + r.getAs[Long]("col_idx") * 10
-      assert(r.getAs[Long]("n_cells") == 6L)
+      assert(r.getAs[Long]("n_cells") == NR)
       val typ = r.getAs[Long]("typical_w")
       assert(typ >= base - 3 && typ <= base + 3, s"median off base: $r")
       assert(r.getAs[Long]("min_w") >= base - 3)
       assert(r.getAs[Long]("max_w") <= base * 3 + 20)
       // n_wide is geometry-only: exactly the generator's wide cells
       val t = r.getAs[Long]("table_id"); val c = r.getAs[Long]("col_idx")
-      val expectedWide = (0L until 6L).count(rw => (t + rw + c) % 11 == 0)
+      val expectedWide = (0L until NR).count(rw => (t + rw + c) % 11 == 0)
       assert(r.getAs[Long]("n_wide") == expectedWide, s"wide count mismatch: $r")
     }
   }
