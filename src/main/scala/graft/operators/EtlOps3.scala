@@ -152,6 +152,61 @@ object EtlOps3 {
       |FROM pos
       |ORDER BY table_id, row_idx, col_start""".stripMargin
 
+  // --- etl_empty_cell_merges: empty-pattern merge detection ----------
+  /** Distributed `_detect_empty_cell_patterns` (merge_detector.py:
+    * 149-189): a non-empty cell followed by a run of empty cells in the
+    * same row suggests a horizontal merge of span = 1 + the run length;
+    * spans of 2-4 cells emit at confidence 0.70 — but only when the
+    * content looks like a category header (`_is_category_header`,
+    * EtlOps2 owns the predicate in both Column and SQL forms). The scan
+    * for the next non-empty column is one window pass keyed
+    * (table_id, row_idx) — independent row-local groups, no join, no
+    * skew ceiling at 100 TB. Shared by the standalone key and
+    * etl_vision_route's 0.70 detector.
+    */
+  private def emptyPatternMerges(s: SparkSession, d: String): DataFrame = {
+    val hasContent = col("content").isNotNull && length(trim(col("content"))) > 0
+    val wNext = Window.partitionBy(col("table_id"), col("row_idx")).orderBy(col("col_idx"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    positionCells(s, d)
+      .withColumn("next_c", min(when(hasContent, col("col_idx"))).over(wNext))
+      .withColumn("span", coalesce(col("next_c"), lit(NCOLS)) - col("col_idx"))
+      .filter(hasContent && col("span") >= 2 && col("span") <= 4 &&
+        EtlOps2.isCategoryHeader(col("content")))
+      .select(col("table_id"), col("row_idx"), col("col_idx").as("col_start"),
+        (col("col_idx") + col("span") - 1).as("col_end"), col("span"),
+        trim(col("content")).as("content"))
+  }
+
+  /** The same set as DuckDB CTEs (follows `cellsSql`; exposes `emc`). */
+  private def emptyPatternSql: String =
+    s"""nx AS (SELECT *,
+      |         MIN(CASE WHEN content IS NOT NULL AND length(trim(content)) > 0
+      |               THEN col_idx END)
+      |           OVER (PARTITION BY table_id, row_idx ORDER BY col_idx
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
+      |       FROM cells),
+      |emc AS (SELECT table_id, row_idx, col_idx AS col_start,
+      |          col_idx + (COALESCE(next_c, $NCOLS) - col_idx) - 1 AS col_end,
+      |          COALESCE(next_c, $NCOLS) - col_idx AS span, trim(content) AS content
+      |        FROM nx
+      |        WHERE content IS NOT NULL AND length(trim(content)) > 0
+      |          AND COALESCE(next_c, $NCOLS) - col_idx BETWEEN 2 AND 4
+      |          AND ${EtlOps2.categoryHeaderPredSql("content")})""".stripMargin
+
+  val etlEmptyCellMerges: Q = (s, d) =>
+    emptyPatternMerges(s, d)
+      .withColumn("confidence", lit(0.7))
+      .orderBy(col("table_id"), col("row_idx"), col("col_start"))
+
+  val etlEmptyCellMergesSql: String =
+    s"""WITH $cellsSql,
+      |$emptyPatternSql
+      |SELECT table_id, row_idx, col_start, col_end, span, content,
+      |  CAST(0.7 AS DOUBLE) AS confidence
+      |FROM emc
+      |ORDER BY table_id, row_idx, col_start""".stripMargin
+
   // --- etl_vision_route: merge confidence → extraction routing -------
   /** `get_confidence` / `needs_vision_fallback` (merge_detector.py:
     * 398-417) stacked with the double-verifier's status rule
@@ -178,21 +233,12 @@ object EtlOps3 {
     * finer, nothing broadcast-unbounded, no skew ceiling at 100 TB.
     */
   val etlVisionRoute: Q = (s, d) => {
-    val cells = positionCells(s, d)
-    val hasContent = col("content").isNotNull && length(trim(col("content"))) > 0
-
     val posM = positionMerges(s, d)
       .select(col("table_id"), col("row_idx"), col("col_start"),
         col("span"), lit(900000L).as("conf_ppm"))
 
-    val wNext = Window.partitionBy(col("table_id"), col("row_idx")).orderBy(col("col_idx"))
-      .rowsBetween(1, Window.unboundedFollowing)
-    val patM = cells
-      .withColumn("next_c", min(when(hasContent, col("col_idx"))).over(wNext))
-      .withColumn("span", coalesce(col("next_c"), lit(NCOLS)) - col("col_idx"))
-      .filter(hasContent && col("span") >= 2 && col("span") <= 4 &&
-        EtlOps2.isCategoryHeader(col("content")))
-      .select(col("table_id"), col("row_idx"), col("col_idx").as("col_start"),
+    val patM = emptyPatternMerges(s, d)
+      .select(col("table_id"), col("row_idx"), col("col_start"),
         col("span"), lit(700000L).as("conf_ppm"))
 
     val merged = posM.unionByName(patM)
@@ -224,27 +270,13 @@ object EtlOps3 {
       .orderBy(col("table_id"))
   }
 
-  // single source with etl_category_header's oracle — EtlOps2 owns the
-  // predicate in both its Column and SQL forms
-  private def headerPredSql: String = EtlOps2.categoryHeaderPredSql("content")
-
   val etlVisionRouteSql: String =
     s"""WITH $cellsSql,
       |$typicalSql,
       |$posSql,
       |posc AS (SELECT table_id, row_idx, col_start, span, 900000 AS conf_ppm FROM pos),
-      |nx AS (SELECT *,
-      |         MIN(CASE WHEN content IS NOT NULL AND length(trim(content)) > 0
-      |               THEN col_idx END)
-      |           OVER (PARTITION BY table_id, row_idx ORDER BY col_idx
-      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
-      |       FROM wd),
-      |pat AS (SELECT table_id, row_idx, col_idx AS col_start,
-      |          COALESCE(next_c, $NCOLS) - col_idx AS span, 700000 AS conf_ppm
-      |        FROM nx
-      |        WHERE content IS NOT NULL AND length(trim(content)) > 0
-      |          AND COALESCE(next_c, $NCOLS) - col_idx BETWEEN 2 AND 4
-      |          AND $headerPredSql),
+      |$emptyPatternSql,
+      |pat AS (SELECT table_id, row_idx, col_start, span, 700000 AS conf_ppm FROM emc),
       |mg AS (SELECT table_id, row_idx, col_start, MAX(conf_ppm) AS conf_ppm,
       |         COUNT(*) AS n_det, MAX(span) AS span
       |       FROM (SELECT * FROM posc UNION ALL SELECT * FROM pat)
@@ -412,12 +444,14 @@ object EtlOps3 {
     "etl_vision_route" -> etlVisionRoute,
     "etl_column_widths" -> etlColumnWidths,
     "etl_header_spans" -> etlHeaderSpans,
-    "etl_merge_resolve" -> etlMergeResolve)
+    "etl_merge_resolve" -> etlMergeResolve,
+    "etl_empty_cell_merges" -> etlEmptyCellMerges)
 
   val oracles: Map[String, String] = Map(
     "etl_merge_positions" -> etlMergePositionsSql,
     "etl_vision_route" -> etlVisionRouteSql,
     "etl_column_widths" -> etlColumnWidthsSql,
     "etl_header_spans" -> etlHeaderSpansSql,
-    "etl_merge_resolve" -> etlMergeResolveSql)
+    "etl_merge_resolve" -> etlMergeResolveSql,
+    "etl_empty_cell_merges" -> etlEmptyCellMergesSql)
 }

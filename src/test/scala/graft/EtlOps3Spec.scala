@@ -91,6 +91,35 @@ class EtlOps3Spec extends AnyFunSuite {
     assert(merged == expectedCover, s"cover $merged != expected $expectedCover")
   }
 
+  test("etl_empty_cell_merges fires exactly on header cells with a trailing empty run") {
+    val got = SparkEntry.queries("etl_empty_cell_merges")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    // ground truth from the generator: content is null iff
+    // (3t + 2r + c) % 5 == 0, and the phrase is a category header for
+    // residues 1 ('Electrical Characteristics', pattern hit),
+    // 3 ('VIN max', alpha-ratio 6/7 > 0.8) and 4 ('Operating
+    // Conditions') — residue 2 ('3.3') is not. Span = distance to the
+    // next non-empty column (table edge = NC), emit iff 2..4.
+    def res(t: Long, r: Long, c: Long): Long = (3 * t + 2 * r + c) % 5
+    val expected = (for {
+      t <- 0L until nDocs
+      r <- 0L until NR
+      c <- 0L until NC
+      if res(t, r, c) != 0 && Set(1L, 3L, 4L).contains(res(t, r, c))
+      nextC = ((c + 1) until NC).find(cc => res(t, r, cc) != 0)
+      span = nextC.getOrElse(NC) - c
+      if span >= 2 && span <= 4
+    } yield (t, r, c, span)).toSet
+    val found = got.map(x => (x.getAs[Long]("table_id"), x.getAs[Long]("row_idx"),
+      x.getAs[Long]("col_start"), x.getAs[Long]("span"))).toSet
+    assert(found == expected, s"missed=${(expected -- found).take(5)} extra=${(found -- expected).take(5)}")
+    assert(got.nonEmpty)
+    got.foreach { x =>
+      assert(x.getAs[Double]("confidence") == 0.7)
+      assert(x.getAs[Long]("col_end") == x.getAs[Long]("col_start") + x.getAs[Long]("span") - 1)
+    }
+  }
+
   test("etl_vision_route plan stays keyed — no cartesian, no single-partition stage") {
     val plan = SparkEntry.queries("etl_vision_route")(spark, sf)
       .queryExecution.executedPlan.toString
