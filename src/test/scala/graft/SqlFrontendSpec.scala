@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-only surface: every key listed here is replayed as PURE SQL
+  * TEXT — `SqlFrontend.register` builds the temp views + functions,
+  * `spark.sql(SparkEntry.oracleSql(key))` runs the SAME ANSI oracle
+  * text the DuckDB gate executes — and the result must row-for-row
+  * match the Scala-API plan. This closes the "downstream consumers
+  * speak SQL" story: a user who never touches the Scala API gets the
+  * gated semantics from SQL text alone, and the oracle corpus doubles
+  * as the engine's SQL conformance suite.
+  */
+class SqlFrontendSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** The 43 §2A keys whose oracle text is dialect-portable ANSI (runs
+    * on both DuckDB and Spark unchanged). The 11 exclusions each use a
+    * DuckDB-only construct — q_percentiles (quantile_cont),
+    * q_json_extract (json_extract_string), q_string_funcs (bare
+    * VARCHAR cast), q_array_agg (array_to_string/list ordering),
+    * q_sliding_window + q_datetime_funcs (DuckDB date/epoch forms),
+    * q_explode (unnest form), q_window_frames (frame/func variants),
+    * q_hierarchy + graph_pagerank (DuckDB recursive-CTE/`//` forms),
+    * q_asof_join (ASOF JOIN) — their semantics stay covered by the
+    * DuckDB gate itself, which is the cross-engine check.
+    */
+  private val replayKeys = Seq(
+    "q1_agg", "q3_shipping", "q5_local_supplier", "q6_filter_agg",
+    "q_window_rank", "q_window_running", "q_distinct", "q_semi_join",
+    "q_anti_join", "q_rollup", "q_pivot", "q_union_dedup", "q_topk_order",
+    "q_date_bucket", "q_cross_small",
+    "q7_volume", "q10_returns", "q14_promo", "q18_large", "q22_balance",
+    "q_stats_agg", "q_cube",
+    "q_range_join", "q_null_handling", "q_outer_join",
+    "q_set_ops", "q_weighted_avg", "q_math_funcs",
+    "q_conditional_agg", "q_grouping_sets",
+    "q_correlated", "q_multi_distinct",
+    "q4_priority", "q8_market_share", "q9_profit", "q13_order_dist",
+    "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty",
+    "q19_disjunctive", "q21_waiting", "event_funnel",
+    "q_running_distinct")
+
+  /** Column-name-sorted, row-sorted, type-normalized frame image — the
+    * same canonicalization idea as the driver's gate (sort columns by
+    * name, rows by all values), with DECIMAL scale normalized so
+    * decimal(38,2) and decimal(25,2) images of the same value agree.
+    */
+  private def canon(df: DataFrame): (Seq[String], Seq[String]) = {
+    val cols = df.columns.sorted.toSeq
+    val rows = df.select(cols.map(col): _*).collect().map(_.toSeq.map {
+      case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+      case d: BigDecimal => d.underlying.stripTrailingZeros.toPlainString
+      case s: Seq[_] => s.mkString("[", ",", "]")
+      case x => String.valueOf(x)
+    }.mkString("|")).sorted.toSeq
+    (cols, rows)
+  }
+
+  SqlFrontend.register(spark, sf)
+
+  replayKeys.foreach { key =>
+    test(s"pure-SQL replay matches the Scala API: $key") {
+      val (apiCols, apiRows) = canon(SparkEntry.queries(key)(spark, sf))
+      val (sqlCols, sqlRows) = canon(spark.sql(SparkEntry.oracleSql(key)))
+      assert(apiCols == sqlCols, s"column sets differ: api=$apiCols sql=$sqlCols")
+      assert(apiRows.length == sqlRows.length,
+        s"row counts differ: api=${apiRows.length} sql=${sqlRows.length}")
+      val mismatch = apiRows.zip(sqlRows).indexWhere { case (a, b) => a != b }
+      if (mismatch >= 0) fail(
+        s"first mismatch at sorted row $mismatch:\n  api=${apiRows(mismatch)}\n  sql=${sqlRows(mismatch)}")
+    }
+  }
+}
