@@ -366,4 +366,86 @@ class StreamingSpec extends AnyFunSuite {
       assert(folded.map(t => t._1 -> t._2).toMap == Map(1L -> 11L, 2L -> 12L, 3L -> 14L))
     } finally q.stop()
   }
+
+  test("upsert merge is trigger-partitioning-invariant under adversarial replay") {
+    // The associativity claim tested adversarially: the SAME events
+    // folded through three hostile trigger partitionings — late
+    // arrival (newest-ts batch first, oldest last), a skewed split
+    // with an EMPTY middle batch, and a fine-grained 7-way residue
+    // split in reversed order — must each equal the one-shot
+    // aggregation bit-for-bit. This is the property that lets an
+    // incremental 100 TB sink be re-derived (and oracle-gated) no
+    // matter how the stream happened to be chopped into micro-batches.
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+    def canon(dfx: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      dfx.select(col("user_id"), col("last.event_id").as("le"), col("n_events"),
+        col("sum_dec").cast("double").as("sv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    val oneShot = canon(Streaming.upsertState(ev))
+    val day = dayofmonth(col("ts"))
+    val partitionings: Seq[(String, Seq[org.apache.spark.sql.DataFrame])] = Seq(
+      // late data: whole days arrive newest-first, so every batch after
+      // the first is entirely OLDER than the state it merges into
+      "late-arrival day order" -> (1 to 31).reverse.map(d => ev.filter(day === d)),
+      // skew + an empty batch mid-stream (residue 17 of 16 never fires)
+      "skewed with empty batch" -> Seq(
+        ev.filter(pmod(col("event_id"), lit(16)) < 14),
+        ev.filter(pmod(col("event_id"), lit(16)) === 17),
+        ev.filter(pmod(col("event_id"), lit(16)) === 14),
+        ev.filter(pmod(col("event_id"), lit(16)) === 15)),
+      // reversed fine-grained residues
+      "reversed 7-way residues" -> (0 until 7).reverse.map(i =>
+        ev.filter(pmod(col("event_id"), lit(7)) === i)))
+    partitionings.foreach { case (name, batches) =>
+      val folded = canon(
+        batches.tail.foldLeft(Streaming.upsertState(batches.head))(Streaming.upsertMerge))
+      assert(folded == oneShot, s"fold under '$name' diverged from the one-shot aggregation")
+    }
+  }
+
+  test("sessionizer state survives a mid-stream query restart (checkpoint recovery)") {
+    import Streaming.Session
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("sess_restart").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val ts = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // the memory sink cannot recover from a checkpoint; the parquet
+    // file sink is the fault-tolerant one (same as the exactly-once
+    // test above), so the restart goes through it
+    def start() =
+      Streaming.sessionizeStream(mem.toDF().toDF("ts", "user_id", "event_id"))
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt).format("parquet").start(out)
+    def sessions(): Seq[Session] = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[Session]].schema)
+      .parquet(out).as[Session].collect().toSeq
+    // phase 1: an OPEN session (two events, no gap yet), then stop —
+    // the burst lives only in the flatMapGroupsWithState state store
+    val q1 = start()
+    try {
+      mem.addData((ts(10, 0), 7L, 1L), (ts(10, 10), 7L, 2L))
+      q1.processAllAvailable()
+      assert(sessions().isEmpty, "session must still be open at stop")
+    } finally q1.stop()
+    // phase 2: restart from the checkpoint; a later event from the
+    // same user must close the PRE-RESTART burst with both its events —
+    // possible only if the state store recovered across the restart
+    val q2 = start()
+    try {
+      mem.addData((ts(13, 0), 7L, 3L))
+      q2.processAllAvailable()
+      val got = sessions()
+      assert(got.length == 1, s"expected the recovered session, got $got")
+      assert(got.head.n_events == 2L,
+        s"pre-restart events lost from recovered state: ${got.head}")
+      val us = (h: Int, m: Int) => ts(h, m).getTime * 1000L
+      assert(got.head.session_start == us(10, 0))
+      assert(got.head.session_end == us(10, 10))
+    } finally q2.stop()
+  }
 }
