@@ -27,34 +27,38 @@ class IndexSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"persisted-index recall@10 $recall below 0.9")
   }
 
-  test("clustered corpus: calibrated probe fraction <= 10% of cells at recall@10 >= 0.9") {
-    // A corpus with real cluster structure — the case IVF exists for
-    // (the sf testdata is adversarially isotropic, where low probe
-    // fractions are information-theoretically insufficient and
-    // calibration honestly climbs instead). 40 well-separated unit
-    // directions in 64-d, 50 members each, 10% relative noise.
+  /** A corpus with real cluster structure — the case IVF exists for
+    * (the sf testdata is adversarially isotropic, where low probe
+    * fractions are information-theoretically insufficient and
+    * calibration honestly climbs instead): `nClusters` well-separated
+    * unit directions in 64-d, `members` each, 10% relative noise.
+    * Builds the index, asserts the calibrated probe fraction stays
+    * ≤ 10% of cells, and checks recall@10 ≥ 0.9 against the exact
+    * broadcast top-k.
+    */
+  private def clusteredCase(nClusters: Int, members: Int, tag: String): Unit = {
     import spark.implicits._
     val rnd = new java.util.Random(42L)
     val dim = 64
-    val centers = Array.fill(40) {
+    val centers = Array.fill(nClusters) {
       val v = Array.fill(dim)(rnd.nextGaussian())
       val n = math.sqrt(v.map(x => x * x).sum)
       v.map(x => (x / n).toFloat)
     }
     val rows = for {
       c <- centers.indices
-      m <- 0 until 50
+      m <- 0 until members
     } yield {
       val v = centers(c).map(x => x + 0.1 * rnd.nextGaussian())
       val n = math.sqrt(v.map(x => x * x).sum)
-      ((c * 50 + m).toLong, v.map(x => (x / n).toFloat))
+      ((c.toLong * members + m).toLong, v.map(x => (x / n).toFloat))
     }
     val corpus = rows.toDF("vec_id", "embedding")
-    val cpath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_clustered"
+    val cpath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_clustered_$tag"
     val (nCent, nProbe) = Similarity.buildIvfIndex(corpus, cpath)
     assert(nProbe <= math.ceil(0.1 * nCent).toInt,
-      s"calibrated nProbe $nProbe exceeds 10% of $nCent cells on clustered data")
-    val qs = corpus.filter(col("vec_id") % 50 === 0).limit(8)
+      s"[$tag] calibrated nProbe $nProbe exceeds 10% of $nCent cells on clustered data")
+    val qs = corpus.filter(col("vec_id") % members === 0).limit(8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val got = Similarity.queryIvfIndex(spark, cpath, qs, nProbe, 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
@@ -66,7 +70,19 @@ class IndexSpec extends AnyFunSuite {
         Seq("query_id"), Seq(("cosine", true), ("vec_id", false)), 10)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
     val recall = got.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.9, s"clustered-index recall@10 $recall below 0.9 at nProbe $nProbe")
+    assert(recall >= 0.9, s"[$tag] clustered-index recall@10 $recall below 0.9 at nProbe $nProbe")
+  }
+
+  test("clustered corpus: calibrated probe fraction <= 10% of cells at recall@10 >= 0.9") {
+    clusteredCase(40, 50, "1x")
+  }
+
+  test("10x clustered corpus: probe fraction and recall guarantees hold at scale") {
+    // the 10× point of the same geometry (400 clusters × 50 members =
+    // 20 000 vectors): nCent grows as 2√n, and both the ≤10% probe
+    // fraction and the recall bar must survive the scale-up — the
+    // scale-stability claim behind ann_ivf_index
+    clusteredCase(400, 50, "10x")
   }
 
   test("index probe plan uses dynamic partition pruning on cent_id") {
