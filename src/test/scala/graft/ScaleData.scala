@@ -41,9 +41,10 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     mode match {
-      case "scale10"  => scale10(spark, srcDir, outDir)
-      case "scale100" => scale100(spark, srcDir, outDir)
-      case "stress"   => stress(spark, srcDir, outDir)
+      case "scale10"   => scale10(spark, srcDir, outDir)
+      case "scale100"  => scale100(spark, srcDir, outDir)
+      case "corpus100" => corpus100(spark, srcDir, outDir)
+      case "stress"    => stress(spark, srcDir, outDir)
     }
     spark.stop()
   }
@@ -146,6 +147,45 @@ object ScaleData {
       Map("l_orderkey" -> ordOff, "l_partkey" -> partOff, "l_suppkey" -> suppOff),
       copies)(noTweak), "lineitem")
     println(s"[scaledata] scale100 written to $out")
+  }
+
+  /** 100× corpus tables ONLY (500k docs / 200k vectors from sf0.1's
+    * 5k/2k) — the third scale point for the capped dedup/ANN families
+    * (1× = sf0.1 battery, 10× = scale10, 100× = here). Documents use
+    * the same alternate-token copy salt as scale10 (cross-copy Jaccard
+    * ≈ 0, so near-dup pair work scales linearly in the copy count).
+    * Embeddings: a circular shift only yields 64 distinct transforms
+    * for 64 dims, so copies ≥ 64 would alias copy i−64 bit-for-bit and
+    * plant 72k spurious identical-vector groups; past 63 the copy also
+    * negates even dims (norm-preserving, decorrelating), giving 128
+    * distinct transforms for 100 copies. All deterministic — no RNG.
+    */
+  def corpus100(s: SparkSession, src: String, out: String): Unit = {
+    val copies = 100
+    def w(df: DataFrame, name: String): Unit =
+      df.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
+    val docs = Tables.documents(s, src)
+    w(copied(docs, Map("doc_id" -> keyDomain(docs, "doc_id")), copies) { (df, i) =>
+      if (i == 0) df
+      else df.withColumn("text", array_join(
+        expr(s"transform(split(text, ' '), (t, p) -> IF(p % 2 = 0, concat(t, 'x$i'), t))"),
+        " "))
+    }, "documents")
+    val emb = Tables.embeddings(s, src)
+    w(copied(emb, Map("vec_id" -> keyDomain(emb, "vec_id")), copies) { (df, i) =>
+      if (i == 0) df
+      else {
+        val k = i % 64
+        val shifted =
+          if (k == 0) col("embedding")
+          else concat(slice(col("embedding"), k + 1, 64 - k), slice(col("embedding"), 1, k))
+        val decorrelated =
+          if (i < 64) shifted
+          else transform(shifted, (x, j) => when(j % 2 === 0, -x).otherwise(x))
+        df.withColumn("embedding", decorrelated)
+      }
+    }, "embeddings")
+    println(s"[scaledata] corpus100 written to $out")
   }
 
   def stress(s: SparkSession, src: String, out: String): Unit = {
