@@ -354,8 +354,15 @@ object Dedup {
   /** Plane count ∝ log2(n / target bucket size), floor 8: expected
     * bucket population stays ≈ TARGET_BUCKET at any corpus size, so
     * within-bucket self-join work is bounded instead of O(n²/2^8).
+    * Candidate-pair volume is ≈ n·bands·TARGET_BUCKET/2, i.e. the
+    * target IS the per-vector candidate budget: 256 was measured
+    * superlinear-in-wall at the 200k-vector scale point (≈78M pairs,
+    * 55.8 s) because every pair pays a distinct + a 64-dim dot; 32
+    * holds the same near-dup recall through banding (a planted
+    * cosine≈0.999 pair still collides per band with ≥0.9 probability
+    * at 13 planes) at 1/8 the pair volume.
     */
-  private val TARGET_BUCKET = 256L
+  private val TARGET_BUCKET = 32L
   private val MAX_BUCKET = 2048L
 
   private[graft] def planesFor(n: Long): Int =
@@ -431,15 +438,18 @@ object Dedup {
     val probe = e0.agg(count(lit(1)).as("n"), countDistinct(col(vecCol)).as("nd")).head()
     if (probe.getLong(0) == probe.getLong(1)) {
       (e0, e0.filter(lit(false))
-        .select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b")))
+        .select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"), col(vecCol)))
     } else {
       val grp = cached(e0.groupBy(col(vecCol))
         .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("cnt")))
       val reps = cached(grp.select(col("rep").as("vec_id"), col(vecCol)))
+      // star pairs keep the (shared) vector so callers can score the
+      // pair in place — rep and member are bit-identical, so the pair
+      // score is the self-dot of either side
       val star = grp.filter(col("cnt") > 1).select(col(vecCol), col("rep"))
         .join(e0, Seq(vecCol))
         .filter(col("vec_id") =!= col("rep"))
-        .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
+        .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"), col(vecCol))
       (reps, star)
     }
   }
@@ -459,26 +469,33 @@ object Dedup {
     val e0 = cached(corpus.select(col("vec_id"), col("embedding")))
     val (e, star) = collapseIdentical(e0, "embedding")
     val nPlanes = planesFor(n)
+    // Score INSIDE the band join: both sides of the bucket-local
+    // self-join already carry their vectors, so the pair's cosine is a
+    // codegen'd projection here. The alternative — emit bare id pairs
+    // and equi-join the corpus back on vec_a then vec_b — re-shuffles
+    // the full candidate set twice with a 64-float array attached
+    // (measured 20+ GB of shuffle and the dominant cost at the
+    // 200k-vector scale point, because the corpus side outgrows the
+    // broadcast threshold). The dot is deterministic, so distinct()
+    // over (pair, cosine) still collapses cross-band duplicates.
     val perBand = (0 until bands).map { b =>
       val capped = cappedBuckets(e, "embedding", n,
         base = hyperplanes(nPlanes, EMB_DIM, seed = 101L + 2 * b))
       capped.as("x").join(capped.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.sub") === col("y.sub") &&
             col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          Expr.dotProduct(col("x.embedding"), col("y.embedding")).as("cosine"))
     }
-    perBand.reduce(_ unionByName _).unionByName(star).distinct()
+    val starScored = star.select(col("vec_a"), col("vec_b"),
+      Expr.dotProduct(col("embedding"), col("embedding")).as("cosine"))
+    perBand.reduce(_ unionByName _).unionByName(starScored).distinct()
   }
 
   val dedupEmbedding: Q = (s, d) => {
     val corpus = Tables.embeddings(s, d)
     val n = corpusSize(corpus, s"$d/embeddings")
-    val e = corpus.select(col("vec_id"), col("embedding"))
-    bandedEmbeddingPairs(e, n)
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        Expr.dotProduct(col("emb_a"), col("emb_b")).as("cosine"))
+    bandedEmbeddingPairs(corpus.select(col("vec_id"), col("embedding")), n)
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(50)
   }
@@ -536,13 +553,16 @@ object Dedup {
       capped.as("x").join(capped.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.sub") === col("y.sub") &&
             col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        // in-join scoring, same rationale as bandedEmbeddingPairs: no
+        // post-hoc corpus re-join shuffling 64-long arrays per pair
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          Expr.longDot(col("x.q"), col("y.q")).as("qdot"))
     }
-    // score against ALL vectors (star members are not representatives)
-    perBand.reduce(_ unionByName _).unionByName(star).distinct()
-      .join(e0.select(col("vec_id").as("vec_a"), col("q").as("qa")), "vec_a")
-      .join(e0.select(col("vec_id").as("vec_b"), col("q").as("qb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"), Expr.longDot(col("qa"), col("qb")).as("qdot"))
+    // star pairs are bit-identical vectors: the pair score is the
+    // self-dot of the shared quantized vector
+    val starScored = star.select(col("vec_a"), col("vec_b"),
+      Expr.longDot(col("q"), col("q")).as("qdot"))
+    perBand.reduce(_ unionByName _).unionByName(starScored).distinct()
       .orderBy(col("qdot").desc, col("vec_a"), col("vec_b"))
       .limit(50)
   }
