@@ -261,15 +261,22 @@ object Dedup {
           shiftrightunsigned(col("sim"), ch * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_val")
-    // distinct-hash pairs sharing a chunk, within hamming budget
+    // Distinct-hash pairs sharing a chunk, within hamming budget. The
+    // hamming test runs INSIDE the join (before the pair distinct):
+    // hamming is a function of the pair, so filter-then-distinct is
+    // set-identical to distinct-then-filter, but the distinct's
+    // shuffle now carries only qualifying pairs instead of every
+    // chunk-collision candidate — at 500k distinct signatures the
+    // low-entropy top chunk of the 60-bit twin alone emits ~30M
+    // candidates, of which a few thousand survive the budget.
     val simPairs = chunked.as("x").join(chunked.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") &&
           col("x.chunk_val") === col("y.chunk_val") &&
-          col("x.sim") < col("y.sim"))
+          col("x.sim") < col("y.sim") &&
+          Expr.hamming64(col("x.sim"), col("y.sim")) <= MAX_HAMMING)
       .select(col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
       .distinct()
       .withColumn("hamming", Expr.hamming64(col("sim_a"), col("sim_b")))
-      .filter(col("hamming") <= MAX_HAMMING)
     // cross-hash matches link the two representatives only: members
     // reach their rep through the star pairs below, so the closure is
     // complete without any member × member expansion
