@@ -120,6 +120,18 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches(blocking = true)
   }
 
+  test("simhash hamming budget runs inside the chunk join, not above the distinct") {
+    // The low-entropy top chunk of the 60-bit twin emits ~30M
+    // candidate pairs at 500k signatures; if the budget drifts above
+    // the pair distinct, every one of them is shuffled again.
+    val plan = SparkEntry.queries("dedup_simhash_exact")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val joinLines = plan.split("\n").filter(_.contains("Join"))
+    assert(joinLines.exists(_.contains("hamming64")),
+      s"hamming filter must be a chunk-join condition:\n${plan.take(1500)}")
+    graft.operators.Dedup.releaseCaches(blocking = true)
+  }
+
   test("dedup_simhash_exact scan prunes to doc_id and text") {
     val plan = SparkEntry.queries("dedup_simhash_exact")(spark, sf)
       .queryExecution.executedPlan.toString
