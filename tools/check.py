@@ -16,7 +16,10 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # driver testdata is single-file parquet; Spark-written corpora
+    # (ScaleData's /tmp/scale10 etc.) are directories of part files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
