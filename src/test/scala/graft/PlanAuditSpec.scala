@@ -192,6 +192,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("long_dot_product"), "long_dot kernel missing from plan")
   }
 
+  test("embedding dedup paths carry no window (collapse is probe-and-skip aggregation)") {
+    // The identical-vector collapse used to be a Window over the raw
+    // vector — a full-corpus sort paid on every run. It is now a
+    // one-row probe + groupBy/equi-join taken only when duplicate
+    // vectors exist; neither branch may reintroduce WindowExec below
+    // the final top-50 ordering (which is a TakeOrderedAndProject,
+    // not a window, on both paths).
+    for (q <- Seq("dedup_embedding", "dedup_embedding_exact")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Window"),
+        s"$q: WindowExec reappeared in the collapse path:\n${plan.take(1500)}")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: top-50 must be TakeOrderedAndProject, not a global sort:\n${plan.take(1200)}")
+    }
+  }
+
   test("sketch point queries broadcast the fixed-size sketch, never shuffle it") {
     for (q <- Seq("sketch_cms_exact", "sketch_bloom_exact")) {
       val plan = executedPlan(q)
