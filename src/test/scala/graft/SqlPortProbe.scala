@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Scratch probe (not a test): for every oracle key NOT yet in
+  * SqlFrontendSpec's replay list, try running the oracle SQL text on
+  * Spark and compare to the Scala API result. Prints PORTABLE /
+  * MISMATCH / ERROR per key so the replay list can be extended with
+  * the keys that genuinely run unchanged.
+  */
+object SqlPortProbe {
+  private def canon(df: DataFrame): (Seq[String], Seq[String]) = {
+    val cols = df.columns.sorted.toSeq
+    val rows = df.select(cols.map(col): _*).collect().map(_.toSeq.map {
+      case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+      case d: BigDecimal => d.underlying.stripTrailingZeros.toPlainString
+      case s: Seq[_] => s.mkString("[", ",", "]")
+      case x => String.valueOf(x)
+    }.mkString("|")).sorted.toSeq
+    (cols, rows)
+  }
+
+  private val already = Set(
+    "q1_agg", "q3_shipping", "q5_local_supplier", "q6_filter_agg",
+    "q_window_rank", "q_window_running", "q_distinct", "q_semi_join",
+    "q_anti_join", "q_rollup", "q_pivot", "q_union_dedup", "q_topk_order",
+    "q_date_bucket", "q_cross_small",
+    "q7_volume", "q10_returns", "q14_promo", "q18_large", "q22_balance",
+    "q_stats_agg", "q_cube",
+    "q_range_join", "q_null_handling", "q_outer_join",
+    "q_set_ops", "q_weighted_avg", "q_math_funcs",
+    "q_conditional_agg", "q_grouping_sets",
+    "q_correlated", "q_multi_distinct",
+    "q4_priority", "q8_market_share", "q9_profit", "q13_order_dist",
+    "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty",
+    "q19_disjunctive", "q21_waiting", "event_funnel",
+    "q_running_distinct")
+
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val sf = TestSpark.sf
+    SqlFrontend.register(spark, sf)
+    val keys = SparkEntry.oracleSql.keys.toSeq.sorted.filterNot(already)
+    keys.foreach { key =>
+      try {
+        val (sc, sr) = canon(spark.sql(SparkEntry.oracleSql(key)))
+        val (ac, ar) = canon(SparkEntry.queries(key)(spark, sf))
+        if (ac == sc && ar == sr) println(s"PORTABLE $key")
+        else if (ac != sc) println(s"MISMATCH $key cols api=$ac sql=$sc")
+        else {
+          val i = ar.zip(sr).indexWhere { case (a, b) => a != b }
+          val detail = if (ar.length != sr.length) s"rows ${ar.length}!=${sr.length}"
+            else s"row$i api=${ar(i).take(120)} sql=${sr(i).take(120)}"
+          println(s"MISMATCH $key $detail")
+        }
+      } catch {
+        case e: Throwable =>
+          println(s"ERROR $key ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(1).mkString.take(160)}")
+      }
+    }
+    spark.stop()
+  }
+}
