@@ -139,8 +139,8 @@ object EtlOps {
       |       ELSE 'low' END AS severity
       |FROM orders JOIN (
       |  SELECT l_orderkey,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-      |         * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS secondary_value
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |         * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS STRING) AS DOUBLE) AS secondary_value
       |  FROM lineitem GROUP BY l_orderkey) li ON o_orderkey = l_orderkey""".stripMargin
 
   val etlDoubleVerifySql: String = doubleVerifySqlBody + "\nORDER BY o_orderkey"

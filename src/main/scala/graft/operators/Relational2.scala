@@ -40,7 +40,7 @@ object Relational2 {
   val q7VolumeSql: String =
     s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-      |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM($discPriceSql) AS STRING) AS DOUBLE) AS revenue
       |FROM lineitem
       |  JOIN orders ON l_orderkey = o_orderkey
       |  JOIN supplier ON l_suppkey = s_suppkey
@@ -60,7 +60,7 @@ object Relational2 {
       .limit(20)
 
   val q10ReturnsSql: String =
-    s"""SELECT c_custkey, c_name, CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+    s"""SELECT c_custkey, c_name, CAST(CAST(SUM($discPriceSql) AS STRING) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
       |WHERE l_returnflag = 'R'
@@ -75,9 +75,9 @@ object Relational2 {
         sum(discPrice()).cast("double")).as("promo_revenue_pct"))
 
   val q14PromoSql: String =
-    s"""SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $discPriceSql
-      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
-      |  CAST(SUM($discPriceSql) AS DOUBLE) AS promo_revenue_pct
+    s"""SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $discPriceSql
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) * 100.0 /
+      |  CAST(CAST(SUM($discPriceSql) AS STRING) AS DOUBLE) AS promo_revenue_pct
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
   // --- TPC-H Q18-style: large-quantity orders -------------------------

@@ -83,9 +83,9 @@ object Relational6 {
 
   val q8MarketShareSql: String =
     s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-      |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_5' THEN $discPriceSql
-      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
-      |  CAST(SUM($discPriceSql) AS DOUBLE) AS mkt_share
+      |  CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_5' THEN $discPriceSql
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) /
+      |  CAST(CAST(SUM($discPriceSql) AS STRING) AS DOUBLE) AS mkt_share
       |FROM lineitem
       |  JOIN part ON l_partkey = p_partkey
       |  JOIN orders ON l_orderkey = o_orderkey
@@ -117,9 +117,9 @@ object Relational6 {
 
   val q9ProfitSql: String =
     s"""SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
-      |  CAST(SUM($discPriceSql -
+      |  CAST(CAST(SUM($discPriceSql -
       |    CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))
-      |      * CAST(0.90 AS DECIMAL(3,2))) AS DOUBLE) AS sum_profit
+      |      * CAST(0.90 AS DECIMAL(3,2))) AS STRING) AS DOUBLE) AS sum_profit
       |FROM lineitem
       |  JOIN part ON l_partkey = p_partkey
       |  JOIN supplier ON l_suppkey = s_suppkey
@@ -178,7 +178,7 @@ object Relational6 {
       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       |    AND l_shipdate < TIMESTAMP '1997-04-01'
       |  GROUP BY l_suppkey)
-      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |SELECT s_suppkey, s_name, CAST(CAST(total_rev AS STRING) AS DOUBLE) AS total_revenue
       |FROM supplier JOIN rev ON s_suppkey = l_suppkey
       |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
@@ -253,7 +253,7 @@ object Relational6 {
   }
 
   val q19DisjunctiveSql: String =
-    s"""SELECT CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+    s"""SELECT CAST(CAST(SUM($discPriceSql) AS STRING) AS DOUBLE) AS revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
       |       AND l_quantity BETWEEN 1 AND 11)

@@ -72,8 +72,8 @@ object ScaleOps {
 
   val qSkewJoinSql: String =
     """SELECT s_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |       (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |       (1 - CAST(l_discount AS DECIMAL(18,2)))) AS STRING) AS DOUBLE) AS revenue,
       |  CAST(COUNT(*) AS BIGINT) AS n_items
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY s_name""".stripMargin
