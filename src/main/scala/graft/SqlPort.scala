@@ -23,7 +23,621 @@ package graft
   */
 object SqlPort {
 
+  /** Shared field-verify CTE chain (mirrors the DuckDB oracle's reuse
+    * across etl_field_verify / etl_export_csv / etl_review_payload):
+    * synthetic primary/reference field pairs → numeric-or-text match →
+    * penalty → per-doc confidence + status.
+    */
+  private val fieldVerifyCtes: String =
+    """f AS (
+      |  SELECT p_partkey AS doc, lower(p_brand) AS paraml, 'value' AS fieldl,
+      |    CAST(p_retailprice AS STRING) AS vv,
+      |    CASE WHEN p_partkey % 5 = 0 THEN CAST(p_retailprice * CAST(1.03 AS DOUBLE) AS STRING)
+      |         ELSE CAST(p_retailprice AS STRING) END AS rv
+      |  FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, lower(p_brand), 'unit', 'mV', 'millivolt' FROM part),
+      |c AS (
+      |  SELECT doc,
+      |    (fieldl || '|' || paraml) RLIKE 'vin|vout|iout|iq|efficiency|power|frequency' AS crit,
+      |    TRY_CAST(NULLIF(regexp_replace(trim(vv), '[^0-9.eE+-]', ''), '') AS DOUBLE) AS n1,
+      |    TRY_CAST(NULLIF(regexp_replace(trim(rv), '[^0-9.eE+-]', ''), '') AS DOUBLE) AS n2,
+      |    CASE WHEN lower(trim(vv)) IN ('mv', 'millivolt')
+      |              AND lower(trim(rv)) IN ('mv', 'millivolt') THEN TRUE
+      |         ELSE trim(vv) = trim(rv) END AS unit_eq,
+      |    regexp_replace(regexp_replace(lower(trim(vv)), '\\s+', ' '), '[.,;:!?]', '') =
+      |    regexp_replace(regexp_replace(lower(trim(rv)), '\\s+', ' '), '[.,;:!?]', '') AS text_eq
+      |  FROM f),
+      |m AS (
+      |  SELECT doc, crit,
+      |    CASE WHEN n1 IS NOT NULL AND n2 IS NOT NULL
+      |              AND ((n1 = 0 AND n2 = 0)
+      |                   OR abs(n1 - n2) / greatest(abs(n1), abs(n2)) <= 0.01) THEN TRUE
+      |         WHEN unit_eq OR text_eq THEN TRUE ELSE FALSE END AS is_match,
+      |    CASE WHEN n1 IS NULL OR n2 IS NULL OR greatest(abs(n1), abs(n2)) = 0 THEN NULL
+      |         ELSE abs(n1 - n2) / greatest(abs(n1), abs(n2)) END AS rel_diff
+      |  FROM c),
+      |p AS (
+      |  SELECT doc, is_match, crit, rel_diff,
+      |    CASE WHEN is_match THEN CAST(0.000 AS DECIMAL(6,3))
+      |         WHEN crit THEN CAST(0.100 AS DECIMAL(6,3))
+      |         WHEN rel_diff IS NOT NULL AND rel_diff > 0.1 THEN CAST(0.050 AS DECIMAL(6,3))
+      |         WHEN rel_diff IS NOT NULL AND rel_diff > 0.05 THEN CAST(0.025 AS DECIMAL(6,3))
+      |         ELSE CAST(0.010 AS DECIMAL(6,3)) END AS pen
+      |  FROM m),
+      |fvfull AS (
+      |  SELECT doc, COUNT(*) AS n_fields,
+      |    CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts,
+      |    greatest(0.0, least(1.0, CAST(CAST(1.00 AS DECIMAL(3,2)) - SUM(pen) AS DOUBLE))) AS confidence,
+      |    CASE WHEN max(CASE WHEN NOT is_match AND crit AND rel_diff > 0.1
+      |                       THEN 1 ELSE 0 END) = 1 THEN 'needs_review'
+      |         WHEN greatest(0.0, least(1.0, CAST(CAST(1.00 AS DECIMAL(3,2)) - SUM(pen) AS DOUBLE))) < 0.60
+      |              THEN 'conflict'
+      |         ELSE 'verified' END AS status
+      |  FROM p GROUP BY doc)""".stripMargin
+
+  /** Shared param-pivot CTE chain (etl_param_pivot / etl_review_payload):
+    * wide synthetic key/value params → long (param, value, unit) rows.
+    */
+  private val paramPivotCtes: String =
+    """flat AS (
+      |  SELECT p_partkey AS doc, kv.key AS key, kv.value AS value FROM part
+      |  LATERAL VIEW explode(array(
+      |    named_struct('key', 'vin_min',  'value', CAST(p_size AS STRING)),
+      |    named_struct('key', 'vin_typ',  'value', CAST(p_size + 2 AS STRING)),
+      |    named_struct('key', 'vin_max',  'value', CAST(p_size * 2 AS STRING)),
+      |    named_struct('key', 'vin_unit', 'value', 'V'),
+      |    named_struct('key', 'iout_max', 'value', CAST(p_retailprice AS STRING)))) t AS kv),
+      |vals AS (
+      |  SELECT doc, key AS param,
+      |    substring(key, 1, length(key) - 4) || '_unit' AS unit_key, value
+      |  FROM flat WHERE key LIKE '%#_min' ESCAPE '#' OR key LIKE '%#_typ' ESCAPE '#' OR key LIKE '%#_max' ESCAPE '#'),
+      |units AS (
+      |  SELECT doc, key AS unit_key, value AS unit FROM flat WHERE key LIKE '%#_unit' ESCAPE '#'),
+      |pivoted AS (
+      |  SELECT doc, param, value, unit FROM (
+      |    SELECT v.doc, v.param, v.value, u.unit
+      |    FROM vals v LEFT JOIN units u ON v.doc = u.doc AND v.unit_key = u.unit_key
+      |    UNION ALL
+      |    SELECT doc, substring(unit_key, 1, length(unit_key) - 5) AS param, NULL AS value, unit
+      |    FROM units) z)""".stripMargin
+
+  /** Shared diagram-detection CTE chain (diagram_topology / _pinout /
+    * _appcircuit): synthetic page text → classified diagram rows.
+    * The dtype alias can't be referenced in WHERE in Spark, so the
+    * classification runs in a subquery.
+    */
+  private val diagramCtes: String =
+    """base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN element_at(array('block diagram','functional diagram','typical application','application circuit','pin configuration','package'),
+      |                         CAST(doc_id % 6 AS INT) + 1) || ' ' || text
+      |         ELSE text END AS page_text
+      |  FROM documents),
+      |diag AS (
+      |  SELECT * FROM (
+      |    SELECT 'diag_p' || CAST(doc_id AS STRING) AS diagram_id, doc_id,
+      |      CASE WHEN lower(page_text) RLIKE 'block\\s*diagram' THEN 'block_diagram'
+      |           WHEN lower(page_text) RLIKE 'functional\\s*diagram' THEN 'block_diagram'
+      |           WHEN lower(page_text) RLIKE 'typical\\s*application' THEN 'typical_app'
+      |           WHEN lower(page_text) RLIKE 'application\\s*circuit' THEN 'typical_app'
+      |           WHEN lower(page_text) RLIKE 'pin\\s*configuration' THEN 'pinout'
+      |           WHEN lower(page_text) RLIKE 'package' THEN 'pinout'
+      |           ELSE NULL END AS dtype
+      |    FROM base) x
+      |  WHERE dtype IS NOT NULL)""".stripMargin
+
+  /** Shared table-assembly CTE chain (etl_table_assemble /
+    * etl_review_payload): synthetic page text → assembled table rows
+    * with normalized headers and confidence.
+    */
+  private val tableAssembleCtes: String =
+    """aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN element_at(array('Electrical Characteristics', 'Absolute Maximum Ratings', 'Recommended Operating Conditions', 'Thermal Information', 'Pin Functions', 'Device Comparison'),
+      |                         CAST(doc_id % 6 AS INT) + 1) || ' ' || text
+      |         ELSE text END AS page_text,
+      |    doc_id % 3 AS table_idx
+      |  FROM documents),
+      |cells AS (
+      |  SELECT *, split(page_text, ' ') AS toks,
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN array('Parameter', 'Symbol', 'min.', 'Typical', 'MAX')
+      |         ELSE slice(split(page_text, ' '), 1, 5) END AS header_cells
+      |  FROM aug),
+      |normed AS (
+      |  SELECT *, transform(header_cells, c ->
+      |    CASE WHEN length(lower(trim(c))) = 0 THEN 'Unknown'
+      |         WHEN lower(trim(c)) RLIKE 'param' THEN 'Parameter'
+      |         WHEN lower(trim(c)) RLIKE 'symbol' THEN 'Symbol'
+      |         WHEN lower(trim(c)) RLIKE 'test.*cond|condition' THEN 'Test_Conditions'
+      |         WHEN lower(trim(c)) RLIKE '^min' THEN 'Min'
+      |         WHEN lower(trim(c)) RLIKE '^typ' THEN 'Typ'
+      |         WHEN lower(trim(c)) RLIKE '^max' THEN 'Max'
+      |         WHEN lower(trim(c)) RLIKE 'unit' THEN 'Unit'
+      |         WHEN lower(trim(c)) RLIKE 'desc' THEN 'Description'
+      |         ELSE trim(c) END) AS headers
+      |  FROM cells),
+      |assembled AS (
+      |  SELECT 'table_p' || CAST(doc_id AS STRING) || '_' || CAST(table_idx AS STRING) AS table_id,
+      |    doc_id AS page_num,
+      |    CASE WHEN lower(page_text) RLIKE 'electrical\\s*characteristics' THEN 'Electrical Characteristics'
+      |         WHEN lower(page_text) RLIKE 'absolute\\s*maximum\\s*ratings' THEN 'Absolute Maximum Ratings'
+      |         WHEN lower(page_text) RLIKE 'recommended\\s*operating\\s*conditions' THEN 'Recommended Operating Conditions'
+      |         WHEN lower(page_text) RLIKE 'thermal\\s*information' THEN 'Thermal Information'
+      |         WHEN lower(page_text) RLIKE 'pin\\s*functions' THEN 'Pin Functions'
+      |         WHEN lower(page_text) RLIKE 'device\\s*comparison' THEN 'Device Comparison'
+      |         ELSE 'Table ' || CAST(table_idx + 1 AS STRING) END AS title,
+      |    array_join(headers, ',') AS headers,
+      |    greatest(0, CAST(ceil(CAST(size(toks) - 5 AS DOUBLE) / 5) AS BIGINT)) AS n_rows,
+      |    CASE WHEN size(array_intersect(array_distinct(headers),
+      |      array('Parameter', 'Min', 'Typ', 'Max', 'Unit'))) >= 3 THEN 0.9 ELSE 0.6 END AS confidence
+      |  FROM normed)""".stripMargin
+
+  /** Shared merge-detector cell frame (EtlOps3 family): synthetic
+    * 6×4 cell grid per document with deterministic content and x
+    * extents (the occasional double/triple-width merged cell).
+    */
+  private val mergeCellsCte: String =
+    """cells AS (
+      |  SELECT doc_id AS table_id, r.row_idx, c.col_idx,
+      |    CASE (doc_id * 3 + r.row_idx * 2 + c.col_idx) % 5
+      |      WHEN 1 THEN 'Electrical Characteristics'
+      |      WHEN 2 THEN '3.3'
+      |      WHEN 3 THEN 'VIN max'
+      |      WHEN 4 THEN 'Operating Conditions' END AS content,
+      |    c.col_idx * 80 AS x_start,
+      |    c.col_idx * 80 +
+      |      CASE WHEN (doc_id + r.row_idx + c.col_idx) % 11 = 0
+      |        THEN CASE WHEN (doc_id + r.row_idx * 2 + c.col_idx) % 2 = 0
+      |          THEN (40 + c.col_idx * 10) * 2 + 12
+      |          ELSE (40 + c.col_idx * 10) * 3 + 20 END
+      |        ELSE 40 + c.col_idx * 10 + ((doc_id + r.row_idx * 3 + c.col_idx * 5) % 7) - 3
+      |      END AS x_end
+      |  FROM documents
+      |  CROSS JOIN (SELECT explode(sequence(0, 5)) AS row_idx) r
+      |  CROSS JOIN (SELECT explode(sequence(0, 3)) AS col_idx) c)""".stripMargin
+
+  /** Typical-width profile over the cell frame (discrete median via
+    * row_number = n div 2 + 1).
+    */
+  private val typicalCtes: String =
+    """wd AS (SELECT *, x_end - x_start AS w FROM cells),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY table_id, col_idx ORDER BY w, row_idx) AS rn,
+      |        COUNT(*) OVER (PARTITION BY table_id, col_idx) AS n
+      |      FROM wd),
+      |t AS (SELECT *, MAX(CASE WHEN rn = n div 2 + 1 THEN w END)
+      |        OVER (PARTITION BY table_id, col_idx) AS typical FROM r)""".stripMargin
+
+  /** Position/width merge candidates (1.5× threshold as w*2 > typical*3). */
+  private val posCte: String =
+    """pos AS (SELECT table_id, row_idx, col_idx AS col_start,
+      |          col_idx + (w div typical) - 1 AS col_end, w div typical AS span, content
+      |        FROM t
+      |        WHERE content IS NOT NULL AND length(trim(content)) > 0
+      |          AND w * 2 > typical * 3 AND w div typical > 1)""".stripMargin
+
+  /** Empty-cell-pattern merge candidates (category-header-gated,
+    * span 2–4, 0.70 confidence arm).
+    */
+  private val emcCtes: String =
+    """nx AS (SELECT *,
+      |         MIN(CASE WHEN content IS NOT NULL AND length(trim(content)) > 0
+      |               THEN col_idx END)
+      |           OVER (PARTITION BY table_id, row_idx ORDER BY col_idx
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
+      |       FROM cells),
+      |emc AS (SELECT table_id, row_idx, col_idx AS col_start,
+      |          col_idx + (COALESCE(next_c, 4) - col_idx) - 1 AS col_end,
+      |          COALESCE(next_c, 4) - col_idx AS span, trim(content) AS content
+      |        FROM nx
+      |        WHERE content IS NOT NULL AND length(trim(content)) > 0
+      |          AND COALESCE(next_c, 4) - col_idx BETWEEN 2 AND 4
+      |          AND (lower(trim(content)) RLIKE '^(input|output|power|thermal|timing|electrical)'
+      |          OR lower(trim(content)) RLIKE 'characteristics$'
+      |          OR lower(trim(content)) RLIKE '^(absolute|recommended|operating)'
+      |          OR lower(trim(content)) RLIKE 'conditions$'
+      |          OR lower(trim(content)) RLIKE '^(dc|ac)\\s'
+      |          OR CAST(length(regexp_replace(trim(content), '[^A-Za-z]', '')) AS DOUBLE)
+      |             / length(trim(content)) > 0.8))""".stripMargin
+
   val sparkSql: Map[String, String] = Map(
+    "etl_merge_positions" ->
+      s"""WITH $mergeCellsCte,
+        |$typicalCtes,
+        |$posCte
+        |SELECT table_id, row_idx, col_start, col_end, span, content,
+        |  CAST(0.9 AS DOUBLE) AS confidence
+        |FROM pos
+        |ORDER BY table_id, row_idx, col_start""".stripMargin,
+
+    "etl_header_spans" ->
+      s"""WITH $mergeCellsCte,
+        |h AS (SELECT * FROM cells WHERE row_idx <= 1),
+        |c AS (SELECT *,
+        |        SUM(CASE WHEN row_idx = 0 AND content IS NOT NULL
+        |              AND length(trim(content)) > 0 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY table_id) AS n0,
+        |        SUM(CASE WHEN row_idx = 1 AND content IS NOT NULL
+        |              AND length(trim(content)) > 0 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY table_id) AS n1,
+        |        MIN(CASE WHEN content IS NOT NULL AND length(trim(content)) > 0
+        |              THEN col_idx END)
+        |          OVER (PARTITION BY table_id, row_idx ORDER BY col_idx
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
+        |      FROM h)
+        |SELECT table_id, col_idx AS col_start,
+        |  col_idx + (COALESCE(next_c, 4) - col_idx) - 1 AS col_end,
+        |  COALESCE(next_c, 4) - col_idx AS span, content,
+        |  CAST(0.85 AS DOUBLE) AS confidence
+        |FROM c
+        |WHERE row_idx = 0 AND content IS NOT NULL AND length(trim(content)) > 0
+        |  AND n0 < n1 AND COALESCE(next_c, 4) - col_idx > 1
+        |ORDER BY table_id, col_start""".stripMargin,
+
+    "etl_merge_resolve" ->
+      s"""WITH $mergeCellsCte,
+        |$typicalCtes,
+        |$posCte,
+        |cover AS (SELECT table_id, row_idx, col_idx, mcontent FROM (
+        |            SELECT table_id, row_idx, content AS mcontent,
+        |              col_start, LEAST(col_end, 3) AS cend
+        |            FROM pos) p
+        |          LATERAL VIEW explode(sequence(col_start, cend)) t AS col_idx)
+        |SELECT c.table_id, c.row_idx, c.col_idx, c.content,
+        |  COALESCE(v.mcontent, c.content) AS resolved,
+        |  v.mcontent IS NOT NULL AS was_merged
+        |FROM cells c LEFT JOIN cover v
+        |  ON v.table_id = c.table_id AND v.row_idx = c.row_idx AND v.col_idx = c.col_idx
+        |ORDER BY c.table_id, c.row_idx, c.col_idx""".stripMargin,
+
+    "etl_column_widths" ->
+      s"""WITH $mergeCellsCte,
+        |$typicalCtes
+        |SELECT table_id, col_idx,
+        |  COUNT(*) AS n_cells,
+        |  CAST(SUM(CASE WHEN content IS NOT NULL AND length(trim(content)) > 0
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_content,
+        |  min(w) AS min_w, max(w) AS max_w,
+        |  max(typical) AS typical_w,
+        |  CAST(SUM(CASE WHEN w * 2 > typical * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_wide
+        |FROM t GROUP BY table_id, col_idx
+        |ORDER BY table_id, col_idx""".stripMargin,
+
+    "etl_vision_route" ->
+      s"""WITH $mergeCellsCte,
+        |$typicalCtes,
+        |$posCte,
+        |posc AS (SELECT table_id, row_idx, col_start, span, 900000 AS conf_ppm FROM pos),
+        |$emcCtes,
+        |pat AS (SELECT table_id, row_idx, col_start, span, 700000 AS conf_ppm FROM emc),
+        |mg AS (SELECT table_id, row_idx, col_start, MAX(conf_ppm) AS conf_ppm,
+        |         COUNT(*) AS n_det, MAX(span) AS span
+        |       FROM (SELECT * FROM posc UNION ALL SELECT * FROM pat) u
+        |       GROUP BY 1, 2, 3),
+        |pt AS (SELECT table_id, COUNT(*) AS nm, SUM(conf_ppm) AS sum_conf,
+        |         SUM(CASE WHEN n_det = 1 AND span >= 3 THEN 1 ELSE 0 END) AS nh,
+        |         SUM(CASE WHEN n_det = 1 AND span < 3 THEN 1 ELSE 0 END) AS nmed
+        |       FROM mg GROUP BY 1),
+        |j AS (SELECT d.doc_id AS table_id,
+        |        CAST(COALESCE(pt.nm, 0) AS BIGINT) AS n_merges,
+        |        CAST(CASE WHEN pt.nm IS NULL THEN 1000000
+        |             ELSE pt.sum_conf div pt.nm END AS BIGINT) AS merge_conf_ppm,
+        |        CAST(COALESCE(pt.nh, 0) AS BIGINT) AS n_high,
+        |        CAST(COALESCE(pt.nmed, 0) AS BIGINT) AS n_medium
+        |      FROM documents d LEFT JOIN pt ON pt.table_id = d.doc_id)
+        |SELECT table_id, n_merges, merge_conf_ppm, n_high, n_medium,
+        |  CAST(GREATEST(0, 1000000 - n_high * 50000 - n_medium * 25000) AS BIGINT)
+        |    AS verify_conf_ppm,
+        |  merge_conf_ppm < 600000 AS needs_vision,
+        |  CASE WHEN merge_conf_ppm < 600000 THEN 'vision'
+        |       WHEN n_high > 0 THEN 'manual_review'
+        |       WHEN GREATEST(0, 1000000 - n_high * 50000 - n_medium * 25000) < 600000
+        |         THEN 'low_confidence'
+        |       ELSE 'auto' END AS route
+        |FROM j ORDER BY table_id""".stripMargin,
+
+    "etl_empty_cell_merges" ->
+      s"""WITH $mergeCellsCte,
+        |$emcCtes
+        |SELECT table_id, row_idx, col_start, col_end, span, content,
+        |  CAST(0.7 AS DOUBLE) AS confidence
+        |FROM emc
+        |ORDER BY table_id, row_idx, col_start""".stripMargin,
+
+    "etl_field_verify" ->
+      s"""WITH $fieldVerifyCtes
+        |SELECT doc, n_fields, n_conflicts, confidence, status
+        |FROM fvfull ORDER BY doc""".stripMargin,
+
+    "etl_param_pivot" ->
+      s"""WITH $paramPivotCtes
+        |SELECT doc, param, value, unit FROM pivoted ORDER BY doc, param""".stripMargin,
+
+    "etl_export_import" ->
+      """WITH wide AS (
+        |  SELECT p_partkey AS doc,
+        |    CAST(p_size AS STRING) AS vin_min,
+        |    CAST(p_size * 2 AS STRING) AS vin_max,
+        |    CAST(p_retailprice AS STRING) AS iout_max,
+        |    p_brand
+        |  FROM part),
+        |meta AS (
+        |  SELECT *,
+        |    CASE WHEN doc % 4 = 0 THEN CAST(400 + doc % 100 AS STRING) END AS freq,
+        |    CASE WHEN doc % 4 = 1 THEN CAST(80 + doc % 15 AS STRING) END AS eff,
+        |    CASE WHEN doc % 4 = 2 THEN CAST(doc % 150 AS STRING) END AS iq,
+        |    CASE WHEN doc % 5 = 0 THEN 99 ELSE 100 END AS conf
+        |  FROM wide)
+        |SELECT
+        |  upper(regexp_replace('p' || CAST(doc AS STRING) || '_datasheet', '_datasheet$', '')) AS `MPN`,
+        |  p_brand AS `Manufacturer`,
+        |  CASE WHEN freq IS NOT NULL THEN 'Buck Converter'
+        |       WHEN eff IS NOT NULL THEN 'DC-DC Converter'
+        |       WHEN iq IS NOT NULL AND CAST(iq AS BIGINT) < 100 THEN 'LDO'
+        |       ELSE 'Unknown' END AS `Category`,
+        |  '' AS `Description`,
+        |  vin_min AS `Vin_min`,
+        |  vin_max AS `Vin_max`,
+        |  '' AS `Vout_min`,
+        |  '' AS `Vout_max`,
+        |  iout_max AS `Iout_max`,
+        |  coalesce(iq, '') AS `Iq_typ`,
+        |  coalesce(eff, '') AS `Efficiency_typ`,
+        |  coalesce(freq, '') AS `Frequency_typ`,
+        |  '' AS `Package`,
+        |  'Active' AS `Status`,
+        |  '' AS `Datasheet_URL`,
+        |  'Extracted by Datasheet-ETL-Spark v0.4 (confidence: ' || CAST(conf AS STRING) || '%)' AS `Notes`
+        |FROM meta ORDER BY `MPN`""".stripMargin,
+
+    "etl_export_csv" ->
+      s"""WITH params AS (
+        |  SELECT p_partkey, 'switching_frequency_typ' AS param,
+        |    CAST(CAST(p_size * 10 AS BIGINT) AS STRING) AS value FROM part WHERE p_size > 40
+        |  UNION ALL
+        |  SELECT p_partkey, 'efficiency_typ', '0.9' FROM part WHERE p_retailprice > 970
+        |  UNION ALL
+        |  SELECT p_partkey, 'quiescent_current_typ',
+        |    CAST(CAST(p_size * 3 AS BIGINT) AS STRING)
+        |  FROM part WHERE p_brand LIKE 'Brand#1%'),
+        |wide AS (
+        |  SELECT p_partkey AS doc,
+        |    MIN(CASE WHEN param = 'efficiency_typ' THEN value END) AS efficiency_typ,
+        |    MIN(CASE WHEN param = 'quiescent_current_typ' THEN value END) AS quiescent_current_typ,
+        |    MIN(CASE WHEN param = 'switching_frequency_typ' THEN value END) AS switching_frequency_typ
+        |  FROM params GROUP BY p_partkey),
+        |$fieldVerifyCtes
+        |SELECT 'P' || CAST(fvfull.doc AS STRING) || '.pdf' AS source_file,
+        |  confidence, status,
+        |  coalesce(efficiency_typ, '') AS efficiency_typ,
+        |  coalesce(quiescent_current_typ, '') AS quiescent_current_typ,
+        |  coalesce(switching_frequency_typ, '') AS switching_frequency_typ
+        |FROM fvfull LEFT JOIN wide ON fvfull.doc = wide.doc
+        |ORDER BY source_file""".stripMargin,
+
+    "diagram_topology" ->
+      s"""WITH $diagramCtes,
+        |d AS (SELECT diagram_id, doc_id, dtype, CAST(doc_id % 5 + 3 AS INT) AS n
+        |      FROM diag),
+        |nodes AS (
+        |  SELECT diagram_id, i AS node_id,
+        |    element_at(array('VIN','GND','EN','SW','FB','OUT','COMP','BST'),
+        |               CAST((doc_id + i) % 8 AS INT) + 1) AS label
+        |  FROM d LATERAL VIEW explode(sequence(0, n - 1)) t AS i),
+        |edges AS (
+        |  SELECT diagram_id, i AS src, i + 1 AS dst
+        |  FROM d LATERAL VIEW explode(sequence(0, n - 2)) t AS i
+        |  UNION
+        |  SELECT diagram_id, 0, n - 1 FROM d WHERE doc_id % 3 = 0
+        |  UNION
+        |  SELECT diagram_id, 1, n - 1 FROM d WHERE doc_id % 4 = 0),
+        |hop1 AS (SELECT diagram_id, dst FROM edges WHERE src = 0),
+        |reach AS (
+        |  SELECT diagram_id, COUNT(*) AS n_reach2 FROM (
+        |    SELECT diagram_id, dst FROM hop1
+        |    UNION
+        |    SELECT h.diagram_id, e.dst FROM hop1 h JOIN edges e
+        |      ON h.diagram_id = e.diagram_id AND h.dst = e.src) u
+        |  WHERE dst <> 0 GROUP BY diagram_id),
+        |na AS (
+        |  SELECT diagram_id, COUNT(*) AS n_nodes,
+        |    CAST(COALESCE(SUM(CASE WHEN label IN ('VIN','GND') THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_power
+        |  FROM nodes GROUP BY diagram_id),
+        |ea AS (SELECT diagram_id, COUNT(*) AS n_edges FROM edges GROUP BY diagram_id),
+        |fo AS (
+        |  SELECT diagram_id, MAX(c) AS max_fanout FROM
+        |    (SELECT diagram_id, src, COUNT(*) AS c FROM edges GROUP BY diagram_id, src) f
+        |  GROUP BY diagram_id)
+        |SELECT d.diagram_id, d.dtype, na.n_nodes, na.n_power, ea.n_edges,
+        |  fo.max_fanout, COALESCE(r.n_reach2, 0) AS n_reach2
+        |FROM d
+        |  LEFT JOIN na ON d.diagram_id = na.diagram_id
+        |  LEFT JOIN ea ON d.diagram_id = ea.diagram_id
+        |  LEFT JOIN fo ON d.diagram_id = fo.diagram_id
+        |  LEFT JOIN reach r ON d.diagram_id = r.diagram_id
+        |ORDER BY d.diagram_id""".stripMargin,
+
+    "diagram_pinout" ->
+      s"""WITH $diagramCtes,
+        |p0 AS (SELECT diagram_id, doc_id FROM diag WHERE dtype = 'pinout'),
+        |pins AS (
+        |  SELECT diagram_id, doc_id, CAST(i AS BIGINT) AS pin_id
+        |  FROM p0 LATERAL VIEW explode(sequence(1, CAST(doc_id % 8 + 4 AS INT))) t AS i),
+        |named AS (
+        |  SELECT diagram_id, pin_id,
+        |    element_at(array('VIN','GND','EN','SW','FB','OUT','COMP','BST'),
+        |               CAST((doc_id + pin_id) % 8 AS INT) + 1) AS pin_name
+        |  FROM pins)
+        |SELECT diagram_id, pin_id, pin_name,
+        |  CASE WHEN pin_name = 'VIN' THEN 'power_input'
+        |       WHEN pin_name = 'GND' THEN 'ground'
+        |       WHEN pin_name = 'EN' THEN 'enable'
+        |       WHEN pin_name = 'SW' THEN 'switch_node'
+        |       WHEN pin_name = 'FB' THEN 'feedback'
+        |       WHEN pin_name = 'OUT' THEN 'output'
+        |       WHEN pin_name = 'COMP' THEN 'compensation'
+        |       WHEN pin_name = 'BST' THEN 'bootstrap' ELSE '' END AS pin_function
+        |FROM named ORDER BY diagram_id, pin_id""".stripMargin,
+
+    "diagram_appcircuit" ->
+      s"""WITH $diagramCtes,
+        |a0 AS (SELECT diagram_id, doc_id FROM diag WHERE dtype = 'typical_app'),
+        |comps AS (
+        |  SELECT diagram_id, doc_id, CAST(i AS BIGINT) AS comp_id
+        |  FROM a0 LATERAL VIEW explode(sequence(1, CAST(doc_id % 5 + 2 AS INT))) t AS i)
+        |SELECT diagram_id, comp_id,
+        |  element_at(array('inductor','capacitor','resistor','diode','ic'),
+        |             CAST((doc_id + comp_id) % 5 AS INT) + 1) AS comp_type,
+        |  (doc_id * 7 + comp_id * 13) % 1000 AS value_code
+        |FROM comps ORDER BY diagram_id, comp_id""".stripMargin,
+
+    "etl_region_dedup" ->
+      """WITH a AS (
+        |  SELECT p_partkey AS a_id, p_partkey div 50 AS page,
+        |    p_partkey % 40 AS x0, p_partkey % 30 AS y0,
+        |    p_partkey % 40 + 10 + p_partkey % 5 AS x1, p_partkey % 30 + 8 AS y1,
+        |    0.8 + (p_partkey % 10) / 100.0 AS confidence
+        |  FROM part),
+        |b AS (
+        |  SELECT p_partkey AS b_id, p_partkey div 50 AS b_page,
+        |    p_partkey % 40 + p_partkey % 3 AS bx0, p_partkey % 30 + p_partkey % 2 AS by0,
+        |    p_partkey % 40 + p_partkey % 3 + 10 + p_partkey % 5 AS bx1,
+        |    p_partkey % 30 + p_partkey % 2 + 8 AS by1,
+        |    0.6 + (p_partkey % 10) / 100.0 AS b_confidence
+        |  FROM part),
+        |paired AS (
+        |  SELECT page, a_id, b_id,
+        |    round(CAST(greatest(0, least(x1, bx1) - greatest(x0, bx0))
+        |         * greatest(0, least(y1, by1) - greatest(y0, by0)) AS DOUBLE)
+        |      / ((x1 - x0) * (y1 - y0) + (bx1 - bx0) * (by1 - by0)
+        |         - greatest(0, least(x1, bx1) - greatest(x0, bx0))
+        |           * greatest(0, least(y1, by1) - greatest(y0, by0))), 6) AS iou,
+        |    CASE WHEN confidence >= b_confidence THEN a_id ELSE b_id END AS keep_id
+        |  FROM a JOIN b ON page = b_page AND a_id <> b_id)
+        |SELECT page, a_id, b_id, iou, keep_id FROM paired
+        |WHERE iou >= 0.3 ORDER BY page, a_id, b_id""".stripMargin,
+
+    "etl_table_assemble" ->
+      s"""WITH $tableAssembleCtes
+        |SELECT table_id, page_num, title, headers, n_rows, confidence
+        |FROM assembled ORDER BY page_num""".stripMargin,
+
+    "infer_extract" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    26 + length(substring(text, 1, 256)) AS plen,
+        |    '{"mpn": "MPN-' || CAST(doc_id AS STRING) || '", "voltage": ' ||
+        |      CAST(CAST(doc_id % 50 AS DOUBLE) / 10.0 AS STRING) ||
+        |      ', "pages": ' || CAST(doc_id % 7 AS STRING) || '}' AS body
+        |  FROM documents),
+        |shaped AS (
+        |  SELECT doc_id, plen,
+        |    CASE WHEN doc_id % 31 = 0 THEN length(body) - 2
+        |         WHEN doc_id % 5 = 0 THEN length(body) + 12
+        |         ELSE length(body) END AS clen,
+        |    doc_id % 31 <> 0 AS valid
+        |  FROM base)
+        |SELECT doc_id, valid,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN 2 ELSE 1 END AS BIGINT) AS attempts,
+        |  CASE WHEN valid THEN 'MPN-' || CAST(doc_id AS STRING) END AS mpn,
+        |  CASE WHEN valid THEN CAST(doc_id % 50 AS DOUBLE) / 10.0 END AS voltage,
+        |  CAST(plen div 4 + 1 AS BIGINT) AS tokens_in,
+        |  CAST(clen div 4 AS BIGINT) AS tokens_out
+        |FROM shaped ORDER BY doc_id""".stripMargin,
+
+    "etl_review_payload" ->
+      s"""WITH $paramPivotCtes,
+        |$fieldVerifyCtes,
+        |$tableAssembleCtes,
+        |pv AS (SELECT * FROM pivoted WHERE value IS NOT NULL),
+        |fvx AS (SELECT doc, confidence AS fv_conf FROM fvfull),
+        |tb AS (SELECT page_num AS doc, table_id, confidence AS tb_conf FROM assembled),
+        |mm AS (SELECT pv.*, fv_conf, table_id, tb_conf,
+        |         lower(element_at(array('vision_double_verified', 'rule_based_v03',
+        |                'vision_only', 'manual_entry'), CAST(pv.doc % 4 AS INT) + 1)) AS m2
+        |       FROM pv LEFT JOIN fvx ON pv.doc = fvx.doc
+        |               LEFT JOIN tb ON pv.doc = tb.doc),
+        |vb AS (SELECT *, filter(array(
+        |         CASE WHEN instr(m2, 'vision') > 0 THEN 'vision' ELSE '' END,
+        |         CASE WHEN instr(m2, 'double') > 0 OR instr(m2, 'verified') > 0
+        |              THEN 'pdfplumber' ELSE '' END,
+        |         CASE WHEN instr(m2, 'rule') > 0 THEN 'rule_based' ELSE '' END),
+        |         x -> x <> '') AS votes,
+        |         coalesce(tb_conf, fv_conf, 0.9) AS conf
+        |       FROM mm)
+        |SELECT doc,
+        |  CASE param WHEN 'vin_min' THEN 'v_in_min' WHEN 'vin_typ' THEN 'v_in_typ'
+        |             WHEN 'vin_max' THEN 'v_in_max' WHEN 'iout_max' THEN 'i_out_max'
+        |             ELSE param END AS param,
+        |  value, coalesce(unit, '') AS unit,
+        |  conf AS confidence,
+        |  CASE WHEN table_id IS NOT NULL THEN 'page_1_' || table_id
+        |       ELSE 'unknown' END AS source_ref,
+        |  CASE WHEN size(votes) = 0 THEN 'unknown'
+        |       ELSE array_join(votes, ',') END AS verified_by,
+        |  conf < 0.95 AS needs_review
+        |FROM vb ORDER BY doc, param""".stripMargin,
+
+    "etl_footnote_link" ->
+      """WITH cells AS (
+        |  SELECT doc_id, 'IQ' AS param,
+        |    'VFB = 1.1V (Note ' || CAST(doc_id % 3 + 1 AS STRING) || ')' AS conditions
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'VOUT', 'no marker here' FROM documents WHERE doc_id % 2 = 1),
+        |notes AS (
+        |  SELECT doc_id, CAST(note_id AS BIGINT) AS note_id,
+        |    'Measured at VIN = ' || CAST(note_id * 4 AS STRING) || 'V, TA = 25C' AS note_text
+        |  FROM documents LATERAL VIEW explode(sequence(1, 3)) t AS note_id),
+        |marked AS (
+        |  SELECT doc_id, param, conditions,
+        |    CAST(nullif(regexp_extract(conditions, 'Note (\\d+)', 1), '') AS BIGINT) AS note_id
+        |  FROM cells)
+        |SELECT m.doc_id, m.param, m.conditions, m.note_id, n.note_text
+        |FROM marked m LEFT JOIN notes n ON m.doc_id = n.doc_id AND m.note_id = n.note_id
+        |ORDER BY m.doc_id, m.param""".stripMargin,
+
+    "etl_category_header" ->
+      """WITH phrases AS (
+        |  SELECT phrase FROM (SELECT DISTINCT array_join(slice(split(text, ' '), 1, 3), ' ') AS phrase FROM documents) d
+        |  UNION
+        |  SELECT phrase FROM VALUES ('Electrical Characteristics'), ('DC Characteristics'),
+        |    ('Absolute Maximum Ratings'), ('Recommended Operating Conditions'),
+        |    ('Input Voltage Range'), ('Thermal Information'), ('AC Timing'),
+        |    ('3.3 V typ'), ('100 mA max'), ('x7R 0402'), ('') AS v(phrase))
+        |SELECT phrase,
+        |  CASE WHEN length(trim(phrase)) = 0 THEN false
+        |       ELSE (lower(trim(phrase)) RLIKE '^(input|output|power|thermal|timing|electrical)'
+        |          OR lower(trim(phrase)) RLIKE 'characteristics$'
+        |          OR lower(trim(phrase)) RLIKE '^(absolute|recommended|operating)'
+        |          OR lower(trim(phrase)) RLIKE 'conditions$'
+        |          OR lower(trim(phrase)) RLIKE '^(dc|ac)\\s'
+        |          OR CAST(length(regexp_replace(trim(phrase), '[^A-Za-z]', '')) AS DOUBLE)
+        |             / length(trim(phrase)) > 0.8) END AS is_header
+        |FROM phrases ORDER BY phrase""".stripMargin,
+
+    "etl_header_merge" ->
+      """WITH cells AS (
+        |  SELECT doc_id AS table_id, v.col_idx, v.grp, v.field FROM documents
+        |  CROSS JOIN (SELECT * FROM VALUES
+        |    (0, CAST(NULL AS STRING), 'Parameter'), (1, CAST(NULL AS STRING), 'Test Condition'),
+        |    (2, 'Output Voltage', 'Min'), (3, CAST(NULL AS STRING), 'Typ'),
+        |    (4, CAST(NULL AS STRING), 'Max'), (5, CAST(NULL AS STRING), 'Unit')
+        |    AS x(col_idx, grp, field)) v),
+        |filled AS (
+        |  SELECT table_id, col_idx, field,
+        |    last_value(grp) IGNORE NULLS OVER (PARTITION BY table_id ORDER BY col_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp_filled
+        |  FROM cells)
+        |SELECT table_id, CAST(col_idx AS BIGINT) AS col_idx,
+        |  CASE WHEN grp_filled IS NOT NULL AND field IN ('Min', 'Typ', 'Max')
+        |       THEN grp_filled || ' - ' || field ELSE field END AS header
+        |FROM filled ORDER BY table_id, col_idx""".stripMargin,
+
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS DOUBLE) AS med_qty,
@@ -138,6 +752,148 @@ object SqlPort {
         |r3 AS (SELECT n.id, n.parent, CAST(150000 + COALESCE(m, 0) AS BIGINT) AS score
         |       FROM n LEFT JOIN a3 ON n.id = a3.t)
         |SELECT id, score FROM r3 ORDER BY id""".stripMargin,
+
+    "etl_parse_values" ->
+      """WITH cells AS (
+        |  SELECT p_partkey,
+        |    CAST(p_retailprice AS STRING) || ' ' ||
+        |      element_at(array('mv','millivolt','V','volt','ua','uA','ohm','khz'),
+        |                 CAST(p_partkey % 8 AS INT) + 1) AS cell
+        |  FROM part)
+        |SELECT p_partkey,
+        |  CAST(regexp_replace(trim(cell), '[^0-9.eE+-]', '') AS DOUBLE) AS parsed_value,
+        |  CASE lower(trim(regexp_replace(cell, '[0-9.eE+-]', '')))
+        |    WHEN 'mv' THEN 'mV' WHEN 'millivolt' THEN 'mV'
+        |    WHEN 'v' THEN 'V' WHEN 'volt' THEN 'V' WHEN 'volts' THEN 'V'
+        |    WHEN 'ua' THEN 'µA' WHEN 'ma' THEN 'mA'
+        |    WHEN 'ohm' THEN 'Ω' WHEN 'ohms' THEN 'Ω' WHEN 'r' THEN 'Ω'
+        |    WHEN 'khz' THEN 'kHz' WHEN 'mhz' THEN 'MHz'
+        |    ELSE trim(regexp_replace(cell, '[0-9.eE+-]', '')) END AS unit_norm
+        |FROM cells ORDER BY p_partkey""".stripMargin,
+
+    "etl_fill_down" ->
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_gapped,
+        |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END) IGNORE NULLS
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "etl_batch_report" ->
+      """WITH b AS (
+        |  SELECT source, COUNT(*) AS total,
+        |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS skipped,
+        |    CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS success,
+        |    CAST(SUM(CASE WHEN lang = 'en' AND n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS failed
+        |  FROM documents GROUP BY source),
+        |bk AS (SELECT least((success * 5) div total, 4) AS bucket, * FROM b),
+        |rb AS (SELECT 'rate_bucket' AS section,
+        |    'b' || CAST(bucket AS STRING) AS row_key,
+        |    COUNT(*) AS n_sources, CAST(SUM(total) AS BIGINT) AS n_docs,
+        |    CAST(SUM(success) AS BIGINT) AS success,
+        |    CAST(SUM(failed) AS BIGINT) AS failed,
+        |    CAST(SUM(skipped) AS BIGINT) AS skipped
+        |  FROM bk GROUP BY bucket),
+        |tf AS (SELECT 'top_failure' AS section, source AS row_key,
+        |    CAST(1 AS BIGINT) AS n_sources, total AS n_docs,
+        |    success, failed, skipped
+        |  FROM b ORDER BY failed DESC, source LIMIT 5)
+        |SELECT * FROM rb UNION ALL SELECT * FROM tf
+        |ORDER BY section, row_key""".stripMargin,
+
+    "etl_header_detect" ->
+      """WITH toks AS (
+        |  SELECT token FROM (SELECT explode(split(text, ' ')) AS token FROM documents) t
+        |  UNION
+        |  SELECT token FROM VALUES ('Parameter'), ('param.'), ('Symbol'),
+        |    ('Test Condition'), ('conditions'), ('min.'), ('Min'), ('Typical'),
+        |    ('typ'), ('MAX'), ('Max.'), ('units'), ('Unit'), ('description'),
+        |    ('Desc') AS h(token))
+        |SELECT token,
+        |  CASE WHEN lower(trim(token)) RLIKE 'param' THEN 'Parameter'
+        |       WHEN lower(trim(token)) RLIKE 'symbol' THEN 'Symbol'
+        |       WHEN lower(trim(token)) RLIKE 'test.*cond|condition' THEN 'Test_Conditions'
+        |       WHEN lower(trim(token)) RLIKE '^min' THEN 'Min'
+        |       WHEN lower(trim(token)) RLIKE '^typ' THEN 'Typ'
+        |       WHEN lower(trim(token)) RLIKE '^max' THEN 'Max'
+        |       WHEN lower(trim(token)) RLIKE 'unit' THEN 'Unit'
+        |       WHEN lower(trim(token)) RLIKE 'desc' THEN 'Description'
+        |       ELSE trim(token) END AS header_class
+        |FROM toks ORDER BY token""".stripMargin,
+
+    "etl_clean_cells" ->
+      """SELECT doc_id,
+        |  length(trim(regexp_replace('  ' || regexp_replace(text, ' ', '   ') || ' ' || chr(9), '\\s+', ' '))) AS clean_len,
+        |  trim(regexp_replace('  ' || regexp_replace(text, ' ', '   ') || ' ' || chr(9), '\\s+', ' ')) = text AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "etl_extract_mpn" ->
+      """WITH pages AS (
+        |  SELECT p_partkey,
+        |    element_at(array('datasheet LMR', 'spec TPS', 'ref LM', 'misc X'),
+        |               CAST(p_partkey % 4 AS INT) + 1)
+        |      || CAST(p_partkey AS STRING) || 'A '
+        |      || element_at(array('by Texas Instruments', 'by Analog Devices', 'by onsemi', 'no vendor'),
+        |                    CAST(p_partkey % 4 AS INT) + 1)
+        |    AS page
+        |  FROM part)
+        |SELECT p_partkey,
+        |  coalesce(
+        |    nullif(regexp_extract(page, 'LMR[0-9]+[A-Z]*', 0), ''),
+        |    nullif(regexp_extract(page, 'TPS[0-9]+[A-Z]*', 0), ''),
+        |    nullif(regexp_extract(page, 'LM[0-9]+[A-Z]*', 0), ''),
+        |    'Unknown') AS mpn,
+        |  CASE WHEN lower(page) LIKE '%texas instruments%' THEN 'Texas Instruments'
+        |       WHEN lower(page) LIKE '%analog devices%' THEN 'Analog Devices'
+        |       WHEN lower(page) LIKE '%onsemi%' THEN 'onsemi'
+        |       ELSE 'Unknown' END AS manufacturer
+        |FROM pages ORDER BY p_partkey""".stripMargin,
+
+    "etl_mfr_infer" ->
+      """WITH m AS (
+        |  SELECT p_partkey,
+        |    element_at(array('LM', 'TPS', 'LMR', 'MAX', 'AD', 'LT', 'LTC', 'MCP',
+        |                     'PIC', 'STM', 'NCP', 'MC', 'ISL', 'IR', 'INA', 'OPA', 'XYZ', 'Q'),
+        |               CAST(p_partkey % 18 AS INT) + 1)
+        |      || CAST(p_partkey AS STRING) || 'A' AS mpn,
+        |    CASE WHEN p_partkey % 3 = 0 THEN 'Vendor Text Inc' ELSE '' END AS text_mfr
+        |  FROM part)
+        |SELECT p_partkey, mpn,
+        |  CASE WHEN text_mfr <> '' THEN text_mfr
+        |       ELSE CASE WHEN upper(mpn) LIKE 'LM%' THEN 'Texas Instruments'
+        |       WHEN upper(mpn) LIKE 'TPS%' THEN 'Texas Instruments'
+        |       WHEN upper(mpn) LIKE 'LMR%' THEN 'Texas Instruments'
+        |       WHEN upper(mpn) LIKE 'MAX%' THEN 'Analog Devices'
+        |       WHEN upper(mpn) LIKE 'AD%' THEN 'Analog Devices'
+        |       WHEN upper(mpn) LIKE 'LT%' THEN 'Analog Devices'
+        |       WHEN upper(mpn) LIKE 'LTC%' THEN 'Analog Devices'
+        |       WHEN upper(mpn) LIKE 'MCP%' THEN 'Microchip'
+        |       WHEN upper(mpn) LIKE 'PIC%' THEN 'Microchip'
+        |       WHEN upper(mpn) LIKE 'STM%' THEN 'STMicroelectronics'
+        |       WHEN upper(mpn) LIKE 'NCP%' THEN 'onsemi'
+        |       WHEN upper(mpn) LIKE 'MC%' THEN 'onsemi'
+        |       WHEN upper(mpn) LIKE 'ISL%' THEN 'Renesas'
+        |       WHEN upper(mpn) LIKE 'IR%' THEN 'Infineon'
+        |       WHEN upper(mpn) LIKE 'INA%' THEN 'Texas Instruments'
+        |       WHEN upper(mpn) LIKE 'OPA%' THEN 'Texas Instruments' ELSE '' END END AS manufacturer
+        |FROM m ORDER BY p_partkey""".stripMargin,
+
+    "etl_merge_fragments" ->
+      """WITH sig AS (
+        |  SELECT source, doc_id,
+        |    array_join(slice(split(text, ' '), 1, 2), ' ') AS header_sig
+        |  FROM documents),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(header_sig) OVER w IS NULL
+        |                 OR lag(header_sig) OVER w <> header_sig THEN 1 ELSE 0 END AS new_table
+        |  FROM sig WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+        |seqd AS (
+        |  SELECT *, SUM(new_table) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS table_seq
+        |  FROM flagged)
+        |SELECT source, CAST(table_seq AS BIGINT) AS table_seq, COUNT(*) AS n_fragments,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc, min(header_sig) AS header_sig
+        |FROM seqd GROUP BY source, table_seq ORDER BY source, table_seq""".stripMargin,
 
     "q_asof_join" ->
       """SELECT event_id, user_id, ts, value, click_ts, click_id, click_value
