@@ -244,6 +244,88 @@ object SqlPort {
       |          OR CAST(length(regexp_replace(trim(content), '[^A-Za-z]', '')) AS DOUBLE)
       |             / length(trim(content)) > 0.8))""".stripMargin
 
+  /** Shared md5-minhash CTE chain (dedup_minhash_exact /
+    * dedup_ngram_jaccard_exact): trigram shingles → 64-slot md5-seeded
+    * minhash signatures (DuckDB's HUGEINT mixer re-expressed in exact
+    * DECIMAL(38,0) arithmetic) → identical-signature star + banded
+    * candidate pairs with signature-agreement estimates.
+    */
+  private val minhashCtes: String =
+    """tk AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |         array_distinct(CASE WHEN size(w) < 3 THEN array(array_join(w, ' '))
+      |           ELSE transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))
+      |           END) AS s
+      |       FROM tk),
+      |hv AS (SELECT doc_id,
+      |         CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h
+      |       FROM sh LATERAL VIEW explode(s) t AS shingle),
+      |slot AS (SELECT doc_id, i,
+      |           CAST((CAST(i + 1 AS DECIMAL(38,0)) * 2654435761 * CAST(h AS DECIMAL(38,0))
+      |                 + (i * 40503 + 2166136261)) % 2305843009213693951
+      |                AS BIGINT) AS v
+      |         FROM hv CROSS JOIN (SELECT explode(sequence(0, 63)) AS i) ii),
+      |ms AS (SELECT doc_id, i, MIN(v) AS mv FROM slot GROUP BY doc_id, i),
+      |sg AS (SELECT doc_id,
+      |         transform(array_sort(collect_list(struct(i, mv))), x -> x.mv) AS sig
+      |       FROM ms GROUP BY doc_id),
+      |reps AS (SELECT sig, MIN(doc_id) AS rep, COUNT(*) AS cnt FROM sg GROUP BY sig),
+      |bd AS (SELECT rep, sig, b, slice(sig, b * 4 + 1, 4) AS bh
+      |       FROM reps CROSS JOIN (SELECT explode(sequence(0, 15)) AS b) bb),
+      |cand AS (SELECT DISTINCT x.rep AS ra, y.rep AS rb
+      |         FROM bd x JOIN bd y ON x.b = y.b AND x.bh = y.bh AND x.rep < y.rep),
+      |crossp AS (SELECT c.ra AS doc_a, c.rb AS doc_b,
+      |             CAST(size(filter(sequence(1, 64),
+      |               i -> element_at(sa.sig, i) = element_at(sb.sig, i))) AS DOUBLE) / 64 AS est_jaccard
+      |           FROM cand c JOIN reps sa ON c.ra = sa.rep
+      |                       JOIN reps sb ON c.rb = sb.rep),
+      |star AS (SELECT r.rep AS doc_a, s.doc_id AS doc_b,
+      |           CAST(1.0 AS DOUBLE) AS est_jaccard
+      |         FROM sg s JOIN reps r ON s.sig = r.sig
+      |         WHERE r.cnt > 1 AND s.doc_id <> r.rep),
+      |mh_out AS (SELECT doc_a, doc_b, est_jaccard
+      |           FROM (SELECT * FROM crossp UNION ALL SELECT * FROM star) u)""".stripMargin
+
+  /** 60-bit simhash in Spark dialect; the 60 per-bit balance sums and
+    * the 60-term bit reassembly are generated, not hand-copied.
+    */
+  private val simhashExactSql: String = {
+    val sums = (0 until 60)
+      .map(k => s"SUM(CASE WHEN shiftright(h, $k) & 1 = 1 THEN 1 ELSE -1 END) AS v$k")
+      .mkString(",\n       ")
+    val bits = (0 until 60)
+      .map(k => s"CASE WHEN v$k > 0 THEN ${1L << k} ELSE 0 END")
+      .mkString(" +\n        ")
+    s"""WITH n AS (SELECT doc_id,
+      |             regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS t
+      |           FROM documents),
+      |tok AS (SELECT DISTINCT doc_id, w
+      |        FROM (SELECT doc_id, explode(split(t, ' ')) AS w FROM n) x),
+      |h AS (SELECT doc_id,
+      |        CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) AS h
+      |      FROM tok),
+      |v AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+      |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS sim FROM v),
+      |reps AS (SELECT sim, min(doc_id) AS rep, COUNT(*) AS cnt FROM sig GROUP BY sim),
+      |ch AS (SELECT sim, j, shiftright(sim, j * 16) & 65535 AS cv
+      |       FROM reps CROSS JOIN (SELECT explode(array(0, 1, 2, 3)) AS j) c),
+      |sp AS (SELECT DISTINCT x.sim AS sim_a, y.sim AS sim_b
+      |       FROM ch x JOIN ch y ON x.j = y.j AND x.cv = y.cv AND x.sim < y.sim),
+      |hp AS (SELECT sim_a, sim_b,
+      |         CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming
+      |       FROM sp WHERE bit_count(sim_a ^ sim_b) <= 16),
+      |crossp AS (SELECT least(ra.rep, rb.rep) AS doc_a,
+      |            greatest(ra.rep, rb.rep) AS doc_b, hp.hamming
+      |          FROM hp JOIN reps ra ON hp.sim_a = ra.sim
+      |                  JOIN reps rb ON hp.sim_b = rb.sim),
+      |star AS (SELECT r.rep AS doc_a, s.doc_id AS doc_b, CAST(0 AS INT) AS hamming
+      |         FROM sig s JOIN reps r ON s.sim = r.sim
+      |         WHERE r.cnt > 1 AND s.doc_id <> r.rep)
+      |SELECT doc_a, doc_b, hamming
+      |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM star) u
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val sparkSql: Map[String, String] = Map(
     "etl_merge_positions" ->
       s"""WITH $mergeCellsCte,
@@ -894,6 +976,518 @@ object SqlPort {
         |SELECT source, CAST(table_seq AS BIGINT) AS table_seq, COUNT(*) AS n_fragments,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc, min(header_sig) AS header_sig
         |FROM seqd GROUP BY source, table_seq ORDER BY source, table_seq""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS text_hash,
+        |  min(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH sigs AS (
+        |  SELECT doc_id,
+        |    md5(array_join(array_sort(array_distinct(split(text, ' '))), ' ')) AS h
+        |  FROM documents),
+        |batch AS (SELECT * FROM sigs WHERE doc_id % 10 = 9),
+        |corpus AS (SELECT h, min(doc_id) AS corpus_match FROM sigs
+        |           WHERE doc_id % 10 <> 9 GROUP BY h),
+        |bmin AS (SELECT h, min(doc_id) AS batch_min FROM batch GROUP BY h)
+        |SELECT b.doc_id,
+        |  CASE WHEN corpus_match IS NOT NULL THEN 'dup_corpus'
+        |       WHEN b.doc_id > batch_min THEN 'dup_batch'
+        |       ELSE 'unique' END AS status,
+        |  COALESCE(corpus_match,
+        |           CASE WHEN b.doc_id > batch_min THEN batch_min END) AS match_id
+        |FROM batch b LEFT JOIN corpus USING (h) JOIN bmin USING (h)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "dedup_jaccard_block" ->
+      """WITH n AS (SELECT doc_id,
+        |             regexp_replace(lower(trim(text)), '\\s+', ' ') AS t
+        |           FROM documents),
+        |tk AS (SELECT doc_id, split(t, ' ') AS w FROM n),
+        |sh AS (SELECT doc_id,
+        |         array_distinct(CASE WHEN size(w) < 3 THEN array(array_join(w, ' '))
+        |           ELSE transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))
+        |           END) AS s
+        |       FROM tk),
+        |b0 AS (SELECT doc_id, s, array_min(s) AS blk FROM sh),
+        |sz AS (SELECT blk, COUNT(*) AS bsz FROM b0 GROUP BY blk),
+        |b1 AS (
+        |  SELECT b0.doc_id, b0.s, b0.blk,
+        |    CASE WHEN sz.bsz > 256 THEN coalesce(try_element_at(array_sort(b0.s), 2), '')
+        |         ELSE '' END AS sub
+        |  FROM b0 JOIN sz ON b0.blk = sz.blk),
+        |sz2 AS (SELECT blk, sub, COUNT(*) AS bsz2 FROM b1 GROUP BY blk, sub),
+        |bb AS (
+        |  SELECT b1.doc_id, b1.s, b1.blk, b1.sub,
+        |    CASE WHEN sz2.bsz2 > 256
+        |         THEN CAST(conv(substr(md5(CAST(b1.doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)
+        |              % CAST(ceil(bsz2 / 128.0) AS BIGINT)
+        |         ELSE 0 END AS sub2
+        |  FROM b1 JOIN sz2 ON b1.blk = sz2.blk AND b1.sub = sz2.sub),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |     CAST(size(array_intersect(a.s, b2.s)) AS DOUBLE) /
+        |     CAST(size(array_distinct(concat(a.s, b2.s))) AS DOUBLE) AS jaccard
+        |  FROM bb a JOIN bb b2 ON a.blk = b2.blk AND a.sub = b2.sub
+        |    AND a.sub2 = b2.sub2 AND a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM pairs
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_exact" ->
+      s"""WITH $minhashCtes
+        |SELECT doc_a, doc_b, est_jaccard FROM mh_out
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_ngram_jaccard_exact" ->
+      s"""WITH $minhashCtes
+        |SELECT p.doc_a, p.doc_b, p.est_jaccard,
+        |  CAST(size(array_intersect(a.s, b.s)) AS DOUBLE) /
+        |  size(array_distinct(concat(a.s, b.s))) AS jaccard
+        |FROM mh_out p JOIN sh a ON p.doc_a = a.doc_id
+        |              JOIN sh b ON p.doc_b = b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash_exact" -> simhashExactSql,
+
+    // Spark's recursive CTEs don't yet allow UNION-dedup recursion
+    // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so instead of DuckDB's
+    // label-closure recursion this port unrolls the SAME hop +
+    // pointer-jump rounds the Scala operator runs (each jump composes
+    // two resolution steps, so three rounds cover diameter ~2^3·3 —
+    // far beyond any near-dup cluster the pair generator emits).
+    "dedup_cluster_exact" ->
+      """WITH n AS (SELECT doc_id,
+        |             regexp_replace(lower(trim(text)), '\\s+', ' ') AS t
+        |           FROM documents),
+        |tk AS (SELECT doc_id, split(t, ' ') AS w FROM n),
+        |sh AS (SELECT doc_id,
+        |         array_distinct(CASE WHEN size(w) < 3 THEN array(array_join(w, ' '))
+        |           ELSE transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))
+        |           END) AS s
+        |       FROM tk),
+        |b0 AS (SELECT doc_id, s, array_min(s) AS blk FROM sh),
+        |sz AS (SELECT blk, COUNT(*) AS bsz FROM b0 GROUP BY blk),
+        |b1 AS (
+        |  SELECT b0.doc_id, b0.s, b0.blk,
+        |    CASE WHEN sz.bsz > 256 THEN coalesce(try_element_at(array_sort(b0.s), 2), '')
+        |         ELSE '' END AS sub
+        |  FROM b0 JOIN sz ON b0.blk = sz.blk),
+        |sz2 AS (SELECT blk, sub, COUNT(*) AS bsz2 FROM b1 GROUP BY blk, sub),
+        |bb AS (
+        |  SELECT b1.doc_id, b1.s, b1.blk, b1.sub,
+        |    CASE WHEN sz2.bsz2 > 256
+        |         THEN CAST(conv(substr(md5(CAST(b1.doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)
+        |              % CAST(ceil(bsz2 / 128.0) AS BIGINT)
+        |         ELSE 0 END AS sub2
+        |  FROM b1 JOIN sz2 ON b1.blk = sz2.blk AND b1.sub = sz2.sub),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM bb a JOIN bb b2 ON a.blk = b2.blk AND a.sub = b2.sub
+        |    AND a.sub2 = b2.sub2 AND a.doc_id < b2.doc_id
+        |  WHERE CAST(size(array_intersect(a.s, b2.s)) AS DOUBLE) /
+        |        CAST(size(array_distinct(concat(a.s, b2.s))) AS DOUBLE) >= 0.8),
+        |e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |  UNION SELECT doc_a, doc_a FROM pairs
+        |  UNION SELECT doc_b, doc_b FROM pairs),
+        |l0 AS (SELECT src AS id, MIN(dst) AS label FROM e GROUP BY src),
+        |h1 AS (SELECT e.src AS id, MIN(l0.label) AS label FROM e JOIN l0 ON e.dst = l0.id GROUP BY e.src),
+        |j1 AS (SELECT a.id, b.label FROM h1 a JOIN h1 b ON a.label = b.id),
+        |h2 AS (SELECT e.src AS id, MIN(j1.label) AS label FROM e JOIN j1 ON e.dst = j1.id GROUP BY e.src),
+        |j2 AS (SELECT a.id, b.label FROM h2 a JOIN h2 b ON a.label = b.id),
+        |h3 AS (SELECT e.src AS id, MIN(j2.label) AS label FROM e JOIN j2 ON e.dst = j2.id GROUP BY e.src)
+        |SELECT id, CAST(label AS BIGINT) AS cluster_id
+        |FROM h3 ORDER BY id""".stripMargin,
+
+    "dedup_embedding_exact" ->
+      """WITH e0 AS (SELECT vec_id,
+        |             transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS q
+        |           FROM embeddings),
+        |grp AS (SELECT q, MIN(vec_id) AS rep, COUNT(*) AS cnt FROM e0 GROUP BY q),
+        |e AS (SELECT rep AS vec_id, q FROM grp),
+        |star AS (SELECT g.rep AS vec_a, x.vec_id AS vec_b
+        |         FROM grp g JOIN e0 x ON x.q = g.q
+        |         WHERE g.cnt > 1 AND x.vec_id <> g.rep),
+        |dims AS (SELECT explode(sequence(0, 63)) AS j),
+        |bp AS (SELECT b, p FROM (SELECT explode(sequence(0, 3)) AS b) bb
+        |       CROSS JOIN (SELECT explode(sequence(0, 9)) AS p) pp),
+        |signs AS (SELECT b, p, dims.j,
+        |    CASE WHEN CAST(conv(substr(md5('e' || CAST(b AS STRING) || '_' || CAST(p AS STRING) || '_' || CAST(dims.j AS STRING)), 1, 15), 16, 10) AS BIGINT) & 1 = 1
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM bp CROSS JOIN dims),
+        |xsigns AS (SELECT p, dims.j,
+        |    CASE WHEN CAST(conv(substr(md5('x_' || CAST(p AS STRING) || '_' || CAST(dims.j AS STRING)), 1, 15), 16, 10) AS BIGINT) & 1 = 1
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT explode(sequence(0, 9)) AS p) pp CROSS JOIN dims),
+        |vd AS (SELECT e.vec_id, signs.b, signs.p, SUM(element_at(e.q, signs.j + 1) * signs.s) AS dot
+        |       FROM e CROSS JOIN signs GROUP BY e.vec_id, signs.b, signs.p),
+        |bk AS (SELECT vec_id, b, SUM(CASE WHEN dot > 0 THEN shiftleft(1, p) ELSE 0 END) AS bucket
+        |       FROM vd GROUP BY vec_id, b),
+        |xd AS (SELECT e.vec_id, xsigns.p, SUM(element_at(e.q, xsigns.j + 1) * xsigns.s) AS dot
+        |       FROM e CROSS JOIN xsigns GROUP BY e.vec_id, xsigns.p),
+        |xb AS (SELECT vec_id, SUM(CASE WHEN dot > 0 THEN shiftleft(1, p) ELSE 0 END) AS xbucket
+        |       FROM xd GROUP BY vec_id),
+        |sz AS (SELECT b, bucket, COUNT(*) AS c FROM bk GROUP BY b, bucket),
+        |sub AS (SELECT bk.vec_id, bk.b, bk.bucket,
+        |          CASE WHEN sz.c > 2048 THEN xb.xbucket ELSE 0 END AS sub
+        |        FROM bk JOIN sz ON bk.b = sz.b AND bk.bucket = sz.bucket
+        |                JOIN xb ON bk.vec_id = xb.vec_id),
+        |pairs AS (SELECT DISTINCT vec_a, vec_b FROM (
+        |          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |          FROM sub x JOIN sub y
+        |            ON x.b = y.b AND x.bucket = y.bucket AND x.sub = y.sub
+        |               AND x.vec_id < y.vec_id
+        |          UNION ALL SELECT vec_a, vec_b FROM star) u),
+        |scored AS (SELECT vec_a, vec_b,
+        |             CAST(aggregate(zip_with(a.q, b.q, (x, y) -> x * y),
+        |               CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT) AS qdot
+        |           FROM pairs JOIN e0 a ON pairs.vec_a = a.vec_id
+        |                      JOIN e0 b ON pairs.vec_b = b.vec_id)
+        |SELECT vec_a, vec_b, qdot FROM scored
+        |ORDER BY qdot DESC, vec_a, vec_b LIMIT 50""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(size(filter(split(text, ' '), x -> array_contains(array('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is'), x))) AS DOUBLE)
+        |    / size(split(text, ' ')) AS stopword_ratio,
+        |  least(1.0, CAST(length(text) AS DOUBLE) / 500.0) * 0.4
+        |    + (1.0 - CAST(size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS DOUBLE) / length(text)) * 0.3
+        |    + (CAST(size(filter(split(text, ' '), x -> array_contains(array('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is'), x))) AS DOUBLE)
+        |       / size(split(text, ' '))) * 0.3 AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang AS lang_actual,
+        |  CAST(size(array_intersect(split(text, ' '), array('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS score_en,
+        |  CAST(size(array_intersect(split(text, ' '), array('el', 'la', 'de', 'los', 'las', 'y', 'que'))) AS BIGINT) AS score_es,
+        |  CAST(size(array_intersect(split(text, ' '), array('le', 'les', 'et', 'des', 'un', 'une', 'du'))) AS BIGINT) AS score_fr,
+        |  CAST(size(array_intersect(split(text, ' '), array('der', 'die', 'das', 'und', 'ein', 'zu', 'den'))) AS BIGINT) AS score_de,
+        |  CAST(size(array_intersect(split(text, ' '), array('的', '了', '是', '在', '我', '有', '和'))) AS BIGINT) AS score_zh
+        |  FROM documents),
+        |withbest AS (
+        |  SELECT *, greatest(score_en, score_es, score_fr, score_de, score_zh) AS best FROM scored)
+        |SELECT doc_id, lang_actual, score_en, score_es, score_fr, score_de, score_zh,
+        |  CASE WHEN score_en = best THEN 'en' WHEN score_es = best THEN 'es'
+        |       WHEN score_fr = best THEN 'fr' WHEN score_de = best THEN 'de'
+        |       WHEN score_zh = best THEN 'zh' END AS lang_pred
+        |FROM withbest ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    filter(split(text, ''), ch -> ch != '') AS chars
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, chars, array_sort(array_distinct(chars)) AS dchars
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(size(chars) AS BIGINT) AS n_chars_tot,
+        |  CAST(size(dchars) AS BIGINT) AS n_distinct,
+        |  floor(aggregate(transform(dchars, ch ->
+        |      -(CAST(size(filter(chars, x -> x = ch)) AS DOUBLE) / size(chars))
+        |        * log2(CAST(size(filter(chars, x -> x = ch)) AS DOUBLE) / size(chars))),
+        |    CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS entropy
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH tok AS (SELECT doc_id, explode(array_distinct(split(text, ' '))) AS token
+        |            FROM documents),
+        |dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+        |b AS (SELECT coalesce(array_sort(collect_list(token)), array()) AS boiler
+        |      FROM dfreq CROSS JOIN (SELECT count(*) AS n_docs FROM documents) nd
+        |      WHERE df * 2 > n_docs)
+        |SELECT doc_id,
+        |  coalesce(array_join(filter(split(text, ' '),
+        |    t -> NOT array_contains(boiler, t)), ' '), '') AS clean_text,
+        |  CAST(size(split(text, ' ')) -
+        |       size(filter(split(text, ' '),
+        |         t -> NOT array_contains(boiler, t))) AS BIGINT) AS n_removed
+        |FROM documents CROSS JOIN b ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS n_tokens, gram
+        |      FROM w LATERAL VIEW explode(
+        |        CASE WHEN size(w) >= 2
+        |             THEN transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))
+        |             ELSE array() END) t AS gram),
+        |c AS (SELECT doc_id, n_tokens, gram, count(*) AS c
+        |      FROM g GROUP BY doc_id, n_tokens, gram)
+        |SELECT doc_id, n_tokens,
+        |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS top_bigram_frac,
+        |  floor(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |        / CAST(sum(c) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup_bigram_frac
+        |FROM c GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint_exact" ->
+      """SELECT doc_id,
+        |  aggregate(transform(split(text, ' '), t ->
+        |      CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % 2147483647),
+        |    CAST(0 AS BIGINT), (a, h) -> (a * 1000003 + h) % 2147483647) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_lm_rarity" ->
+      """WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+        |r AS (SELECT doc_id, (t * 1000000) div c AS r FROM tok JOIN cnt USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(r) AS BIGINT) AS sum_rarity,
+        |  CAST(CAST(SUM(r) AS BIGINT) div COUNT(*) AS BIGINT) AS mean_rarity
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH c AS (SELECT source, count(*) AS cnt,
+        |             least(1.0, 15.0 / count(*)) AS frac
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT source, cnt,
+        |        lpad(lower(hex(CAST(least(floor(frac * 4294967296.0), 4294967295.0) AS BIGINT))), 8, '0') AS thresh
+        |      FROM c)
+        |SELECT d.doc_id, d.source, t.cnt AS stratum_size
+        |FROM documents d JOIN t ON d.source = t.source
+        |WHERE t.cnt <= 15
+        |   OR substring(md5(concat(d.source, ':', CAST(d.doc_id AS STRING))), 1, 8) < t.thresh
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "eval_split" ->
+      """WITH tagged AS (
+        |  SELECT CASE WHEN substring(md5('split:' || CAST(doc_id AS STRING)), 1, 8) < '0ccccccc' THEN 'test'
+        |              WHEN substring(md5('split:' || CAST(doc_id AS STRING)), 1, 8) < '19999999' THEN 'val'
+        |              ELSE 'train' END AS split,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS n_tok, n_chars
+        |  FROM documents),
+        |per AS (SELECT split, COUNT(*) AS n_docs,
+        |          CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |          CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |        FROM tagged GROUP BY split),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM per)
+        |SELECT split, n_docs, n_tokens, n_chars,
+        |  CAST((n_docs * 1000000) div t AS BIGINT) AS share_ppm
+        |FROM per CROSS JOIN tot ORDER BY split""".stripMargin,
+
+    "mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(size(split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+        |sc AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    floor(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) * 1e6 + 0.5) / 1e6 AS token_share,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |         AS DECIMAL(18,6)) AS w_dec
+        |  FROM per CROSS JOIN tot),
+        |z AS (SELECT sum(w_dec) AS z FROM sc)
+        |SELECT source, n_docs, n_tokens, token_share,
+        |  floor(CAST(w_dec AS DOUBLE) / CAST(z AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mix_weight
+        |FROM sc CROSS JOIN z ORDER BY source""".stripMargin,
+
+    "budget_select" ->
+      """WITH t AS (SELECT source, doc_id, n_chars,
+        |             CAST(size(split(text, ' ')) AS BIGINT) AS tok
+        |           FROM documents),
+        |r AS (SELECT source, doc_id, tok,
+        |        CAST(SUM(tok) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+        |      FROM t)
+        |SELECT source, rank, doc_id, tok, cum_tok
+        |FROM r WHERE cum_tok <= 2000
+        |ORDER BY source, rank""".stripMargin,
+
+    "chunk_sliding" ->
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS w,
+        |             CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens, w,
+        |        greatest(1, CAST(ceil((n_tokens - 64) / 32.0) AS BIGINT) + 1) AS n_chunks FROM w)
+        |SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS chunk_id,
+        |  array_join(slice(w, CAST(i * 32 + 1 AS INT), 64), ' ') AS chunk_text,
+        |  CAST(least(64, n_tokens - i * 32) AS BIGINT) AS n_chunk_tokens
+        |FROM c LATERAL VIEW explode(sequence(0, n_chunks - 1)) t AS i
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(CAST(cum_before AS DOUBLE) / 256) AS BIGINT) AS seq_id,
+        |  CAST(cum_before % 256 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "corpus_report" ->
+      """WITH t AS (SELECT source, lang, n_chars,
+        |             CAST(size(split(text, ' ')) AS BIGINT) AS tok,
+        |             md5(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS h
+        |           FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(FLOOR(CAST(SUM(n_chars) AS DECIMAL(38,0)) * 1000000 / COUNT(*)) AS BIGINT) AS mean_chars_ppm,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(FLOOR(CAST(COUNT(*) - COUNT(DISTINCT h) AS DECIMAL(38,0)) * 1000000 / COUNT(*)) AS BIGINT) AS dup_rate_ppm
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "corpus_token_hist" ->
+      """WITH tok AS (SELECT explode(split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+        |top AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rank, tok, c,
+        |  CAST(SUM(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |  CAST((CAST(SUM(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000)
+        |       div t AS BIGINT) AS cov_ppm
+        |FROM top CROSS JOIN tot
+        |ORDER BY rank""".stripMargin,
+
+    "decontam_overlap" ->
+      """WITH sh AS (
+        |  SELECT doc_id, s
+        |  FROM (SELECT doc_id, text, split(text, ' ') AS w FROM documents) x
+        |  LATERAL VIEW explode(array_distinct(CASE WHEN size(w) < 3
+        |    THEN array(text)
+        |    ELSE transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))
+        |    END)) t AS s)
+        |SELECT t.doc_id, e.doc_id AS eval_doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sh t JOIN sh e ON t.s = e.s
+        |WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+        |GROUP BY t.doc_id, e.doc_id
+        |ORDER BY t.doc_id, eval_doc_id""".stripMargin,
+
+    "dedup_substring" ->
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS w
+        |           FROM documents WHERE size(split(text, ' ')) >= 8),
+        |sh AS (SELECT doc_id, gram
+        |       FROM w LATERAL VIEW explode(
+        |         transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))) t AS gram),
+        |spans AS (SELECT doc_id, COUNT(*) AS n_spans FROM sh GROUP BY doc_id),
+        |dg AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM sh GROUP BY gram) gc
+        |       WHERE c >= 2),
+        |ds AS (SELECT doc_id, COUNT(*) AS dup_c FROM sh JOIN dg USING (gram)
+        |       GROUP BY doc_id)
+        |SELECT spans.doc_id, n_spans,
+        |  CAST(COALESCE(dup_c, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST((CAST(COALESCE(dup_c, 0) AS BIGINT) * 1000000) div n_spans AS BIGINT) AS dup_ppm
+        |FROM spans LEFT JOIN ds ON spans.doc_id = ds.doc_id
+        |ORDER BY spans.doc_id""".stripMargin,
+
+    "dedup_semantic_keep" ->
+      """WITH sz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY label),
+        |v AS (SELECT vec_id, e.label,
+        |        transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS qv,
+        |        n_chars,
+        |        CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)
+        |          % CAST(ceil(lsz / 512.0) AS BIGINT) AS sub
+        |      FROM embeddings e JOIN sz ON e.label = sz.label
+        |        JOIN documents d ON e.vec_id = d.doc_id),
+        |dom AS (
+        |  SELECT a.vec_id AS doc_id, b.vec_id AS keep_id, b.n_chars AS keep_chars,
+        |    CAST(aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y),
+        |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS score
+        |  FROM v a JOIN v b ON a.label = b.label AND a.sub = b.sub
+        |    AND a.vec_id <> b.vec_id
+        |    AND (b.n_chars > a.n_chars
+        |         OR (b.n_chars = a.n_chars AND b.vec_id < a.vec_id)))
+        |SELECT doc_id, keep_id, score FROM (
+        |  SELECT doc_id, keep_id, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY keep_chars DESC, keep_id) AS rn
+        |  FROM dom WHERE score >= 300000000000) q
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |         floor(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, tf, df, tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tfidf DESC, token) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, token, tf, df, tfidf, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "embed_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, CAST(pos AS BIGINT) AS dim,
+        |         CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS qv
+        |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x),
+        |st AS (SELECT label, dim, sum(qv) AS sumq, count(*) AS n
+        |       FROM q GROUP BY label, dim),
+        |d2 AS (
+        |  SELECT q.vec_id, q.label,
+        |         sum(CAST(q.qv * st.n - st.sumq AS DECIMAL(38,0))
+        |             * CAST(q.qv * st.n - st.sumq AS DECIMAL(38,0))) AS d2x
+        |  FROM q JOIN st ON q.label = st.label AND q.dim = st.dim
+        |  GROUP BY q.vec_id, q.label),
+        |r AS (SELECT label, vec_id, d2x,
+        |        CAST(row_number() OVER (PARTITION BY label
+        |          ORDER BY d2x DESC, vec_id) AS BIGINT) AS rank
+        |      FROM d2)
+        |SELECT label, vec_id, CAST(d2x AS DOUBLE) AS d2, rank
+        |FROM r WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
+
+    "embed_dim_stats" ->
+      """WITH x AS (
+        |  SELECT CAST(i AS BIGINT) AS dim,
+        |    CAST(floor(element_at(embedding, CAST(i AS INT)) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings LATERAL VIEW explode(sequence(1, 64)) t AS i)
+        |SELECT dim, COUNT(*) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS sum_q,
+        |  CAST(SUM(q * q) AS DOUBLE) AS sum_sq,
+        |  min(q) AS min_q, max(q) AS max_q
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "bpe_pair_counts" ->
+      """WITH tok AS (SELECT explode(split(text, ' ')) AS tok FROM documents),
+        |p AS (SELECT pair
+        |      FROM (SELECT tok FROM tok WHERE length(tok) >= 2) x
+        |      LATERAL VIEW explode(
+        |        transform(sequence(1, length(tok) - 1), i -> substr(tok, CAST(i AS INT), 2))) t AS pair),
+        |cnt AS (SELECT pair, COUNT(*) AS c FROM p GROUP BY pair),
+        |top AS (SELECT pair, c FROM cnt ORDER BY c DESC, pair LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY c DESC, pair) AS BIGINT) AS rank, pair, c
+        |FROM top ORDER BY rank""".stripMargin,
+
+    "shuffle_epoch" ->
+      """WITH ep AS (SELECT doc_id, e.epoch
+        |           FROM documents
+        |           CROSS JOIN (SELECT explode(sequence(0, 1)) AS epoch) e),
+        |keyed AS (SELECT epoch, doc_id,
+        |            CAST(conv(substr(md5(CAST(epoch AS STRING) || '_' || CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS k
+        |          FROM ep)
+        |SELECT epoch, k % 32 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, k % 32
+        |    ORDER BY k, doc_id) AS BIGINT) AS pos,
+        |  doc_id
+        |FROM keyed ORDER BY epoch, shard, pos""".stripMargin,
 
     "q_asof_join" ->
       """SELECT event_id, user_id, ts, value, click_ts, click_id, click_value
