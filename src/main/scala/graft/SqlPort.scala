@@ -326,7 +326,136 @@ object SqlPort {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Morton/Z-order interleave of the low 16 bits of (zx, zy),
+    * generated as shiftleft/shiftright terms (DuckDB spells it with
+    * `>>`/`<<` operators).
+    */
+  private val zInterleave: String = (0 until 16).map { k =>
+    s"shiftleft(shiftright(zx, $k) & 1, ${2 * k}) + shiftleft(shiftright(zy, $k) & 1, ${2 * k + 1})"
+  }.mkString("(", "\n      + ", ")")
+
   val sparkSql: Map[String, String] = Map(
+    "mm_metadata" ->
+      """WITH media AS (
+        |  SELECT doc_id, text,
+        |    CAST(doc_id % 64 + 16 AS INT) AS width,
+        |    CAST(doc_id % 48 + 16 AS INT) AS height,
+        |    element_at(array('png', 'jpeg', 'wav'), CAST(doc_id % 3 + 1 AS INT)) AS fmt
+        |  FROM documents)
+        |SELECT fmt, COUNT(*) AS n,
+        |  CAST(SUM(octet_length(text)) AS BIGINT) AS sum_bytes,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_payloads,
+        |  min(width) AS min_w, max(width) AS max_w,
+        |  min(height) AS min_h, max(height) AS max_h
+        |FROM media GROUP BY fmt ORDER BY fmt""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    doc_id % 2 * 6 + 24 AS fps,
+        |    n_chars % 111 + 10 AS dur_s,
+        |    doc_id % 64 + 16 AS width,
+        |    doc_id % 48 + 16 AS height
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, fps, dur_s * fps AS n_frames,
+        |    greatest(1, dur_s * fps div 8) AS step,
+        |    width * height * 3 AS frame_bytes
+        |  FROM meta),
+        |x AS (
+        |  SELECT doc_id, fps, frame_bytes, frame_idx
+        |  FROM f LATERAL VIEW explode(sequence(0, n_frames - 1, step)) t AS frame_idx)
+        |SELECT doc_id, frame_idx,
+        |  frame_idx * 1000 div fps AS ts_ms,
+        |  frame_idx * frame_bytes AS byte_off
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_audio_window" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    doc_id % 2 * 28100 + 16000 AS sr,
+        |    n_chars % 29001 + 1000 AS dur_ms
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, sr,
+        |    dur_ms * sr div 1000 - sr AS lim,
+        |    greatest(sr div 2, (dur_ms * sr div 1000 - sr + 14) div 15) AS hop
+        |  FROM meta),
+        |x AS (
+        |  SELECT doc_id, sr, start_sample
+        |  FROM w LATERAL VIEW explode(sequence(0, lim, hop)) t AS start_sample)
+        |SELECT doc_id, start_sample,
+        |  start_sample * 1000 div sr AS ts_ms,
+        |  start_sample * 2 AS byte_off
+        |FROM x ORDER BY doc_id, start_sample""".stripMargin,
+
+    "etl_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(regexp_replace(regexp_replace(props,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]'),
+        |    '\\+?[0-9][0-9() -]{6,}[0-9]', '[PHONE]'),
+        |    '[0-9]+', '[NUM]') AS redacted,
+        |  CAST(size(regexp_extract_all(props, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', 0)) AS BIGINT) AS n_email,
+        |  CAST(size(regexp_extract_all(props, '\\+?[0-9][0-9() -]{6,}[0-9]', 0)) AS BIGINT) AS n_phone,
+        |  CAST(size(regexp_extract_all(props, '[0-9]+', 0)) AS BIGINT) AS n_num
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "profile_table" ->
+      """WITH s AS (
+        |  SELECT kv.col_name, kv.v FROM orders
+        |  LATERAL VIEW explode(array(
+        |    named_struct('col_name', 'o_orderkey', 'v', CAST(o_orderkey AS STRING)),
+        |    named_struct('col_name', 'o_custkey', 'v', CAST(o_custkey AS STRING)),
+        |    named_struct('col_name', 'o_orderstatus', 'v', CAST(o_orderstatus AS STRING)),
+        |    named_struct('col_name', 'o_totalprice', 'v', CAST(o_totalprice AS STRING)),
+        |    named_struct('col_name', 'o_orderpriority', 'v', CAST(o_orderpriority AS STRING))
+        |  )) t AS kv)
+        |SELECT col_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+        |  min(v) AS min_v,
+        |  max(v) AS max_v
+        |FROM s GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    "src_format_roundtrip" ->
+      """WITH slice AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
+        |    date_format(l_shipdate, 'yyyy-MM-dd') AS ship_day
+        |  FROM lineitem WHERE l_orderkey % 1000 = 0)
+        |SELECT format, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  min(ship_day) AS first_day, max(ship_day) AS last_day,
+        |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+        |FROM slice CROSS JOIN (SELECT explode(array('csv', 'json', 'orc')) AS format) fmts
+        |GROUP BY format ORDER BY format""".stripMargin,
+
+    "src_zorder_layout" ->
+      s"""WITH z AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |    $zInterleave AS zval
+        |  FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+        |          o_custkey % 65536 AS zx,
+        |          datediff(o_orderdate, DATE '1992-01-01') % 65536 AS zy
+        |        FROM orders) t),
+        |tiled AS (SELECT o_custkey, o_orderdate, zval div 131072 AS tile FROM z),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_all,
+        |    CAST(COUNT(DISTINCT tile) AS BIGINT) AS t_all,
+        |    CAST(SUM(CASE WHEN o_custkey BETWEEN 100 AND 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_cust,
+        |    CAST(COUNT(DISTINCT CASE WHEN o_custkey BETWEEN 100 AND 200 THEN tile END) AS BIGINT) AS t_cust,
+        |    CAST(SUM(CASE WHEN o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31' THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
+        |    CAST(COUNT(DISTINCT CASE WHEN o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31' THEN tile END) AS BIGINT) AS t_date
+        |  FROM tiled)
+        |SELECT * FROM (
+        |  SELECT 'all_rows' AS predicate, n_all AS n_rows, t_all AS tiles_touched FROM agg
+        |  UNION ALL
+        |  SELECT 'custkey_100_200', n_cust, t_cust FROM agg
+        |  UNION ALL
+        |  SELECT 'q1_1996', n_date, t_date FROM agg) u
+        |ORDER BY predicate""".stripMargin,
+
     "etl_merge_positions" ->
       s"""WITH $mergeCellsCte,
         |$typicalCtes,
@@ -1488,6 +1617,419 @@ object SqlPort {
         |    ORDER BY k, doc_id) AS BIGINT) AS pos,
         |  doc_id
         |FROM keyed ORDER BY epoch, shard, pos""".stripMargin,
+
+    "sketch_cms_exact" ->
+      """WITH toks AS (SELECT explode(split(text, ' ')) AS w FROM documents),
+        |truth AS (SELECT w, COUNT(*) AS true_cnt FROM toks GROUP BY w),
+        |rows_ AS (SELECT explode(sequence(0, 3)) AS r),
+        |sk AS (SELECT r,
+        |         CAST(conv(substr(md5('c' || CAST(r AS STRING) || '_' || w), 1, 15), 16, 10) AS BIGINT)
+        |           % 1024 AS bucket,
+        |         COUNT(*) AS cell
+        |       FROM toks CROSS JOIN rows_ GROUP BY 1, 2),
+        |queried AS (SELECT w, true_cnt FROM truth ORDER BY true_cnt DESC, w LIMIT 20),
+        |est AS (SELECT q.w, q.true_cnt, MIN(sk.cell) AS cms_est
+        |        FROM queried q CROSS JOIN rows_
+        |        JOIN sk ON sk.r = rows_.r AND sk.bucket =
+        |          CAST(conv(substr(md5('c' || CAST(rows_.r AS STRING) || '_' || q.w), 1, 15), 16, 10) AS BIGINT)
+        |            % 1024
+        |        GROUP BY q.w, q.true_cnt)
+        |SELECT w, true_cnt, cms_est, cms_est - true_cnt AS overcount
+        |FROM est ORDER BY true_cnt DESC, w""".stripMargin,
+
+    // The oracle's `key IN (SELECT …)` projection is rewritten as a
+    // LEFT JOIN membership probe — Spark keeps IN-predicate subqueries
+    // out of the SELECT list (md5 keys are never NULL, so the join is
+    // exactly the COALESCE(IN, FALSE) the oracle computes).
+    "sketch_bloom_exact" ->
+      """WITH keyc AS (SELECT DISTINCT
+        |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS key
+        |       FROM documents WHERE text IS NOT NULL),
+        |ks AS (SELECT explode(sequence(0, 2)) AS k),
+        |bits AS (SELECT DISTINCT ks.k,
+        |           CAST(conv(substr(md5('b' || CAST(ks.k AS STRING) || '_' || key), 1, 15), 16, 10) AS BIGINT)
+        |             % 8192 AS bit
+        |         FROM keyc CROSS JOIN ks),
+        |head AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |inc AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS key FROM head
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    md5(regexp_replace(lower(trim('novel ' || text)), '\\s+', ' ')) FROM head),
+        |probes AS (SELECT doc_id, key, ks.k,
+        |             CAST(conv(substr(md5('b' || CAST(ks.k AS STRING) || '_' || key), 1, 15), 16, 10) AS BIGINT)
+        |               % 8192 AS bit
+        |           FROM inc CROSS JOIN ks),
+        |hc AS (SELECT p.doc_id, p.key,
+        |         SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS nbits
+        |       FROM probes p LEFT JOIN bits b ON b.k = p.k AND b.bit = p.bit
+        |       GROUP BY p.doc_id, p.key)
+        |SELECT hc.doc_id, nbits = 3 AS in_bloom,
+        |  (kc.key IS NOT NULL) AS is_member,
+        |  nbits = 3 AND kc.key IS NULL AS false_positive
+        |FROM hc LEFT JOIN keyc kc ON hc.key = kc.key
+        |ORDER BY doc_id""".stripMargin,
+
+    "sketch_quantile_exact" ->
+      """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |           FROM lineitem),
+        |st AS (SELECT min(c) AS mn, max(c) AS mx, COUNT(*) AS n FROM v),
+        |binned AS (SELECT CAST((c - mn) * 1024 div (mx - mn + 1) AS BIGINT) AS bin,
+        |             COUNT(*) AS cnt
+        |           FROM v CROSS JOIN st GROUP BY 1),
+        |cum AS (SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |        FROM binned),
+        |q AS (SELECT q_pct, mn, mx,
+        |        CAST((q_pct * n + 99) div 100 AS BIGINT) AS k
+        |      FROM st CROSS JOIN (SELECT explode(array(1, 5, 25, 50, 75, 95, 99)) AS q_pct) p),
+        |sel AS (SELECT q.q_pct, q.k, q.mn, q.mx, MIN(cum.bin) AS qbin
+        |        FROM q JOIN cum ON cum.cum >= q.k
+        |        GROUP BY q.q_pct, q.k, q.mn, q.mx)
+        |SELECT CAST(q_pct AS BIGINT) AS q_pct, qbin,
+        |  CAST(mn + (qbin * (mx - mn + 1)) div 1024 AS BIGINT) AS est_cents, k
+        |FROM sel ORDER BY q_pct""".stripMargin,
+
+    "sketch_kmv_exact" ->
+      """WITH h AS (SELECT DISTINCT
+        |         CAST(conv(substr(md5(
+        |           regexp_replace(lower(trim(text)), '\\s+', ' ')), 1, 15), 16, 10) AS BIGINT) AS h
+        |       FROM documents WHERE text IS NOT NULL),
+        |kmin AS (SELECT max(h) AS kth, COUNT(*) AS kk
+        |         FROM (SELECT h FROM h ORDER BY h LIMIT 64) t),
+        |truth AS (SELECT COUNT(*) AS true_distinct FROM h)
+        |SELECT kk, kth, true_distinct,
+        |  CAST(CASE WHEN kk < 64 THEN kk
+        |       ELSE ((kk - 1) * 1073741824) div greatest(1, kth div 1073741824)
+        |       END AS BIGINT) AS est_distinct
+        |FROM kmin CROSS JOIN truth""".stripMargin,
+
+    "ann_lsh_exact" ->
+      """WITH e AS (SELECT vec_id,
+        |             transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS cv
+        |           FROM embeddings),
+        |dims AS (SELECT explode(sequence(0, 63)) AS j),
+        |signs AS (SELECT p, dims.j,
+        |    CASE WHEN CAST(conv(substr(md5('a_' || CAST(p AS STRING) || '_' || CAST(dims.j AS STRING)), 1, 15), 16, 10) AS BIGINT) & 1 = 1
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT explode(sequence(0, 7)) AS p) pp CROSS JOIN dims),
+        |bd AS (SELECT e.vec_id, signs.p, SUM(element_at(e.cv, signs.j + 1) * signs.s) AS dot
+        |       FROM e CROSS JOIN signs GROUP BY e.vec_id, signs.p),
+        |bk AS (SELECT vec_id, SUM(CASE WHEN dot > 0 THEN shiftleft(1, p) ELSE 0 END) AS bucket
+        |       FROM bd GROUP BY vec_id),
+        |q AS (SELECT e.vec_id AS query_id, e.cv AS qv, bk.bucket AS qb
+        |      FROM e JOIN bk ON e.vec_id = bk.vec_id WHERE e.vec_id < 5),
+        |qp AS (SELECT query_id, qv, qb ^ f AS qbucket
+        |       FROM q CROSS JOIN (SELECT explode(array(0, 1, 2, 4, 8, 16, 32, 64, 128)) AS f) pr),
+        |cand AS (SELECT qp.query_id, bk.vec_id, qp.qv
+        |         FROM qp JOIN bk ON bk.bucket = qp.qbucket
+        |         WHERE bk.vec_id <> qp.query_id),
+        |scored AS (SELECT c.query_id, c.vec_id,
+        |             CAST(aggregate(zip_with(c.qv, e.cv, (x, y) -> x * y),
+        |               CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS qdot
+        |           FROM cand c JOIN e ON e.vec_id = c.vec_id),
+        |rk AS (SELECT query_id, vec_id, qdot,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+        |       FROM scored)
+        |SELECT query_id, vec_id, qdot, rnk AS rank FROM rk
+        |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_quantized" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |     c AS (SELECT vec_id,
+        |             transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS cv
+        |           FROM embeddings),
+        |     scored AS (
+        |       SELECT q.query_id, c.vec_id,
+        |              CAST(aggregate(zip_with(qv, cv, (x, y) -> x * y),
+        |                CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS qdot
+        |       FROM q JOIN c ON c.vec_id <> q.query_id),
+        |     ranked AS (SELECT query_id, vec_id, qdot,
+        |              CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+        |        FROM scored)
+        |SELECT query_id, vec_id, qdot, rnk AS rank FROM ranked
+        |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "knn_graph" ->
+      """WITH sz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY label),
+        |v AS (SELECT vec_id, e.label,
+        |        transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS qv,
+        |        CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)
+        |          % CAST(ceil(lsz / 512.0) AS BIGINT) AS sub
+        |      FROM embeddings e JOIN sz ON e.label = sz.label),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
+        |    CAST(aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y),
+        |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS score
+        |  FROM v a JOIN v b ON a.label = b.label AND a.sub = b.sub
+        |    AND a.vec_id <> b.vec_id),
+        |edges AS (
+        |  SELECT src, dst, label, score, rank FROM (
+        |    SELECT src, dst, label, score,
+        |      CAST(row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS BIGINT) AS rank
+        |    FROM pairs) rkd
+        |  WHERE rank <= 5)
+        |SELECT e.src, e.dst, e.label, e.score, e.rank,
+        |  (r.src IS NOT NULL) AS is_mutual
+        |FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
+        |ORDER BY e.src, e.rank""".stripMargin,
+
+    "stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR unix_micros(ts) - unix_micros(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "stream_topk_types" ->
+      """WITH c AS (
+        |  SELECT timestamp_micros((unix_micros(ts) div 3600000000) * 3600000000) AS w_start,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT w_start, event_type, n,
+        |        CAST(row_number() OVER (PARTITION BY w_start
+        |          ORDER BY n DESC, event_type) AS BIGINT) AS rank
+        |      FROM c)
+        |SELECT w_start, event_type, n, rank
+        |FROM r WHERE rank <= 3 ORDER BY w_start, rank""".stripMargin,
+
+    "stream_window_counts" ->
+      """WITH tumb AS (
+        |  SELECT 'tumbling' AS kind,
+        |    timestamp_micros((unix_micros(ts) div 3600000000) * 3600000000) AS w_start,
+        |    event_type, value
+        |  FROM events),
+        |slid AS (
+        |  SELECT 'sliding' AS kind, w_start, event_type, value
+        |  FROM events
+        |  LATERAL VIEW explode(array(
+        |      timestamp_micros((unix_micros(ts) div 1800000000) * 1800000000),
+        |      timestamp_micros((unix_micros(ts) div 1800000000) * 1800000000 - 1800000000))) t AS w_start),
+        |u AS (SELECT * FROM tumb UNION ALL SELECT * FROM slid)
+        |SELECT kind, w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM u GROUP BY kind, w_start, event_type
+        |ORDER BY kind, w_start, event_type""".stripMargin,
+
+    "stream_dup_gate_exact" ->
+      """WITH fpc AS (SELECT aggregate(transform(split(text, ' '), t ->
+        |      CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % 2147483647),
+        |    CAST(0 AS BIGINT), (a, h) -> (a * 1000003 + h) % 2147483647) AS f FROM documents),
+        |head AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |incoming AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM head
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, 'novel ' || text AS text FROM head),
+        |inf AS (SELECT doc_id, aggregate(transform(split(text, ' '), t ->
+        |      CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % 2147483647),
+        |    CAST(0 AS BIGINT), (a, h) -> (a * 1000003 + h) % 2147483647) AS f FROM incoming)
+        |SELECT DISTINCT doc_id FROM inf WHERE f IN (SELECT f FROM fpc)
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipe_clean_corpus" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(size(filter(split(text, ' '), x -> array_contains(array('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is'), x))) AS DOUBLE)
+        |      / size(split(text, ' ')) AS stop_ratio,
+        |    CAST(size(array_intersect(split(text, ' '), array('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS score_en,
+        |    CAST(size(array_intersect(split(text, ' '), array('el', 'la', 'de', 'los', 'las', 'y', 'que'))) AS BIGINT) AS score_es,
+        |    CAST(size(array_intersect(split(text, ' '), array('le', 'les', 'et', 'des', 'un', 'une', 'du'))) AS BIGINT) AS score_fr,
+        |    CAST(size(array_intersect(split(text, ' '), array('der', 'die', 'das', 'und', 'ein', 'zu', 'den'))) AS BIGINT) AS score_de,
+        |    CAST(size(array_intersect(split(text, ' '), array('的', '了', '是', '在', '我', '有', '和'))) AS BIGINT) AS score_zh
+        |  FROM documents),
+        |flagged AS (
+        |  SELECT *, greatest(score_en, score_es, score_fr, score_de, score_zh) AS best FROM scored),
+        |kept AS (
+        |  SELECT doc_id, text, n_tokens FROM flagged
+        |  WHERE n_tokens >= 30 AND stop_ratio > 0
+        |    AND (CASE WHEN score_en = best THEN 'en' WHEN score_es = best THEN 'es'
+        |              WHEN score_fr = best THEN 'fr' WHEN score_de = best THEN 'de'
+        |              WHEN score_zh = best THEN 'zh' END) = 'en')
+        |SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens, COUNT(*) AS n_dups
+        |FROM kept
+        |GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' '))
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipe_quality_funnel" ->
+      """WITH t AS (SELECT doc_id, lang, explode(split(text, ' ')) AS tok FROM documents),
+        |g AS (SELECT doc_id, lang, tok, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
+        |pd AS (SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n,
+        |         CAST(MAX(c) AS BIGINT) AS maxc, COUNT(*) AS nd
+        |       FROM g GROUP BY 1, 2),
+        |f AS (SELECT (n >= 20 AND n <= 1000) AS f1, (lang = 'en') AS f2,
+        |        (maxc * 8 <= n) AS f3, (nd * 5 >= n * 2) AS f4 FROM pd),
+        |c AS (SELECT COUNT(*) AS s0,
+        |        CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |        CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |        CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+        |        CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+        |      FROM f),
+        |st AS (
+        |  SELECT 1 AS stage, 'length' AS gate, s0 AS n_in, s0 - s1 AS n_dropped, s1 AS n_out FROM c
+        |  UNION ALL SELECT 2, 'language', s1, s1 - s2, s2 FROM c
+        |  UNION ALL SELECT 3, 'repetition', s2, s2 - s3, s3 FROM c
+        |  UNION ALL SELECT 4, 'diversity', s3, s3 - s4, s4 FROM c)
+        |SELECT CAST(stage AS BIGINT) AS stage, gate, n_in, n_dropped, n_out,
+        |  CAST((n_dropped * 1000000) div n_in AS BIGINT) AS drop_ppm
+        |FROM st ORDER BY stage""".stripMargin,
+
+    // Same UNION-recursion limitation as dedup_cluster_exact: the CC
+    // stage is the unrolled hop + pointer-jump chain.
+    "pipe_dedup_e2e" ->
+      """WITH nh AS (SELECT doc_id, text, n_chars,
+        |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS h
+        |       FROM documents),
+        |kp AS (SELECT h, MIN(doc_id) AS keep FROM nh GROUP BY h),
+        |exact_dups AS (
+        |  SELECT nh.doc_id, 'exact_dup' AS status, kp.keep AS canonical
+        |  FROM nh JOIN kp ON nh.h = kp.h WHERE nh.doc_id <> kp.keep),
+        |survivors AS (
+        |  SELECT nh.doc_id, nh.text, nh.n_chars
+        |  FROM nh JOIN kp ON nh.h = kp.h AND nh.doc_id = kp.keep),
+        |n AS (SELECT doc_id,
+        |             regexp_replace(lower(trim(text)), '\\s+', ' ') AS t
+        |           FROM survivors),
+        |tk AS (SELECT doc_id, split(t, ' ') AS w FROM n),
+        |sh AS (SELECT doc_id,
+        |         array_distinct(CASE WHEN size(w) < 3 THEN array(array_join(w, ' '))
+        |           ELSE transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))
+        |           END) AS s
+        |       FROM tk),
+        |b0 AS (SELECT doc_id, s, array_min(s) AS blk FROM sh),
+        |sz AS (SELECT blk, COUNT(*) AS bsz FROM b0 GROUP BY blk),
+        |b1 AS (
+        |  SELECT b0.doc_id, b0.s, b0.blk,
+        |    CASE WHEN sz.bsz > 256 THEN coalesce(try_element_at(array_sort(b0.s), 2), '')
+        |         ELSE '' END AS sub
+        |  FROM b0 JOIN sz ON b0.blk = sz.blk),
+        |sz2 AS (SELECT blk, sub, COUNT(*) AS bsz2 FROM b1 GROUP BY blk, sub),
+        |bb AS (
+        |  SELECT b1.doc_id, b1.s, b1.blk, b1.sub,
+        |    CASE WHEN sz2.bsz2 > 256
+        |         THEN CAST(conv(substr(md5(CAST(b1.doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)
+        |              % CAST(ceil(bsz2 / 128.0) AS BIGINT)
+        |         ELSE 0 END AS sub2
+        |  FROM b1 JOIN sz2 ON b1.blk = sz2.blk AND b1.sub = sz2.sub),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM bb a JOIN bb b2 ON a.blk = b2.blk AND a.sub = b2.sub
+        |    AND a.sub2 = b2.sub2 AND a.doc_id < b2.doc_id
+        |  WHERE CAST(size(array_intersect(a.s, b2.s)) AS DOUBLE) /
+        |        CAST(size(array_distinct(concat(a.s, b2.s))) AS DOUBLE) >= 0.8),
+        |e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |  UNION SELECT doc_a, doc_a FROM pairs
+        |  UNION SELECT doc_b, doc_b FROM pairs),
+        |l0 AS (SELECT src AS id, MIN(dst) AS label FROM e GROUP BY src),
+        |h1 AS (SELECT e.src AS id, MIN(l0.label) AS label FROM e JOIN l0 ON e.dst = l0.id GROUP BY e.src),
+        |j1 AS (SELECT a.id, b.label FROM h1 a JOIN h1 b ON a.label = b.id),
+        |h2 AS (SELECT e.src AS id, MIN(j1.label) AS label FROM e JOIN j1 ON e.dst = j1.id GROUP BY e.src),
+        |j2 AS (SELECT a.id, b.label FROM h2 a JOIN h2 b ON a.label = b.id),
+        |h3 AS (SELECT e.src AS id, MIN(j2.label) AS label FROM e JOIN j2 ON e.dst = j2.id GROUP BY e.src),
+        |lbl AS (SELECT id, label AS cid FROM h3),
+        |withc AS (
+        |  SELECT s.doc_id, s.n_chars, coalesce(l.cid, s.doc_id) AS cid
+        |  FROM survivors s LEFT JOIN lbl l ON s.doc_id = l.id),
+        |disposed AS (
+        |  SELECT doc_id,
+        |    first_value(doc_id) OVER (PARTITION BY cid
+        |      ORDER BY n_chars DESC, doc_id) AS canonical
+        |  FROM withc)
+        |SELECT doc_id, status, CAST(canonical AS BIGINT) AS canonical FROM (
+        |  SELECT doc_id, status, canonical FROM exact_dups
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id = canonical THEN 'kept' ELSE 'near_dup' END AS status,
+        |    canonical
+        |  FROM disposed) u
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipe_extract_e2e" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |vision AS (
+        |  SELECT doc_id, 'device' AS param, 'mpn' AS field,
+        |    'MPN-' || CAST(doc_id AS STRING) AS value
+        |  FROM ids WHERE doc_id % 31 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 'device', 'voltage_typ',
+        |    CAST(CAST(doc_id % 50 AS DOUBLE) / 10.0 AS STRING) || ' V'
+        |  FROM ids WHERE doc_id % 31 <> 0),
+        |rule AS (
+        |  SELECT doc_id, 'device' AS param, 'mpn' AS field,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'MPN-' || CAST(2 * doc_id + 1 AS STRING)
+        |         ELSE 'MPN-' || CAST(doc_id AS STRING) END AS value
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 'device', 'voltage_typ',
+        |    CAST(round(CASE WHEN doc_id % 7 = 0
+        |            THEN (CAST(doc_id % 50 AS DOUBLE) / 10.0) * 1.031
+        |            ELSE CAST(doc_id % 50 AS DOUBLE) / 10.0 END, 4) AS STRING)
+        |      || ' V'
+        |  FROM ids),
+        |c AS (
+        |  SELECT v.doc_id,
+        |    (lower(v.field) || '|' || lower(v.param))
+        |      RLIKE 'vin|vout|iout|iq|efficiency|power|frequency' AS crit,
+        |    TRY_CAST(NULLIF(regexp_replace(trim(v.value), '[^0-9.eE+-]', ''), '') AS DOUBLE) AS n1,
+        |    TRY_CAST(NULLIF(regexp_replace(trim(r.value), '[^0-9.eE+-]', ''), '') AS DOUBLE) AS n2,
+        |    trim(v.value) = trim(r.value) AS unit_eq,
+        |    regexp_replace(regexp_replace(lower(trim(v.value)), '\\s+', ' '), '[.,;:!?]', '') =
+        |    regexp_replace(regexp_replace(lower(trim(r.value)), '\\s+', ' '), '[.,;:!?]', '') AS text_eq
+        |  FROM vision v JOIN rule r
+        |    ON v.doc_id = r.doc_id AND v.param = r.param AND v.field = r.field),
+        |m AS (
+        |  SELECT doc_id, crit,
+        |    CASE WHEN n1 IS NOT NULL AND n2 IS NOT NULL
+        |              AND ((n1 = 0 AND n2 = 0)
+        |                   OR abs(n1 - n2) / greatest(abs(n1), abs(n2)) <= 0.01) THEN TRUE
+        |         WHEN unit_eq OR text_eq THEN TRUE ELSE FALSE END AS is_match,
+        |    CASE WHEN n1 IS NULL OR n2 IS NULL OR greatest(abs(n1), abs(n2)) = 0 THEN NULL
+        |         ELSE abs(n1 - n2) / greatest(abs(n1), abs(n2)) END AS rel_diff
+        |  FROM c),
+        |p AS (
+        |  SELECT doc_id, is_match, crit, rel_diff,
+        |    CASE WHEN is_match THEN CAST(0.000 AS DECIMAL(6,3))
+        |         WHEN crit THEN CAST(0.100 AS DECIMAL(6,3))
+        |         WHEN rel_diff IS NOT NULL AND rel_diff > 0.1 THEN CAST(0.050 AS DECIMAL(6,3))
+        |         WHEN rel_diff IS NOT NULL AND rel_diff > 0.05 THEN CAST(0.025 AS DECIMAL(6,3))
+        |         ELSE CAST(0.010 AS DECIMAL(6,3)) END AS pen
+        |  FROM m),
+        |summary AS (
+        |  SELECT doc_id, COUNT(*) AS n_fields,
+        |    CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts,
+        |    greatest(0.0, least(1.0, CAST(CAST(1.00 AS DECIMAL(3,2)) - SUM(pen) AS DOUBLE))) AS confidence,
+        |    CASE WHEN max(CASE WHEN NOT is_match AND crit AND rel_diff > 0.1
+        |                       THEN 1 ELSE 0 END) = 1 THEN 'needs_review'
+        |         WHEN greatest(0.0, least(1.0, CAST(CAST(1.00 AS DECIMAL(3,2)) - SUM(pen) AS DOUBLE))) < 0.60
+        |              THEN 'conflict'
+        |         ELSE 'verified' END AS status
+        |  FROM p GROUP BY doc_id),
+        |queued AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY confidence ASC, doc_id ASC) AS BIGINT) AS priority
+        |  FROM summary
+        |  WHERE confidence < 0.60 OR status = 'needs_review')
+        |SELECT s.doc_id, s.n_fields, s.n_conflicts, s.confidence, s.status, q.priority
+        |FROM summary s LEFT JOIN queued q ON s.doc_id = q.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q_asof_join" ->
       """SELECT event_id, user_id, ts, value, click_ts, click_id, click_value

@@ -98,28 +98,20 @@ class SqlFrontendSpec extends AnyFunSuite {
     }
   }
 
-  test("SQL surface accounting: every §2A relational key is replayable as SQL text") {
-    // The full core-relational family must be coverable SQL-only —
-    // either the oracle text runs on Spark unchanged or SqlPort
-    // carries a dialect port. (Non-§2A keys are ported incrementally.)
-    val a2 = Seq(
-      "q1_agg", "q3_shipping", "q5_local_supplier", "q6_filter_agg",
-      "q_window_rank", "q_window_running", "q_distinct", "q_semi_join",
-      "q_anti_join", "q_rollup", "q_pivot", "q_union_dedup", "q_topk_order",
-      "q_percentiles", "q_json_extract", "q_date_bucket", "q_cross_small",
-      "q7_volume", "q10_returns", "q14_promo", "q18_large", "q22_balance",
-      "q_stats_agg", "q_string_funcs", "q_array_agg", "q_cube", "q_asof_join",
-      "q_sliding_window", "q_range_join", "q_null_handling", "q_approx",
-      "q_outer_join", "q_set_ops", "q_weighted_avg", "q_explode",
-      "q_math_funcs", "q_datetime_funcs", "q_conditional_agg",
-      "q_grouping_sets", "q_correlated", "q_window_frames",
-      "q_multi_distinct", "q_hierarchy", "q4_priority", "q8_market_share",
-      "q9_profit", "q13_order_dist", "q15_top_supplier", "q16_supplier_cnt",
-      "q17_small_qty", "q19_disjunctive", "q21_waiting", "graph_pagerank",
-      "event_funnel", "q_running_distinct")
+  test("SQL surface accounting: EVERY oracle-gated key is replayable as SQL text") {
+    // Full closure: every key with a DuckDB oracle must be coverable
+    // SQL-only — either the oracle text runs on Spark unchanged
+    // (replayKeys) or SqlPort carries a Spark-dialect port. The 14
+    // declared rows-only keys (xxhash64/RNG kernels, stubbed external
+    // kernels) have no oracle and are exercised by their exact twins.
     val sqlCovered = replayKeys.toSet ++ SqlPort.sparkSql.keySet
-    val missing = a2.filterNot(k => sqlCovered(k) || k == "q_approx")
+    val missing = SparkEntry.oracleSql.keys.toSeq.sorted.filterNot(sqlCovered)
     assert(missing.isEmpty,
-      s"§2A keys with no SQL-text path (oracle replay or SqlPort): $missing")
+      s"oracle-gated keys with no SQL-text path (oracle replay or SqlPort): $missing")
+    val stale = SqlPort.sparkSql.keySet.filterNot(SparkEntry.oracleSql.keySet)
+    assert(stale.isEmpty, s"SqlPort entries with no gated key: $stale")
+    val overlap = SqlPort.sparkSql.keySet.intersect(replayKeys.toSet)
+    assert(overlap.isEmpty,
+      s"keys both replayed verbatim and ported (drop one): $overlap")
   }
 }
