@@ -18,4 +18,14 @@ object SqlFrontend {
     }
     Registry.registerAll(spark)
   }
+
+  /** Spark-dialect SQL text for a gated key: the oracle text itself
+    * when it is dialect-portable, else the hand-written SqlPort port.
+    * Every oracle-gated key resolves (SqlFrontendSpec asserts the
+    * closure), so `spark.sql(SqlFrontend.sqlFor(k).get)` after
+    * [[register]] reproduces the gated semantics from SQL text alone.
+    */
+  def sqlFor(key: String): Option[String] =
+    SqlPort.sparkSql.get(key).orElse(
+      if (SqlPort.portableOracle(key)) SparkEntry.oracleSql.get(key) else None)
 }

@@ -23,6 +23,33 @@ package graft
   */
 object SqlPort {
 
+  /** Gated keys whose DuckDB oracle text is dialect-portable ANSI and
+    * runs on Spark unchanged (verified row-for-row by
+    * SqlFrontendSpec). Keys outside this set carry a hand-written
+    * Spark-dialect port in [[sparkSql]]; [[SqlFrontend.sqlFor]]
+    * resolves either.
+    */
+  val portableOracle: Set[String] = Set(
+    "q1_agg", "q3_shipping", "q5_local_supplier", "q6_filter_agg",
+    "q_window_rank", "q_window_running", "q_distinct", "q_semi_join",
+    "q_anti_join", "q_rollup", "q_pivot", "q_union_dedup", "q_topk_order",
+    "q_date_bucket", "q_cross_small",
+    "q7_volume", "q10_returns", "q14_promo", "q18_large", "q22_balance",
+    "q_stats_agg", "q_cube",
+    "q_range_join", "q_null_handling", "q_outer_join",
+    "q_set_ops", "q_weighted_avg", "q_math_funcs",
+    "q_conditional_agg", "q_grouping_sets",
+    "q_correlated", "q_multi_distinct",
+    "q4_priority", "q8_market_share", "q9_profit", "q13_order_dist",
+    "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty",
+    "q19_disjunctive", "q21_waiting", "event_funnel",
+    "q_running_distinct",
+    "etl_batch_stats", "etl_confidence", "etl_double_verify",
+    "etl_infer_category", "etl_merge_upsert", "etl_review_queue",
+    "etl_scd2", "etl_schema_evolve",
+    "q_bucket_join", "q_skew_join", "q_topk_group",
+    "src_partitioned_scan", "stream_interval_join", "stream_upsert_sink")
+
   /** Shared field-verify CTE chain (mirrors the DuckDB oracle's reuse
     * across etl_field_verify / etl_export_csv / etl_review_payload):
     * synthetic primary/reference field pairs → numeric-or-text match →

@@ -16,42 +16,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class SqlFrontendSpec extends AnyFunSuite {
   import TestSpark._
 
-  /** The 57 keys whose oracle text is dialect-portable ANSI (runs
-    * on both DuckDB and Spark unchanged): 43 of the 54 §2A relational
-    * keys plus 14 ETL/scale/streaming keys. The §2A exclusions each use a
-    * DuckDB-only construct — q_percentiles (quantile_cont),
-    * q_json_extract (json_extract_string), q_string_funcs (bare
-    * VARCHAR cast), q_array_agg (array_to_string/list ordering),
-    * q_sliding_window + q_datetime_funcs (DuckDB date/epoch forms),
-    * q_explode (unnest form), q_window_frames (frame/func variants),
-    * q_hierarchy + graph_pagerank (DuckDB recursive-CTE/`//` forms),
-    * q_asof_join (ASOF JOIN) — their semantics stay covered by the
-    * DuckDB gate itself, which is the cross-engine check.
+  /** The keys whose oracle text is dialect-portable ANSI and replays
+    * on Spark unchanged — the list lives in SqlPort.portableOracle so
+    * SqlFrontend.sqlFor can serve it to SQL-only consumers; the
+    * remaining gated keys are replayed through their SqlPort
+    * Spark-dialect ports below.
     */
-  private val replayKeys = Seq(
-    "q1_agg", "q3_shipping", "q5_local_supplier", "q6_filter_agg",
-    "q_window_rank", "q_window_running", "q_distinct", "q_semi_join",
-    "q_anti_join", "q_rollup", "q_pivot", "q_union_dedup", "q_topk_order",
-    "q_date_bucket", "q_cross_small",
-    "q7_volume", "q10_returns", "q14_promo", "q18_large", "q22_balance",
-    "q_stats_agg", "q_cube",
-    "q_range_join", "q_null_handling", "q_outer_join",
-    "q_set_ops", "q_weighted_avg", "q_math_funcs",
-    "q_conditional_agg", "q_grouping_sets",
-    "q_correlated", "q_multi_distinct",
-    "q4_priority", "q8_market_share", "q9_profit", "q13_order_dist",
-    "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty",
-    "q19_disjunctive", "q21_waiting", "event_funnel",
-    "q_running_distinct",
-    // §2B/D/E keys whose oracle text also runs on Spark unchanged
-    // (found by SqlPortProbe; the ~95 remaining keys each use a
-    // DuckDB-only construct — unnest/string_split/quantile_cont/
-    // epoch_us/list ops — and stay covered by the DuckDB gate):
-    "etl_batch_stats", "etl_confidence", "etl_double_verify",
-    "etl_infer_category", "etl_merge_upsert", "etl_review_queue",
-    "etl_scd2", "etl_schema_evolve",
-    "q_bucket_join", "q_skew_join", "q_topk_group",
-    "src_partitioned_scan", "stream_interval_join", "stream_upsert_sink")
+  private val replayKeys = SqlPort.portableOracle.toSeq.sorted
 
   /** Column-name-sorted, row-sorted, type-normalized frame image — the
     * same canonicalization idea as the driver's gate (sort columns by
@@ -84,17 +55,19 @@ class SqlFrontendSpec extends AnyFunSuite {
 
   replayKeys.foreach { key =>
     test(s"pure-SQL replay matches the Scala API: $key") {
-      assertReplay(key, SparkEntry.oracleSql(key))
+      assertReplay(key, SqlFrontend.sqlFor(key).get)
     }
   }
 
   // Keys whose oracle text is DuckDB-specific get a hand-written
   // Spark-dialect equivalent in SqlPort — replayed under the same
   // row-for-row bar, so the SQL-only surface is conformance-tested
-  // dialect text, not best-effort documentation.
+  // dialect text, not best-effort documentation. Resolution goes
+  // through SqlFrontend.sqlFor, the same entry point a SQL-only
+  // consumer uses.
   SqlPort.sparkSql.keys.toSeq.sorted.foreach { key =>
     test(s"Spark-dialect SQL port matches the Scala API: $key") {
-      assertReplay(key, SqlPort.sparkSql(key))
+      assertReplay(key, SqlFrontend.sqlFor(key).get)
     }
   }
 

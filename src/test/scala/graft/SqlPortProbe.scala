@@ -21,21 +21,7 @@ object SqlPortProbe {
     (cols, rows)
   }
 
-  private val already = Set(
-    "q1_agg", "q3_shipping", "q5_local_supplier", "q6_filter_agg",
-    "q_window_rank", "q_window_running", "q_distinct", "q_semi_join",
-    "q_anti_join", "q_rollup", "q_pivot", "q_union_dedup", "q_topk_order",
-    "q_date_bucket", "q_cross_small",
-    "q7_volume", "q10_returns", "q14_promo", "q18_large", "q22_balance",
-    "q_stats_agg", "q_cube",
-    "q_range_join", "q_null_handling", "q_outer_join",
-    "q_set_ops", "q_weighted_avg", "q_math_funcs",
-    "q_conditional_agg", "q_grouping_sets",
-    "q_correlated", "q_multi_distinct",
-    "q4_priority", "q8_market_share", "q9_profit", "q13_order_dist",
-    "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty",
-    "q19_disjunctive", "q21_waiting", "event_funnel",
-    "q_running_distinct")
+  private val already = SqlPort.portableOracle
 
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
