@@ -30,4 +30,21 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"${failures.size} queries crash on empty input:\n" +
       failures.mkString("\n"))
   }
+
+  test("every SQL-surface text survives zero-row inputs") {
+    // The same degenerate sweep over the SQL-only surface: each
+    // sqlFor text (verbatim oracle or SqlPort port) must plan and
+    // execute over empty temp views — the sequence()/aggregate()/
+    // element_at idioms the ports use are exactly where an empty
+    // partition turns into a runtime error.
+    SqlFrontend.register(spark, emptyDir)
+    val failures = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
+      try { spark.sql(SqlFrontend.sqlFor(name).get).count(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
+    }
+    assert(failures.isEmpty, s"${failures.size} SQL texts crash on empty input:\n" +
+      failures.mkString("\n"))
+  }
 }
