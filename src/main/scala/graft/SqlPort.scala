@@ -1259,7 +1259,7 @@ object SqlPort {
 
     "dedup_embedding_exact" ->
       """WITH e0 AS (SELECT vec_id,
-        |             transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS q
+        |             transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS q
         |           FROM embeddings),
         |grp AS (SELECT q, MIN(vec_id) AS rep, COUNT(*) AS cnt FROM e0 GROUP BY q),
         |e AS (SELECT rep AS vec_id, q FROM grp),
@@ -1307,11 +1307,15 @@ object SqlPort {
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CASE WHEN length(text) = 0 THEN 0.0D
+        |    ELSE CAST(size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS DOUBLE) / length(text)
+        |  END AS punct_ratio,
         |  CAST(size(filter(split(text, ' '), x -> array_contains(array('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is'), x))) AS DOUBLE)
         |    / size(split(text, ' ')) AS stopword_ratio,
         |  least(1.0, CAST(length(text) AS DOUBLE) / 500.0) * 0.4
-        |    + (1.0 - CAST(size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS DOUBLE) / length(text)) * 0.3
+        |    + (1.0 - CASE WHEN length(text) = 0 THEN 0.0D
+        |         ELSE CAST(size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS DOUBLE) / length(text)
+        |       END) * 0.3
         |    + (CAST(size(filter(split(text, ' '), x -> array_contains(array('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is'), x))) AS DOUBLE)
         |       / size(split(text, ' '))) * 0.3 AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1551,7 +1555,7 @@ object SqlPort {
     "dedup_semantic_keep" ->
       """WITH sz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY label),
         |v AS (SELECT vec_id, e.label,
-        |        transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS qv,
+        |        transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS qv,
         |        n_chars,
         |        CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)
         |          % CAST(ceil(lsz / 512.0) AS BIGINT) AS sub
@@ -1593,7 +1597,7 @@ object SqlPort {
     "embed_outliers" ->
       """WITH q AS (
         |  SELECT vec_id, label, CAST(pos AS BIGINT) AS dim,
-        |         CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS qv
+        |         CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT) AS qv
         |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x),
         |st AS (SELECT label, dim, sum(qv) AS sumq, count(*) AS n
         |       FROM q GROUP BY label, dim),
@@ -1613,7 +1617,7 @@ object SqlPort {
     "embed_dim_stats" ->
       """WITH x AS (
         |  SELECT CAST(i AS BIGINT) AS dim,
-        |    CAST(floor(element_at(embedding, CAST(i AS INT)) * 1e6) AS BIGINT) AS q
+        |    CAST(floor(least(greatest(CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT) AS q
         |  FROM embeddings LATERAL VIEW explode(sequence(1, 64)) t AS i)
         |SELECT dim, COUNT(*) AS n,
         |  CAST(SUM(q) AS BIGINT) AS sum_q,
@@ -1734,7 +1738,7 @@ object SqlPort {
 
     "ann_lsh_exact" ->
       """WITH e AS (SELECT vec_id,
-        |             transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS cv
+        |             transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS cv
         |           FROM embeddings),
         |dims AS (SELECT explode(sequence(0, 63)) AS j),
         |signs AS (SELECT p, dims.j,
@@ -1765,10 +1769,10 @@ object SqlPort {
 
     "ann_quantized" ->
       """WITH q AS (SELECT vec_id AS query_id,
-        |             transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS qv
+        |             transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |     c AS (SELECT vec_id,
-        |             transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS cv
+        |             transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS cv
         |           FROM embeddings),
         |     scored AS (
         |       SELECT q.query_id, c.vec_id,
@@ -1785,7 +1789,7 @@ object SqlPort {
     "knn_graph" ->
       """WITH sz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY label),
         |v AS (SELECT vec_id, e.label,
-        |        transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS qv,
+        |        transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS qv,
         |        CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)
         |          % CAST(ceil(lsz / 512.0) AS BIGINT) AS sub
         |      FROM embeddings e JOIN sz ON e.label = sz.label),
@@ -1914,7 +1918,7 @@ object SqlPort {
         |  UNION ALL SELECT 3, 'repetition', s2, s2 - s3, s3 FROM c
         |  UNION ALL SELECT 4, 'diversity', s3, s3 - s4, s4 FROM c)
         |SELECT CAST(stage AS BIGINT) AS stage, gate, n_in, n_dropped, n_out,
-        |  CAST((n_dropped * 1000000) div n_in AS BIGINT) AS drop_ppm
+        |  CAST(CASE WHEN n_in = 0 THEN 0L ELSE (n_dropped * 1000000) div n_in END AS BIGINT) AS drop_ppm
         |FROM st ORDER BY stage""".stripMargin,
 
     // Same UNION-recursion limitation as dedup_cluster_exact: the CC

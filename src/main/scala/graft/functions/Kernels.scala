@@ -278,6 +278,31 @@ object Kernels {
     new GenericArrayData(mins)
   }
 
+  /** Clamped ×1e6 int64 quantization of a float vector, one pass.
+    * Components clamp to ±256 before scaling (|q| ≤ 2.56e8) so every
+    * downstream int64 combination stays exact and the oracle's BIGINT
+    * cast is total — see Expr.quant6 for the full contract. The
+    * equivalent transform(v, x -> cast(floor(least(greatest(...)))))
+    * evaluates its lambda interpreted per ELEMENT; this kernel is one
+    * codegen'd call per row.
+    */
+  def quantVec(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var x = arr.getFloat(i).toDouble
+      // NaN: SQL least/greatest order NaN greater than every double in
+      // BOTH engines, so least(greatest(NaN, -256), 256) = 256 — match
+      // that, not Java's NaN-propagating Math.min/max
+      if (java.lang.Double.isNaN(x) || x > 256.0) x = 256.0
+      else if (x < -256.0) x = -256.0
+      out(i) = math.floor(x * 1e6).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def rollingHash(arr: ArrayData): Long = {
     var acc = 1469598103934665603L // FNV offset basis
     var i = 0

@@ -254,4 +254,46 @@ object Expr {
     val dim = planes.head.length
     c(HyperplaneBucket(e(vec), planes.flatten, dim))
   }
+
+  /** Clamped ×1e6 int64 embedding quantizer, shared by every
+    * quantized-vector operator. Components clamp to ±256 BEFORE
+    * scaling so the quantized domain is |q| ≤ 2.56e8 — every
+    * downstream int64 combination stays exact (q² ≤ 6.6e16; a 64-dim
+    * dot ≤ 4.2e18 < Long.Max) and both engines stay TOTAL functions:
+    * without the clamp a pathological component (1e30f from a
+    * corrupted upstream batch) saturates Spark's double→long cast to
+    * Long.MaxValue while DuckDB's BIGINT cast raises — the twin
+    * contract would diverge exactly when the data goes bad, and ANSI
+    * long arithmetic downstream (q*q, qv*n) raises ARITHMETIC_OVERFLOW
+    * mid-job (caught by AdversarialTextSpec). Real embedding
+    * components are O(1); the clamp only ever engages on garbage.
+    * Oracle mirror: CAST(floor(least(greatest(x, -256), 256) * 1e6)
+    * AS BIGINT).
+    */
+  def quant6(x: Column): Column = {
+    import org.apache.spark.sql.functions.{floor, greatest, least, lit}
+    floor(least(greatest(x.cast(DoubleType), lit(-256.0)), lit(256.0)) * 1e6).cast(LongType)
+  }
+
+  /** [[quant6]] over a whole float-vector column — a single-pass
+    * codegen'd kernel call per row (the transform(v, quant6) form
+    * evaluates the lambda interpreted per element; on a 64-dim
+    * embedding that is 64 interpreted expression-tree walks per row
+    * in every quantized operator's hot path).
+    */
+  def quantVec(col: Column): Column = c(QuantVec(e(col)))
+
+  /** See [[Expr.quant6]] / [[Kernels.quantVec]] for the clamp
+    * contract; NaN components clamp to +256 (SQL least/greatest
+    * ordering), matching both engines' SQL mirror.
+    */
+  case class QuantVec(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "quant_vec"
+    override def nullSafeEval(v: Any): Any =
+      Kernels.quantVec(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"$K.quantVec($a)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
 }

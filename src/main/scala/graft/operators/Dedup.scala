@@ -544,7 +544,7 @@ object Dedup {
 
   val dedupEmbeddingExact: Q = (s, d) => {
     val e0 = cached(Tables.embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), x => floor(x * 1e6).cast("long")).as("q")))
+      Expr.quantVec(col("embedding")).as("q")))
     // Identical-vector collapse, mirrored from bandedEmbeddingPairs:
     // the oracle SQL's grp/e/star CTEs are the SAME groupBy + join
     // shape, so engine and oracle now share one plan structure.
@@ -576,7 +576,7 @@ object Dedup {
 
   val dedupEmbeddingExactSql: String =
     s"""WITH e0 AS (SELECT vec_id,
-      |             [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS q
+      |             [CAST(floor(least(greatest(x, -256), 256)*1e6) AS BIGINT) FOR x IN embedding] AS q
       |           FROM embeddings),
       |grp AS (SELECT q, MIN(vec_id) AS rep, COUNT(*) AS cnt FROM e0 GROUP BY q),
       |e AS (SELECT rep AS vec_id, q FROM grp),

@@ -347,7 +347,7 @@ object Similarity {
   // dot products); ×1e6 int64 is the exactness-first variant.
   // Max |component| ≤ 1 → |term| ≤ 1e12 → |sum| ≤ 6.4e13 ≪ Long.Max.
   val annQuantized: Q = (s, d) => {
-    def quant(c: Column): Column = transform(c, x => floor(x * 1e6).cast("long"))
+    def quant(c: Column): Column = graft.functions.Expr.quantVec(c)
     val qs = queriesDf(s, d).select(col("query_id"), quant(col("qvec")).as("qv"))
     val corpus = Tables.embeddings(s, d)
       .select(col("vec_id"), quant(col("embedding")).as("cv"))
@@ -364,10 +364,10 @@ object Similarity {
 
   val annQuantizedSql: String =
     """WITH q AS (SELECT vec_id AS query_id,
-      |             [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS qv
+      |             [CAST(floor(least(greatest(x, -256), 256)*1e6) AS BIGINT) FOR x IN embedding] AS qv
       |           FROM embeddings WHERE vec_id < 5),
       |     c AS (SELECT vec_id,
-      |             [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS cv
+      |             [CAST(floor(least(greatest(x, -256), 256)*1e6) AS BIGINT) FOR x IN embedding] AS cv
       |           FROM embeddings),
       |     scored AS (
       |       SELECT q.query_id, c.vec_id,
@@ -392,7 +392,7 @@ object Similarity {
   private val LSH_EXACT_PLANES = 8
 
   val annLshExact: Q = (s, d) => {
-    def quant(c: Column): Column = transform(c, x => floor(x * 1e6).cast("long"))
+    def quant(c: Column): Column = graft.functions.Expr.quantVec(c)
     val planes = Dedup.md5Planes("a", LSH_EXACT_PLANES)
     val corpus = Tables.embeddings(s, d)
       .select(col("vec_id"), quant(col("embedding")).as("cv"))
@@ -414,7 +414,7 @@ object Similarity {
   val annLshExactSql: String = {
     val probeList = (0L +: (0 until LSH_EXACT_PLANES).map(i => 1L << i)).mkString(", ")
     s"""WITH e AS (SELECT vec_id,
-      |             [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS cv
+      |             [CAST(floor(least(greatest(x, -256), 256)*1e6) AS BIGINT) FOR x IN embedding] AS cv
       |           FROM embeddings),
       |dims AS (SELECT unnest(range(${Dedup.EMB_DIM})) AS j),
       |signs AS (SELECT p, dims.j,

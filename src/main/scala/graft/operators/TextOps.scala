@@ -47,7 +47,9 @@ object TextOps {
     val punct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
     val len = length(col("text")).cast("double")
     val lenScore = least(lit(1.0), len / 500.0)
-    val punctRatio = punct / len
+    // ANSI division raises on len = 0 (empty document — a row real
+    // crawls always contain); define the empty doc as punct-free
+    val punctRatio = when(len === 0.0, lit(0.0)).otherwise(punct / len)
     val stopRatio = stopHits / nTok
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -62,11 +64,15 @@ object TextOps {
     val sw = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) AS punct_ratio,
+      |  CASE WHEN length(text) = 0 THEN 0.0
+      |    ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)
+      |  END AS punct_ratio,
       |  CAST(len(list_filter(string_split(text, ' '), x -> list_contains($sw, x))) AS DOUBLE)
       |    / len(string_split(text, ' ')) AS stopword_ratio,
       |  least(1.0, CAST(length(text) AS DOUBLE) / 500.0) * 0.4
-      |    + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)) * 0.3
+      |    + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)
+      |       END) * 0.3
       |    + (CAST(len(list_filter(string_split(text, ' '), x -> list_contains($sw, x))) AS DOUBLE)
       |       / len(string_split(text, ' '))) * 0.3 AS quality_score
       |FROM documents ORDER BY doc_id""".stripMargin

@@ -192,7 +192,7 @@ object TrainOps2 {
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("label"), col("dim"),
-        floor(col("x").cast("double") * 1e6).cast("long").as("qv"))
+        graft.functions.Expr.quant6(col("x")).as("qv"))
     val stats = q.groupBy(col("label"), col("dim"))
       .agg(sum(col("qv")).as("sumq"), count(lit(1)).as("n"))
     val diff = col("qv") * col("n") - col("sumq")
@@ -210,7 +210,7 @@ object TrainOps2 {
   val embedOutliersSql: String =
     """WITH q AS (
       |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
-      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+      |         CAST(floor(least(greatest(CAST(unnest(embedding) AS DOUBLE), -256), 256) * 1e6) AS BIGINT) AS qv
       |  FROM embeddings),
       |st AS (SELECT label, dim, sum(qv) AS sumq, count(*) AS n
       |       FROM q GROUP BY label, dim),

@@ -217,7 +217,7 @@ object TrainOps3 {
     s"CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % CAST(ceil(lsz / $KNN_BLOCK_CAP.0) AS BIGINT)"
 
   val knnGraph: Q = (s, d) => {
-    def quant(c: Column): Column = transform(c, x => floor(x * 1e6).cast("long"))
+    def quant(c: Column): Column = graft.functions.Expr.quantVec(c)
     val sizes = Tables.embeddings(s, d).groupBy(col("label"))
       .agg(count(lit(1)).as("lsz"))
     val v = Tables.embeddings(s, d)
@@ -246,7 +246,7 @@ object TrainOps3 {
   val knnGraphSql: String =
     s"""WITH sz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY label),
       |v AS (SELECT vec_id, e.label,
-      |        [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS qv,
+      |        [CAST(floor(least(greatest(x, -256), 256)*1e6) AS BIGINT) FOR x IN embedding] AS qv,
       |        $idSubSql AS sub
       |      FROM embeddings e JOIN sz ON e.label = sz.label),
       |pairs AS (
@@ -298,7 +298,10 @@ object TrainOps3 {
           |  3L, 'repetition', s2, s2 - s3, s3,
           |  4L, 'diversity',  s3, s3 - s4, s4
           |) AS (stage, gate, n_in, n_dropped, n_out)""".stripMargin)
-      .withColumn("drop_ppm", expr("(n_dropped * 1000000) div n_in"))
+      // a fully-draining stage leaves n_in = 0 downstream (ANSI div
+      // raises); an empty funnel stage drops nothing by definition
+      .withColumn("drop_ppm",
+        expr("CASE WHEN n_in = 0 THEN 0L ELSE (n_dropped * 1000000) div n_in END"))
       .orderBy(col("stage"))
   }
 
@@ -322,7 +325,7 @@ object TrainOps3 {
       |  UNION ALL SELECT 3, 'repetition', s2, s2 - s3, s3 FROM c
       |  UNION ALL SELECT 4, 'diversity', s3, s3 - s4, s4 FROM c)
       |SELECT CAST(stage AS BIGINT) AS stage, gate, n_in, n_dropped, n_out,
-      |  CAST((n_dropped * 1000000) // n_in AS BIGINT) AS drop_ppm
+      |  CAST(CASE WHEN n_in = 0 THEN 0 ELSE (n_dropped * 1000000) // n_in END AS BIGINT) AS drop_ppm
       |FROM st ORDER BY stage""".stripMargin
 
   // --- eval_split: deterministic train/val/test assignment ------------
@@ -409,7 +412,7 @@ object TrainOps3 {
   val SEMANTIC_THRESH = 300000000000L // qdot ≥ 0.30·1e12
 
   val dedupSemanticKeep: Q = (s, d) => {
-    def quant(c: Column): Column = transform(c, x => floor(x * 1e6).cast("long"))
+    def quant(c: Column): Column = graft.functions.Expr.quantVec(c)
     val sizes = Tables.embeddings(s, d).groupBy(col("label"))
       .agg(count(lit(1)).as("lsz"))
     val v = Tables.embeddings(s, d)
@@ -437,7 +440,7 @@ object TrainOps3 {
   val dedupSemanticKeepSql: String =
     s"""WITH sz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY label),
       |v AS (SELECT vec_id, e.label,
-      |        [CAST(floor(x*1e6) AS BIGINT) FOR x IN embedding] AS qv,
+      |        [CAST(floor(least(greatest(x, -256), 256)*1e6) AS BIGINT) FOR x IN embedding] AS qv,
       |        n_chars, $idSubSql AS sub
       |      FROM embeddings e JOIN sz ON e.label = sz.label
       |        JOIN documents d ON e.vec_id = d.doc_id),
@@ -476,7 +479,7 @@ object TrainOps3 {
     Tables.embeddings(s, d)
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
       .select((col("dim") + 1).cast("long").as("dim"),
-        floor(col("x") * 1e6).cast("long").as("q"))
+        graft.functions.Expr.quant6(col("x")).as("q"))
       .groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
         sum((col("q") * col("q")).cast(dec)).cast("double").as("sum_sq"),
@@ -487,7 +490,7 @@ object TrainOps3 {
   val embedDimStatsSql: String =
     """WITH x AS (
       |  SELECT CAST(i AS BIGINT) AS dim,
-      |    CAST(floor(embedding[i] * 1e6) AS BIGINT) AS q
+      |    CAST(floor(least(greatest(embedding[i], -256), 256) * 1e6) AS BIGINT) AS q
       |  FROM embeddings, range(1, 65) t(i))
       |SELECT dim, COUNT(*) AS n,
       |  CAST(SUM(q) AS BIGINT) AS sum_q,

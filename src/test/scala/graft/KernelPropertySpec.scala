@@ -223,6 +223,23 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("quantVec: floor(x*1e6) in range, clamps to ±2.56e8, NaN/±Inf follow SQL least/greatest") {
+    val anyFloat = Gen.oneOf(
+      Gen.chooseNum(-300f, 300f),
+      Gen.oneOf(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity,
+        -0.0f, 0.0f, 1e30f, -1e30f, 255.9999f, -256.0001f))
+    check(Prop.forAll(Gen.containerOfN[Array, Float](8, anyFloat)) { v: Array[Float] =>
+      val got = longs(Kernels.quantVec(ArrayData.toArrayData(v)))
+      val expect = v.map { f =>
+        val x = f.toDouble
+        // SQL least(greatest(x,-256),256): NaN orders greatest → +256
+        val cl = if (x.isNaN || x > 256.0) 256.0 else math.max(x, -256.0)
+        math.floor(cl * 1e6).toLong
+      }.toSeq
+      got == expect && got.forall(q => q >= -256000000L && q <= 256000000L)
+    })
+  }
+
   test("hyperplaneBucket: scale-invariant for positive scalars, range < 2^nPlanes") {
     val planes: Array[Float] = {
       val rnd = new scala.util.Random(7)
