@@ -110,8 +110,12 @@ object EtlOps {
   // recomputed from lineitem. NumericComparator: match iff
   // |a-b|/max(|a|,|b|) <= 0.01; severity thresholds per
   // _assess_severity (>10% high, >5% medium, else low).
-  private def relDiff(a: Column, b: Column): Column =
-    abs(a - b) / greatest(abs(a), abs(b))
+  // two zero extractions are EQUAL (rel_diff 0), not a 0/0 ANSI error —
+  // the zero-amount order is a real row shape (cancelled orders)
+  private def relDiff(a: Column, b: Column): Column = {
+    val mx = greatest(abs(a), abs(b))
+    when(mx === 0.0, lit(0.0)).otherwise(abs(a - b) / mx)
+  }
 
   val etlDoubleVerify: Q = (s, d) => {
     val charge = Tables.lineitem(s, d)
@@ -130,18 +134,21 @@ object EtlOps {
   }
 
   private val doubleVerifySqlBody =
-    """SELECT o_orderkey, o_totalprice AS primary_value, secondary_value,
-      |  abs(o_totalprice - secondary_value) / greatest(abs(o_totalprice), abs(secondary_value)) AS rel_diff,
-      |  CASE WHEN abs(o_totalprice - secondary_value) / greatest(abs(o_totalprice), abs(secondary_value)) <= 0.01
-      |       THEN 'verified' ELSE 'conflict' END AS status,
-      |  CASE WHEN abs(o_totalprice - secondary_value) / greatest(abs(o_totalprice), abs(secondary_value)) > 0.1 THEN 'high'
-      |       WHEN abs(o_totalprice - secondary_value) / greatest(abs(o_totalprice), abs(secondary_value)) > 0.05 THEN 'medium'
+    """SELECT o_orderkey, primary_value, secondary_value, rel_diff,
+      |  CASE WHEN rel_diff <= 0.01 THEN 'verified' ELSE 'conflict' END AS status,
+      |  CASE WHEN rel_diff > 0.1 THEN 'high'
+      |       WHEN rel_diff > 0.05 THEN 'medium'
       |       ELSE 'low' END AS severity
-      |FROM orders JOIN (
-      |  SELECT l_orderkey,
-      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-      |         * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS STRING) AS DOUBLE) AS secondary_value
-      |  FROM lineitem GROUP BY l_orderkey) li ON o_orderkey = l_orderkey""".stripMargin
+      |FROM (
+      |  SELECT o_orderkey, o_totalprice AS primary_value, secondary_value,
+      |    CASE WHEN greatest(abs(o_totalprice), abs(secondary_value)) = 0 THEN 0.0
+      |         ELSE abs(o_totalprice - secondary_value)
+      |              / greatest(abs(o_totalprice), abs(secondary_value)) END AS rel_diff
+      |  FROM orders JOIN (
+      |    SELECT l_orderkey,
+      |      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS STRING) AS DOUBLE) AS secondary_value
+      |    FROM lineitem GROUP BY l_orderkey) li ON o_orderkey = l_orderkey) rd""".stripMargin
 
   val etlDoubleVerifySql: String = doubleVerifySqlBody + "\nORDER BY o_orderkey"
 

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions.rand
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -36,20 +35,7 @@ class PermutationInvarianceSpec extends AnyFunSuite {
     dir
   }
 
-  private def norm(v: Any): String = v match {
-    case null => "␀"
-    case d: Double => f"${if (d == 0.0) 0.0 else d}%.9e" // -0.0 → 0.0
-    case f: Float => norm(f.toDouble)
-    case b: Array[Byte] => b.map("%02x".format(_)).mkString
-    case r: Row => r.toSeq.map(norm).mkString("{", ",", "}")
-    case s: scala.collection.Seq[_] => s.map(norm).mkString("[", ",", "]")
-    case m: scala.collection.Map[_, _] =>
-      m.toSeq.map { case (k, x) => norm(k) + "->" + norm(x) }.sorted.mkString("<", ",", ">")
-    case x => String.valueOf(x)
-  }
-
-  private def canon(rows: Array[Row]): Seq[String] =
-    rows.map(r => r.toSeq.map(norm).mkString("|")).toSeq.sorted
+  import RowCanon.canon
 
   test("every registered query is invariant under input permutation + repartitioning") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
