@@ -65,7 +65,7 @@ object SqlPort {
       |  UNION ALL
       |  SELECT p_partkey, lower(p_brand), 'unit', 'mV', 'millivolt' FROM part),
       |c AS (
-      |  SELECT doc,
+      |  SELECT doc, vv, rv,
       |    (fieldl || '|' || paraml) RLIKE 'vin|vout|iout|iq|efficiency|power|frequency' AS crit,
       |    TRY_CAST(NULLIF(regexp_replace(trim(vv), '[^0-9.eE+-]', ''), '') AS DOUBLE) AS n1,
       |    TRY_CAST(NULLIF(regexp_replace(trim(rv), '[^0-9.eE+-]', ''), '') AS DOUBLE) AS n2,
@@ -77,10 +77,13 @@ object SqlPort {
       |  FROM f),
       |m AS (
       |  SELECT doc, crit,
-      |    CASE WHEN n1 IS NOT NULL AND n2 IS NOT NULL
+      |    CASE WHEN COALESCE(vv, '') = '' AND COALESCE(rv, '') = '' THEN TRUE
+      |         WHEN COALESCE(vv, '') = '' OR COALESCE(rv, '') = '' THEN FALSE
+      |         WHEN n1 IS NOT NULL AND n2 IS NOT NULL
       |              AND ((n1 = 0 AND n2 = 0)
       |                   OR abs(n1 - n2) / greatest(abs(n1), abs(n2)) <= 0.01) THEN TRUE
-      |         WHEN unit_eq OR text_eq THEN TRUE ELSE FALSE END AS is_match,
+      |         WHEN COALESCE(unit_eq, FALSE) OR COALESCE(text_eq, FALSE) THEN TRUE
+      |         ELSE FALSE END AS is_match,
       |    CASE WHEN n1 IS NULL OR n2 IS NULL OR greatest(abs(n1), abs(n2)) = 0 THEN NULL
       |         ELSE abs(n1 - n2) / greatest(abs(n1), abs(n2)) END AS rel_diff
       |  FROM c),
@@ -200,7 +203,8 @@ object SqlPort {
       |    array_join(headers, ',') AS headers,
       |    greatest(0, CAST(ceil(CAST(size(toks) - 5 AS DOUBLE) / 5) AS BIGINT)) AS n_rows,
       |    CASE WHEN size(array_intersect(array_distinct(headers),
-      |      array('Parameter', 'Min', 'Typ', 'Max', 'Unit'))) >= 3 THEN 0.9 ELSE 0.6 END AS confidence
+      |      array('Parameter', 'Min', 'Typ', 'Max', 'Unit'))) >= 3
+      |      THEN CAST(0.9 AS DOUBLE) ELSE CAST(0.6 AS DOUBLE) END AS confidence
       |  FROM normed)""".stripMargin
 
   /** Shared merge-detector cell frame (EtlOps3 family): synthetic

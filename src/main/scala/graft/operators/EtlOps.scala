@@ -433,7 +433,7 @@ object EtlOps {
       |  UNION ALL
       |  SELECT p_partkey, lower(p_brand), 'unit', 'mV', 'millivolt' FROM part),
       |c AS (
-      |  SELECT doc,
+      |  SELECT doc, vv, rv,
       |    regexp_matches(fieldl || '|' || paraml,
       |      'vin|vout|iout|iq|efficiency|power|frequency') AS crit,
       |    TRY_CAST(NULLIF(regexp_replace(trim(vv), '[^0-9.eE+-]', '', 'g'), '') AS DOUBLE) AS n1,
@@ -446,10 +446,13 @@ object EtlOps {
       |  FROM f),
       |m AS (
       |  SELECT doc, crit,
-      |    CASE WHEN n1 IS NOT NULL AND n2 IS NOT NULL
+      |    CASE WHEN COALESCE(vv, '') = '' AND COALESCE(rv, '') = '' THEN TRUE
+      |         WHEN COALESCE(vv, '') = '' OR COALESCE(rv, '') = '' THEN FALSE
+      |         WHEN n1 IS NOT NULL AND n2 IS NOT NULL
       |              AND ((n1 = 0 AND n2 = 0)
       |                   OR abs(n1 - n2) / greatest(abs(n1), abs(n2)) <= 0.01) THEN TRUE
-      |         WHEN unit_eq OR text_eq THEN TRUE ELSE FALSE END AS is_match,
+      |         WHEN COALESCE(unit_eq, FALSE) OR COALESCE(text_eq, FALSE) THEN TRUE
+      |         ELSE FALSE END AS is_match,
       |    CASE WHEN n1 IS NULL OR n2 IS NULL OR greatest(abs(n1), abs(n2)) = 0 THEN NULL
       |         ELSE abs(n1 - n2) / greatest(abs(n1), abs(n2)) END AS rel_diff
       |  FROM c),

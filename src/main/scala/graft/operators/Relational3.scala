@@ -255,10 +255,15 @@ object Relational3 {
       .orderBy(col("l_returnflag"))
   }
 
+  // The CASE mirrors WeightedAvg.finish exactly: an all-null or
+  // zero-weight group yields 0.0 (not NULL, not a 0-division) — SUM
+  // already skips null products/weights on both engines
   val qWeightedAvgSql: String =
     """SELECT l_returnflag,
-      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
-      |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
+      |  CASE WHEN COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))), 0) = 0 THEN CAST(0.0 AS DOUBLE)
+      |    ELSE CAST(CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))), 0) AS STRING) AS DOUBLE)
+      |      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |  END AS wavg_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // --- q_explode: token frequencies via lateral explode ---------------

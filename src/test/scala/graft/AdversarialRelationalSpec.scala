@@ -97,16 +97,31 @@ class AdversarialRelationalSpec extends AnyFunSuite {
         Row(5L, ts("2024-01-01 11:30:00"), 2L, "purchase", 99.99, """{"page":null}"""),
         Row(6L, ts("2024-01-01 12:00:00"), 2L, "click", 1.0, """{"deep":{"a":[1,2]}}""")))
 
-    // small sane corpus tables so cross-surface queries plan & run
+    // corpus tables with the headline pathologies from
+    // AdversarialTextSpec folded in, so the SQL-parity sweep below
+    // exercises the guarded texts on degenerate corpus data too
+    val docTexts = Seq(
+      "doc zero common tokens here plus tok0",
+      "",                                  // empty
+      "   ",                               // whitespace-only
+      "emoji 🎉 and 中文文本 mixed",          // unicode
+      ("spark " * 400).trim,               // heavy repetition
+      "doc five common tokens here plus tok5")
     write("documents", StructType(Seq(StructField("doc_id", LongType),
       StructField("text", S), StructField("lang", S), StructField("source", S),
       StructField("n_chars", LongType))),
-      (0L until 6L).map(i => Row(i, s"doc $i common tokens here plus tok$i", "en", s"src${i % 2}", 30L)))
+      docTexts.zipWithIndex.map { case (t, i) =>
+        Row(i.toLong, t, Seq("en", "zh", "es")(i % 3), s"src${i % 2}", t.length.toLong) })
     write("embeddings", StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType, containsNull = false)),
       StructField("label", IntegerType))),
-      (0L until 6L).map(i => Row(i,
-        Seq.tabulate(64)(j => math.sin(i * 31 + j * 7).toFloat), i.toInt % 2)))
+      (0L until 6L).map { i =>
+        val v: Seq[Float] = i match {
+          case 1 => Seq.fill(64)(0.0f)                                    // zero vector
+          case 2 => Seq.tabulate(64)(j => if (j == 0) 1e30f else 1.0f)    // huge component
+          case _ => Seq.tabulate(64)(j => math.sin(i * 31 + j * 7).toFloat)
+        }
+        Row(i, v, i.toInt % 2) })
     dir
   }
 
@@ -130,5 +145,34 @@ class AdversarialRelationalSpec extends AnyFunSuite {
     assert(ran >= 150, s"only $ran queries ran — the adversarial dir is missing tables")
     assert(failures.isEmpty,
       s"${failures.size} queries fail on degenerate relational data:\n" + failures.mkString("\n"))
+  }
+
+  test("SQL-only surface matches the Scala API on degenerate rows") {
+    // Not just crash-free: the SQL texts (portable oracles + SqlPort
+    // ports) must produce the SAME rows as the Scala-API plans on the
+    // degenerate tables — proving the zero-guards and clamps were
+    // mirrored with identical semantics, not merely "both survive".
+    SqlFrontend.register(spark, advDir)
+    val sortedCols = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col): _*)
+    val failures = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
+      SqlFrontend.sqlFor(name).toSeq.flatMap { sql =>
+        try {
+          val api = canon(sortedCols(SparkEntry.queries(name)(spark, advDir)).collect())
+          val viaSql = canon(sortedCols(spark.sql(sql)).collect())
+          if (api == viaSql) None
+          else {
+            val firstDiff = api.zipAll(viaSql, "<missing>", "<missing>")
+              .find { case (a, b) => a != b }
+            Some(s"$name: ${api.size} vs ${viaSql.size} rows; first diff: $firstDiff")
+          }
+        } catch { case e: Throwable =>
+          Some(s"$name: threw ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(140)}")
+        }
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} SQL texts diverge from the API on degenerate data:\n" +
+        failures.mkString("\n"))
   }
 }

@@ -13,6 +13,9 @@ object RowCanon {
     case null => "␀"
     case d: Double => f"${if (d == 0.0) 0.0 else d}%.9e"
     case f: Float => norm(f.toDouble)
+    case d: java.math.BigDecimal => // scale-normalize: 1.50 ≡ 1.5
+      if (d.signum == 0) "0" else d.stripTrailingZeros.toPlainString
+    case d: BigDecimal => norm(d.underlying)
     case b: Array[Byte] => b.map("%02x".format(_)).mkString
     case r: Row => r.toSeq.map(norm).mkString("{", ",", "}")
     case s: scala.collection.Seq[_] => s.map(norm).mkString("[", ",", "]")
