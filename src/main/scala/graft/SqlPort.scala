@@ -771,7 +771,7 @@ object SqlPort {
     "infer_extract" ->
       """WITH base AS (
         |  SELECT doc_id,
-        |    26 + length(substring(text, 1, 256)) AS plen,
+        |    26 + COALESCE(length(substring(text, 1, 256)), 0) AS plen,
         |    '{"mpn": "MPN-' || CAST(doc_id AS STRING) || '", "voltage": ' ||
         |      CAST(CAST(doc_id % 50 AS DOUBLE) / 10.0 AS STRING) ||
         |      ', "pages": ' || CAST(doc_id % 7 AS STRING) || '}' AS body

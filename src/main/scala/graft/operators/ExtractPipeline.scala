@@ -29,7 +29,8 @@ object ExtractPipeline {
   private def visionRun(s: SparkSession, d: String): DataFrame = {
     val reqs = Tables.documents(s, d)
       .select(col("doc_id").as("id"),
-        concat(lit("Extract part fields from: "), substring(col("text"), 1, 256)).as("prompt"))
+        concat(lit("Extract part fields from: "),
+          coalesce(substring(col("text"), 1, 256), lit(""))).as("prompt"))
     val (replies, _) = Inference.inferenceStage(reqs)
     Inference.validated(replies, Inference.extractSchema, Seq("mpn", "voltage"))
       .filter(col("valid"))

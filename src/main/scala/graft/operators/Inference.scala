@@ -190,7 +190,8 @@ object Inference {
   val inferExtract: Q = (s, d) => {
     val reqs = Tables.documents(s, d)
       .select(col("doc_id").as("id"),
-        concat(lit("Extract part fields from: "), substring(col("text"), 1, 256)).as("prompt"))
+        concat(lit("Extract part fields from: "),
+          coalesce(substring(col("text"), 1, 256), lit(""))).as("prompt"))
     val (replies, _) = inferenceStage(reqs)
     validated(replies, extractSchema, Seq("mpn", "voltage"))
       .select(col("id").as("doc_id"), col("valid"), col("attempts").cast("long").as("attempts"),
@@ -202,7 +203,7 @@ object Inference {
   val inferExtractSql: String =
     """WITH base AS (
       |  SELECT doc_id,
-      |    26 + length(substring(text, 1, 256)) AS plen,
+      |    26 + COALESCE(length(substring(text, 1, 256)), 0) AS plen,
       |    '{"mpn": "MPN-' || doc_id || '", "voltage": ' ||
       |      CAST(CAST(doc_id % 50 AS DOUBLE) / 10.0 AS VARCHAR) ||
       |      ', "pages": ' || (doc_id % 7) || '}' AS body

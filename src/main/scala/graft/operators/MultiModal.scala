@@ -51,7 +51,9 @@ object MultiModal {
     val fmts = array(lit("png"), lit("jpeg"), lit("wav"))
     val media = Tables.documents(s, d)
       .select(col("doc_id"),
-        col("text").cast("binary").as("content"),
+        // a null payload row must not NPE the typed featurize kernel;
+        // empty content is the decode-stub's defined degenerate input
+        coalesce(col("text"), lit("")).cast("binary").as("content"),
         (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
         (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"),
         element_at(fmts, (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"))

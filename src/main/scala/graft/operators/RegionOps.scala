@@ -134,7 +134,8 @@ object RegionOps {
     import s.implicits._
     val pages = Tables.documents(s, d)
       .select(col("doc_id").as("page"),
-        col("text").cast("binary").as("content"),
+        // null page payloads render as empty blobs, not kernel NPEs
+        coalesce(col("text"), lit("")).cast("binary").as("content"),
         lit(612).as("width"), lit(792).as("height")) // US-Letter @72dpi
       .as[PageBlob]
     pages.mapPartitions(_.grouped(DETECT_BATCH).flatMap(detectBatchStub))
