@@ -167,8 +167,8 @@ object SqlPort {
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 3 = 0
       |         THEN element_at(array('Electrical Characteristics', 'Absolute Maximum Ratings', 'Recommended Operating Conditions', 'Thermal Information', 'Pin Functions', 'Device Comparison'),
-      |                         CAST(doc_id % 6 AS INT) + 1) || ' ' || text
-      |         ELSE text END AS page_text,
+      |                         CAST(doc_id % 6 AS INT) + 1) || ' ' || coalesce(text, '')
+      |         ELSE coalesce(text, '') END AS page_text,
       |    doc_id % 3 AS table_idx
       |  FROM documents),
       |cells AS (
@@ -845,7 +845,7 @@ object SqlPort {
 
     "etl_category_header" ->
       """WITH phrases AS (
-        |  SELECT phrase FROM (SELECT DISTINCT array_join(slice(split(text, ' '), 1, 3), ' ') AS phrase FROM documents) d
+        |  SELECT phrase FROM (SELECT DISTINCT concat_ws(' ', slice(split(text, ' '), 1, 3)) AS phrase FROM documents) d
         |  UNION
         |  SELECT phrase FROM VALUES ('Electrical Characteristics'), ('DC Characteristics'),
         |    ('Absolute Maximum Ratings'), ('Recommended Operating Conditions'),
@@ -1123,7 +1123,7 @@ object SqlPort {
     "etl_merge_fragments" ->
       """WITH sig AS (
         |  SELECT source, doc_id,
-        |    array_join(slice(split(text, ' '), 1, 2), ' ') AS header_sig
+        |    concat_ws(' ', slice(split(text, ' '), 1, 2)) AS header_sig
         |  FROM documents),
         |flagged AS (
         |  SELECT *, CASE WHEN lag(header_sig) OVER w IS NULL
@@ -1270,9 +1270,14 @@ object SqlPort {
         |star AS (SELECT g.rep AS vec_a, x.vec_id AS vec_b
         |         FROM grp g JOIN e0 x ON x.q = g.q
         |         WHERE g.cnt > 1 AND x.vec_id <> g.rep),
+        |np AS (SELECT CAST(MIN(p) AS INT) AS npl
+        |       FROM (SELECT explode(sequence(8, 30)) AS p) r
+        |       CROSS JOIN (SELECT COUNT(*) AS n FROM embeddings) c
+        |       WHERE CAST(32 AS BIGINT) * shiftleft(CAST(1 AS BIGINT), p) >= c.n),
         |dims AS (SELECT explode(sequence(0, 63)) AS j),
         |bp AS (SELECT b, p FROM (SELECT explode(sequence(0, 3)) AS b) bb
-        |       CROSS JOIN (SELECT explode(sequence(0, 9)) AS p) pp),
+        |       CROSS JOIN (SELECT explode(sequence(0, 29)) AS p) pp
+        |       CROSS JOIN np WHERE p < np.npl),
         |signs AS (SELECT b, p, dims.j,
         |    CASE WHEN CAST(conv(substr(md5('e' || CAST(b AS STRING) || '_' || CAST(p AS STRING) || '_' || CAST(dims.j AS STRING)), 1, 15), 16, 10) AS BIGINT) & 1 = 1
         |         THEN 1 ELSE -1 END AS s
@@ -1488,7 +1493,7 @@ object SqlPort {
 
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
-        |             CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+        |             CAST(size(split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),
         |c AS (SELECT doc_id, source, n_tokens,
         |        coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -1928,8 +1933,8 @@ object SqlPort {
     // Same UNION-recursion limitation as dedup_cluster_exact: the CC
     // stage is the unrolled hop + pointer-jump chain.
     "pipe_dedup_e2e" ->
-      """WITH nh AS (SELECT doc_id, text, n_chars,
-        |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS h
+      """WITH nh AS (SELECT doc_id, coalesce(text, '') AS text, n_chars,
+        |         md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ')) AS h
         |       FROM documents),
         |kp AS (SELECT h, MIN(doc_id) AS keep FROM nh GROUP BY h),
         |exact_dups AS (

@@ -377,7 +377,7 @@ object EtlOps {
   val etlMergeFragmentsSql: String =
     """WITH sig AS (
       |  SELECT source, doc_id,
-      |    array_to_string(string_split(text, ' ')[1:2], ' ') AS header_sig
+      |    array_to_string(string_split(coalesce(text, ''), ' ')[1:2], ' ') AS header_sig
       |  FROM documents),
       |flagged AS (
       |  SELECT *, CASE WHEN lag(header_sig) OVER w IS NULL

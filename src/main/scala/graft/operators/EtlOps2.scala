@@ -118,7 +118,7 @@ object EtlOps2 {
   val etlCategoryHeaderSql: String = {
     val values = seedPhrases.map(p => s"('$p')").mkString(", ")
     s"""WITH phrases AS (
-      |  SELECT DISTINCT array_to_string(string_split(text, ' ')[1:3], ' ') AS phrase FROM documents
+      |  SELECT DISTINCT array_to_string(string_split(coalesce(text, ''), ' ')[1:3], ' ') AS phrase FROM documents
       |  UNION SELECT * FROM (VALUES $values) v(phrase))
       |SELECT phrase,
       |  CASE WHEN length(trim(phrase)) = 0 THEN false

@@ -61,10 +61,14 @@ object TableAssembly {
     val injectedTitle = element_at(
       array(titlePatterns.map(p => lit(p._2)): _*),
       (pmod(col("doc_id"), lit(6)) + 1).cast("int"))
+    // Fully-null text behaves as '' (the reference's _clean_cell maps
+    // None -> '', extractor_v03.py:288) — mirrored in the DuckDB oracle
+    // and the SqlPort Spark text so all three surfaces agree.
+    val text0 = coalesce(col("text"), lit(""))
     val base = Tables.documents(s, d)
       .withColumn("page_text",
         when(pmod(col("doc_id"), lit(3)) === 0,
-          concat(injectedTitle, lit(" "), col("text"))).otherwise(col("text")))
+          concat(injectedTitle, lit(" "), text0)).otherwise(text0))
       .withColumn("toks", split(col("page_text"), " "))
       .withColumn("table_idx", pmod(col("doc_id"), lit(3)).cast("long"))
     val headerCells = when(pmod(col("doc_id"), lit(4)) === 0,
@@ -92,8 +96,8 @@ object TableAssembly {
     s"""WITH aug AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 3 = 0
-      |         THEN [$titles][CAST(doc_id % 6 AS INT) + 1] || ' ' || text
-      |         ELSE text END AS page_text,
+      |         THEN [$titles][CAST(doc_id % 6 AS INT) + 1] || ' ' || coalesce(text, '')
+      |         ELSE coalesce(text, '') END AS page_text,
       |    doc_id % 3 AS table_idx
       |  FROM documents),
       |cells AS (

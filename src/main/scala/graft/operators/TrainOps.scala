@@ -37,8 +37,10 @@ object TrainOps {
       .agg(sort_array(collect_list(col("token"))).as("boiler"))
     docs.crossJoin(broadcast(boiler))
       .select(col("doc_id"),
-        array_join(filter(split(col("text"), " "),
-          t => !array_contains(col("boiler"), t)), " ").as("clean_text"),
+        // null-doc policy: clean_text of a fully-null doc is '' (both
+        // SQL mirrors already coalesce their array_join the same way)
+        coalesce(array_join(filter(split(col("text"), " "),
+          t => !array_contains(col("boiler"), t)), " "), lit("")).as("clean_text"),
         (size(split(col("text"), " ")) -
           size(filter(split(col("text"), " "),
             t => !array_contains(col("boiler"), t)))).cast("long").as("n_removed"))

@@ -139,9 +139,14 @@ object TrainOps2 {
   val PACK_BUCKET = 1024L
 
   val packSequences: Q = (s, d) => {
+    // Null-doc policy: fully-null text packs as '' (one empty token,
+    // _clean_cell None->'' semantics) and a null source is a real
+    // stream key — the offsets join is null-safe so such docs keep
+    // their slot instead of silently dropping. Mirrored in the SQL
+    // port and the DuckDB oracle (window partitioning groups nulls).
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
       .withColumn("bkt", floor(col("doc_id") / PACK_BUCKET).cast("long"))
     val wIn = Window.partitionBy(col("source"), col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -153,7 +158,11 @@ object TrainOps2 {
       .agg(sum(col("n_tokens")).as("bkt_tokens"))
       .withColumn("bkt_before", coalesce(sum(col("bkt_tokens")).over(wB), lit(0L)))
       .select(col("source"), col("bkt"), col("bkt_before"))
-    within.join(offsets, Seq("source", "bkt"))
+    within.alias("w").join(offsets.alias("o"),
+        col("w.source") <=> col("o.source") && col("w.bkt") === col("o.bkt"))
+      .select(col("w.doc_id").as("doc_id"), col("w.source").as("source"),
+        col("w.n_tokens").as("n_tokens"), col("w.in_before").as("in_before"),
+        col("o.bkt_before").as("bkt_before"))
       .withColumn("cum_before", col("bkt_before") + col("in_before"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         floor(col("cum_before").cast("double") / SEQ_LEN).cast("long").as("seq_id"),
@@ -163,7 +172,7 @@ object TrainOps2 {
 
   val packSequencesSql: String =
     """WITH t AS (SELECT doc_id, source,
-      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |             CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
       |           FROM documents),
       |c AS (SELECT doc_id, source, n_tokens,
       |        coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id

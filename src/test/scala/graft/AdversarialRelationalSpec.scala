@@ -110,14 +110,16 @@ class AdversarialRelationalSpec extends AnyFunSuite {
     write("documents", StructType(Seq(StructField("doc_id", LongType),
       StructField("text", S), StructField("lang", S), StructField("source", S),
       StructField("n_chars", LongType))),
-      // NOTE: no fully-null document here (AdversarialTextSpec carries
-      // it for the crash sweep): six SQL ports have KNOWN null-text
-      // semantic drift vs the API (NULL-vs-'' and row-drop differences
-      // in etl_category_header, etl_merge_fragments, etl_table_assemble,
-      // pack_sequences, pipe_dedup_e2e, text_boilerplate) — adjudicate
-      // per-key against reference semantics before widening this corpus
+      // Includes a fully-null document row (null text/lang/source/
+      // n_chars — the standard crawl shape): the six formerly-drifting
+      // SQL ports (etl_category_header, etl_merge_fragments,
+      // etl_table_assemble, pack_sequences, pipe_dedup_e2e,
+      // text_boilerplate) were adjudicated against reference semantics
+      // (_clean_cell None->'', extractor_v03.py:288) and now agree
+      // with the API on null text, so the parity sweep covers it.
       docTexts.zipWithIndex.map { case (t, i) =>
-        Row(i.toLong, t, Seq("en", "zh", "es")(i % 3), s"src${i % 2}", t.length.toLong) })
+        Row(i.toLong, t, Seq("en", "zh", "es")(i % 3), s"src${i % 2}", t.length.toLong) }
+        :+ Row(9L, null, null, null, null))
     write("embeddings", StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType, containsNull = false)),
       StructField("label", IntegerType))),
