@@ -280,7 +280,14 @@ object Similarity {
             Expr.dotProduct(col("embedding"), col("cvec")).as("cdist")),
         Seq("vec_id"), Seq(("cdist", true), ("cent_id", false)), 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
-    toWrite.write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/corpus")
+    // One file per cell: without the repartition every task holds rows
+    // of ~all cells and partitionBy explodes into tasks × cells small
+    // files (measured ~28k files at 896 cells / 32 partitions — serve
+    // latency became directory listing, not data). Hash-distributing
+    // by cent_id first bounds the layout at one file per cell, the
+    // inverted-list shape a 100 TB index needs for probe-only reads.
+    toWrite.repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/corpus")
     val assigned = s.read.schema(toWrite.schema).parquet(s"$path/corpus")
     (nCent, calibrateNProbe(corpus, trained, assigned, n, nCent))
   }

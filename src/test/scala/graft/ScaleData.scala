@@ -45,6 +45,9 @@ object ScaleData {
       case "scale100"  => scale100(spark, srcDir, outDir)
       case "corpus100" => corpus100(spark, srcDir, outDir)
       case "stress"    => stress(spark, srcDir, outDir)
+      case "clustered" =>
+        // args: clustered <outDir> <nClusters> <members>
+        clustered(spark, outDir, args(2).toInt, args(3).toInt)
     }
     spark.stop()
   }
@@ -186,6 +189,41 @@ object ScaleData {
       }
     }, "embeddings")
     println(s"[scaledata] corpus100 written to $out")
+  }
+
+  /** Clustered embeddings corpus (nClusters × members unit vectors,
+    * 0.1-σ-scale deterministic noise around shared centers) — the case
+    * IVF indexing exists for, written as a standard embeddings.parquet
+    * so BenchIvf can measure the build/serve split on data where probe
+    * calibration lands at a low cell fraction (the driver corpus is
+    * near-isotropic, where calibration honestly climbs and serve is
+    * information-theoretically linear). Same geometry family as
+    * IndexSpec.clusteredCase, scaled by the arguments.
+    */
+  def clustered(s: SparkSession, out: String, nClusters: Int, members: Int): Unit = {
+    import s.implicits._
+    val rnd = new java.util.Random(42L)
+    val dim = 64
+    val centers = Seq.tabulate(nClusters) { c =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (c.toLong, v.map(x => x / n).toSeq)
+    }
+    val cdf = centers.toDF("cluster", "center")
+    val emb = s.range(0L, nClusters.toLong * members).toDF("vec_id")
+      .withColumn("cluster", col("vec_id") / lit(members.toLong) cast "long")
+      .join(broadcast(cdf), "cluster")
+      // deterministic bounded noise (no RNG state): sin of a per-(row,
+      // dim) integer lattice, amplitude 0.1 — enough spread to make
+      // cells non-trivial, small enough that members stay in-cluster
+      .withColumn("noisy", expr(
+        "transform(center, (x, j) -> x + 0.1d * sin(cast(vec_id * 7919 + j * 104729 as double)))"))
+      .withColumn("__norm", expr("sqrt(aggregate(noisy, 0d, (a, x) -> a + x * x))"))
+      .select(col("vec_id"),
+        expr("transform(noisy, x -> cast(x / __norm as float))").as("embedding"),
+        (col("cluster") % 16).cast("int").as("label"))
+    emb.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scaledata] clustered ($nClusters x $members) written to $out")
   }
 
   def stress(s: SparkSession, src: String, out: String): Unit = {
