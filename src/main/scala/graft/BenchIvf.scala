@@ -49,34 +49,40 @@ object BenchIvf {
     val corpus = Tables.embeddings(spark, sfDir)
     val n = corpus.count()
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_bench").toString
+    try {
+      // --- build, with the train and assign+write phases timed apart ---
+      // (mirrors buildIvfIndex's stages; the combined buildIvfIndex call
+      // below is what ann_ivf_index actually runs and is timed whole)
+      var geom: (Int, Int) = null
+      val buildSec = timed { geom = operators.Similarity.buildIvfIndex(corpus, path) }
+      // train-only re-run for the split (fresh k-means over the same
+      // corpus; calibration + write excluded) — gives the decomposition
+      // without instrumenting the production code path. NOTE: this is a
+      // warm-JVM SECOND training pass, so train_sec approximates the
+      // train share of build_sec rather than partitioning it exactly
+      // (BASELINE.md footnotes the methodology where the numbers are
+      // published).
+      val trainSec = timed {
+        operators.Similarity.trainCentroids(
+          corpus, operators.Similarity.ivfCells(n), n).count()
+      }
 
-    // --- build, with the train and assign+write phases timed apart ---
-    // (mirrors buildIvfIndex's stages; the combined buildIvfIndex call
-    // below is what ann_ivf_index actually runs and is timed whole)
-    var geom: (Int, Int) = null
-    val buildSec = timed { geom = operators.Similarity.buildIvfIndex(corpus, path) }
-    // train-only re-run for the split (fresh k-means over the same
-    // corpus; calibration + write excluded) — gives the decomposition
-    // without instrumenting the production code path
-    val trainSec = timed {
-      operators.Similarity.trainCentroids(
-        corpus, operators.Similarity.ivfCells(n), n).count()
+      // --- serve against the persisted index, at the calibrated nProbe ---
+      val nCent = geom._1
+      val nProbe = geom._2
+      def queriesDf = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      def serveOnce(): Unit =
+        operators.Similarity.queryIvfIndex(spark, path, queriesDf, nProbe, 10).count()
+      serveOnce() // untimed warmup
+      val serveSec = (1 to 3).map(_ => timed(serveOnce())).min
+
+      println(s"""{"metric":"ivf_split","sf":"$sfDir","n":$n,"nCent":$nCent,""" +
+        s""""build_sec":${f3(buildSec)},"train_sec":${f3(trainSec)},""" +
+        s""""serve_sec":${f3(serveSec)},"nProbe":$nProbe}""")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      spark.stop()
     }
-
-    // --- serve against the persisted index, at the calibrated nProbe ---
-    val nCent = geom._1
-    val nProbe = geom._2
-    def queriesDf = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    def serveOnce(): Unit =
-      operators.Similarity.queryIvfIndex(spark, path, queriesDf, nProbe, 10).count()
-    serveOnce() // untimed warmup
-    val serveSec = (1 to 3).map(_ => timed(serveOnce())).min
-
-    println(s"""{"metric":"ivf_split","sf":"$sfDir","n":$n,"nCent":$nCent,""" +
-      s""""build_sec":${f3(buildSec)},"train_sec":${f3(trainSec)},""" +
-      s""""serve_sec":${f3(serveSec)},"nProbe":$nProbe}""")
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
-    spark.stop()
   }
 }

@@ -1270,7 +1270,7 @@ object SqlPort {
         |star AS (SELECT g.rep AS vec_a, x.vec_id AS vec_b
         |         FROM grp g JOIN e0 x ON x.q = g.q
         |         WHERE g.cnt > 1 AND x.vec_id <> g.rep),
-        |np AS (SELECT CAST(MIN(p) AS INT) AS npl
+        |np AS (SELECT CAST(COALESCE(MIN(p), 30) AS INT) AS npl
         |       FROM (SELECT explode(sequence(8, 30)) AS p) r
         |       CROSS JOIN (SELECT COUNT(*) AS n FROM embeddings) c
         |       WHERE CAST(32 AS BIGINT) * shiftleft(CAST(1 AS BIGINT), p) >= c.n),
@@ -1381,9 +1381,9 @@ object SqlPort {
         |SELECT doc_id,
         |  coalesce(array_join(filter(split(text, ' '),
         |    t -> NOT array_contains(boiler, t)), ' '), '') AS clean_text,
-        |  CAST(size(split(text, ' ')) -
+        |  COALESCE(CAST(size(split(text, ' ')) -
         |       size(filter(split(text, ' '),
-        |         t -> NOT array_contains(boiler, t))) AS BIGINT) AS n_removed
+        |         t -> NOT array_contains(boiler, t))) AS BIGINT), 0) AS n_removed
         |FROM documents CROSS JOIN b ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->

@@ -385,12 +385,22 @@ object Dedup {
 
   /** Corpus sizes drive index geometry (planes, cells); they are a
     * property of the dataset, not of a query, so one count job per
-    * corpus per session.
+    * corpus per session. CONTRACT: the cache is keyed by path and
+    * process-wide — if a corpus at a key is rewritten in place within
+    * one JVM (bench regeneration, ScaleData), the writer must call
+    * invalidateCorpusSizes() or the Scala side keeps the stale count
+    * while fresh-counting SQL oracles drift. Same write-once contract
+    * as Similarity.clearTrainedState().
     */
   private val corpusCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private[graft] def corpusSize(df: DataFrame, key: String): Long =
     corpusCounts.computeIfAbsent(key, _ => java.lang.Long.valueOf(df.count())).longValue()
+
+  /** Drop memoized corpus counts — call after rewriting a corpus
+    * parquet at a path this process has already counted.
+    */
+  def invalidateCorpusSizes(): Unit = corpusCounts.clear()
 
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
   private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Float]] = {
@@ -596,7 +606,7 @@ object Dedup {
       |star AS (SELECT g.rep AS vec_a, x.vec_id AS vec_b
       |         FROM grp g JOIN e0 x ON x.q = g.q
       |         WHERE g.cnt > 1 AND x.vec_id <> g.rep),
-      |np AS (SELECT CAST(MIN(p) AS INT) AS npl
+      |np AS (SELECT CAST(COALESCE(MIN(p), 30) AS INT) AS npl
       |       FROM (SELECT unnest(range(8, 31)) AS p) r,
       |            (SELECT COUNT(*) AS n FROM embeddings) c
       |       WHERE CAST(32 AS BIGINT) * (CAST(1 AS BIGINT) << p) >= c.n),

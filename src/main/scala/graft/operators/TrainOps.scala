@@ -37,13 +37,15 @@ object TrainOps {
       .agg(sort_array(collect_list(col("token"))).as("boiler"))
     docs.crossJoin(broadcast(boiler))
       .select(col("doc_id"),
-        // null-doc policy: clean_text of a fully-null doc is '' (both
-        // SQL mirrors already coalesce their array_join the same way)
+        // null-doc policy: a fully-null doc behaves as '' on ALL output
+        // columns (adjudicated reference semantics, _clean_cell
+        // None->''), so clean_text coalesces to '' and n_removed to 0 —
+        // the same values an actual ''-text row produces.
         coalesce(array_join(filter(split(col("text"), " "),
           t => !array_contains(col("boiler"), t)), " "), lit("")).as("clean_text"),
-        (size(split(col("text"), " ")) -
+        coalesce((size(split(col("text"), " ")) -
           size(filter(split(col("text"), " "),
-            t => !array_contains(col("boiler"), t)))).cast("long").as("n_removed"))
+            t => !array_contains(col("boiler"), t)))).cast("long"), lit(0L)).as("n_removed"))
       .orderBy(col("doc_id"))
   }
 
@@ -57,9 +59,9 @@ object TrainOps {
       |SELECT doc_id,
       |  coalesce(array_to_string(list_filter(string_split(text, ' '),
       |    t -> NOT list_contains(boiler, t)), ' '), '') AS clean_text,
-      |  CAST(len(string_split(text, ' ')) -
+      |  COALESCE(CAST(len(string_split(text, ' ')) -
       |       len(list_filter(string_split(text, ' '),
-      |         t -> NOT list_contains(boiler, t))) AS BIGINT) AS n_removed
+      |         t -> NOT list_contains(boiler, t))) AS BIGINT), 0) AS n_removed
       |FROM documents, b ORDER BY doc_id""".stripMargin
 
   // --- sample_stratified: deterministic hash-threshold sampling -------

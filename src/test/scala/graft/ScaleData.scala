@@ -120,6 +120,10 @@ object ScaleData {
           expr(s"concat(slice(embedding, ${k + 1}, ${64 - k}), slice(embedding, 1, $k))"))
       }
     }, "embeddings")
+    // These writers overwrite corpora in place; drop any geometry
+    // counts this JVM memoized for the old contents (Dedup contract).
+    operators.Dedup.invalidateCorpusSizes()
+    operators.Similarity.clearTrainedState()
     println(s"[scaledata] scale10 written to $out")
   }
 
@@ -149,6 +153,10 @@ object ScaleData {
     w(copied(Tables.lineitem(s, src),
       Map("l_orderkey" -> ordOff, "l_partkey" -> partOff, "l_suppkey" -> suppOff),
       copies)(noTweak), "lineitem")
+    // These writers overwrite corpora in place; drop any geometry
+    // counts this JVM memoized for the old contents (Dedup contract).
+    operators.Dedup.invalidateCorpusSizes()
+    operators.Similarity.clearTrainedState()
     println(s"[scaledata] scale100 written to $out")
   }
 
@@ -188,6 +196,10 @@ object ScaleData {
         df.withColumn("embedding", decorrelated)
       }
     }, "embeddings")
+    // These writers overwrite corpora in place; drop any geometry
+    // counts this JVM memoized for the old contents (Dedup contract).
+    operators.Dedup.invalidateCorpusSizes()
+    operators.Similarity.clearTrainedState()
     println(s"[scaledata] corpus100 written to $out")
   }
 
@@ -223,6 +235,10 @@ object ScaleData {
         expr("transform(noisy, x -> cast(x / __norm as float))").as("embedding"),
         (col("cluster") % 16).cast("int").as("label"))
     emb.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // These writers overwrite corpora in place; drop any geometry
+    // counts this JVM memoized for the old contents (Dedup contract).
+    operators.Dedup.invalidateCorpusSizes()
+    operators.Similarity.clearTrainedState()
     println(s"[scaledata] clustered ($nClusters x $members) written to $out")
   }
 
@@ -259,6 +275,10 @@ object ScaleData {
     }.reduce(_ unionByName _).filter(col("vec_id") >= 2000)
     base1k.unionByName(planted).unionByName(rest)
       .repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // These writers overwrite corpora in place; drop any geometry
+    // counts this JVM memoized for the old contents (Dedup contract).
+    operators.Dedup.invalidateCorpusSizes()
+    operators.Similarity.clearTrainedState()
     println(s"[scaledata] stress written to $out")
   }
 }
