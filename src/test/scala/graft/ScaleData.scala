@@ -196,6 +196,15 @@ object ScaleData {
         df.withColumn("embedding", decorrelated)
       }
     }, "embeddings")
+    // Events at 100x traffic: key-offset copies over the SAME 30-day
+    // span — per-user volume stays constant (user_id is offset with
+    // its domain) while per-window density grows 100x, which is the
+    // hard direction for the window/funnel/sessionize/streaming-twin
+    // surface (more traffic, not longer retention). Timestamps are
+    // untouched so window counts stay comparable across scale points.
+    val ev = Tables.events(s, src)
+    w(copied(ev, Map("event_id" -> keyDomain(ev, "event_id"),
+      "user_id" -> keyDomain(ev, "user_id")), copies)(noTweak), "events")
     // These writers overwrite corpora in place; drop any geometry
     // counts this JVM memoized for the old contents (Dedup contract).
     operators.Dedup.invalidateCorpusSizes()
