@@ -79,8 +79,34 @@ object Bench {
     val evalHash = sys.env.get("SPARK_GRAFT_EVAL").contains("hash")
     def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
       if (evalHash) df.selectExpr("bit_xor(xxhash64(*))").collect() else df.count()
+    // Opt-in per-query heap accounting (SPARK_GRAFT_MEMLOG=1): a
+    // sampler thread records the max used heap every 25 ms while a
+    // query runs (true concurrent peak — pool-peak sums overstate),
+    // and the post-GC used heap after the per-query cleanup below is
+    // the LIVE SET the battery carries forward: if it climbs
+    // monotonically across queries, something (cache registry,
+    // memoized quantizers, broadcast refs) is accumulating; if it
+    // stays flat, an OOM at this heap size was transient pressure, not
+    // a leak. One JSONL row per query -> BENCH_MEM.json.
+    val memLog = sys.env.get("SPARK_GRAFT_MEMLOG").contains("1")
+    val memRows = new scala.collection.mutable.ArrayBuffer[String]()
+    def usedMb: Double = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / 1048576.0
+    }
+    @volatile var peakMb = 0.0
+    @volatile var sampling = false
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) { val u = usedMb; if (u > peakMb) peakMb = u }
+        Thread.sleep(25)
+      }
+    })
+    sampler.setDaemon(true)
+    if (memLog) sampler.start()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      if (memLog) { peakMb = 0.0; sampling = true }
       val r = try {
         evaluate(fn(spark, sfDir)) // warmup (re-populates this query's caches)
         // Best of two timed runs: a single sample is vulnerable to one-off
@@ -106,6 +132,15 @@ object Bench {
       graft.Caches.release(blocking = true)
       graft.operators.Similarity.clearTrainedState()
       System.gc()
+      if (memLog) {
+        sampling = false
+        // second GC + settle: the first often only enqueues reference
+        // processing; the live set is what survives both
+        System.gc(); Thread.sleep(100)
+        memRows += s"""{"query":"$name","peak_mb":${f3(peakMb)},""" +
+          s""""post_gc_mb":${f3(usedMb)},"live_caches":${graft.Caches.liveCount},""" +
+          s""""max_heap_mb":${f3(Runtime.getRuntime.maxMemory() / 1048576.0)}}"""
+      }
       r
     }
     val spinEnd = spinMs(); val sparkEnd = sparkMs(); val loadEnd = loadAvg()
@@ -126,6 +161,9 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       full.getBytes("UTF-8"))
+    if (memLog) java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_MEM.json"),
+      (memRows.mkString("\n") + "\n").getBytes("UTF-8"))
     println(full)
     val headline = Seq(
       "q1_agg", "q3_shipping", "q5_local_supplier", "q6_filter_agg",

@@ -34,4 +34,7 @@ object Caches {
     var d = live.poll()
     while (d != null) { d.unpersist(blocking); d = live.poll() }
   }
+
+  /** Registered-but-unreleased cache count (memory-accounting probe). */
+  def liveCount: Int = live.size()
 }
