@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.AnalysisException
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -22,8 +22,9 @@ object Expr {
 
   /** Cosine similarity of two float vectors (0.0 when either is zero). */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
     override def dataType: DataType = DoubleType
+    override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def prettyName: String = "cosine_similarity"
     override def nullSafeEval(l: Any, r: Any): Any =
       Kernels.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
@@ -37,8 +38,9 @@ object Expr {
     * embeddings — skips the norm work).
     */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
     override def dataType: DataType = DoubleType
+    override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def prettyName: String = "dot_product"
     override def nullSafeEval(l: Any, r: Any): Any =
       Kernels.dotProduct(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
@@ -54,8 +56,9 @@ object Expr {
     * lambdas interpreted, per pair).
     */
   case class LongDotProduct(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
     override def dataType: DataType = LongType
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
     override def prettyName: String = "long_dot_product"
     override def nullSafeEval(l: Any, r: Any): Any =
       Kernels.longDot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
@@ -71,9 +74,10 @@ object Expr {
     * the empty set is Long.MaxValue everywhere.
     */
   case class MinHashSignature(child: Expression, k: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
     require(k > 0 && k <= 512, s"minhash k out of range: $k")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def inputTypes = Seq(ArrayType(StringType))
     override def prettyName: String = "minhash_signature"
     override def nullSafeEval(v: Any): Any =
       Kernels.minhash(v.asInstanceOf[ArrayData], k)
@@ -85,8 +89,9 @@ object Expr {
   /** 64-bit SimHash of a string array: per-token xxhash64 votes on each
     * bit; the sign of the vote sum sets the output bit.
     */
-  case class SimHash64(child: Expression) extends UnaryExpression {
+  case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = LongType
+    override def inputTypes = Seq(ArrayType(StringType))
     override def prettyName: String = "simhash64"
     override def nullSafeEval(v: Any): Any =
       Kernels.simhash(v.asInstanceOf[ArrayData])
@@ -101,8 +106,9 @@ object Expr {
     * equivalence contract; the declarative form re-splits the text per
     * shingle and never enters whole-stage codegen).
     */
-  case class TrigramShingles(child: Expression) extends UnaryExpression {
+  case class TrigramShingles(child: Expression) extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def inputTypes = Seq(StringType)
     override def prettyName: String = "trigram_shingles"
     override def nullSafeEval(v: Any): Any =
       Kernels.trigramShingles(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
@@ -115,8 +121,9 @@ object Expr {
     * signatures (the est-jaccard numerator), whole-stage codegen'd.
     */
   case class SigAgreeCount(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
     override def dataType: DataType = IntegerType
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
     override def prettyName: String = "sig_agree_count"
     override def nullSafeEval(l: Any, r: Any): Any =
       Kernels.sigAgree(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
@@ -128,8 +135,9 @@ object Expr {
 
   /** Hamming distance between two 64-bit hashes (simhash dedup). */
   case class HammingDistance64(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
     override def dataType: DataType = IntegerType
+    override def inputTypes = Seq(LongType, LongType)
     override def prettyName: String = "hamming64"
     override def nullSafeEval(l: Any, r: Any): Any =
       java.lang.Long.bitCount(l.asInstanceOf[Long] ^ r.asInstanceOf[Long])
@@ -143,8 +151,9 @@ object Expr {
     * (Karp–Rabin polynomial over per-token xxhash64) — the reference's
     * document-identity fingerprint, one long per document.
     */
-  case class RollingHash(child: Expression) extends UnaryExpression {
+  case class RollingHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = LongType
+    override def inputTypes = Seq(ArrayType(StringType))
     override def prettyName: String = "rolling_hash"
     override def nullSafeEval(v: Any): Any =
       Kernels.rollingHash(v.asInstanceOf[ArrayData])
@@ -156,8 +165,9 @@ object Expr {
   /** 60-bit md5-vote simhash over distinct tokens — the oracle-
     * reproducible twin of SimHash64 (see Kernels.md5Simhash60).
     */
-  case class Md5Simhash60(child: Expression) extends UnaryExpression {
+  case class Md5Simhash60(child: Expression) extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = LongType
+    override def inputTypes = Seq(ArrayType(StringType))
     override def prettyName: String = "md5_simhash60"
     override def nullSafeEval(v: Any): Any =
       Kernels.md5Simhash60(v.asInstanceOf[ArrayData])
@@ -171,9 +181,10 @@ object Expr {
     * arithmetic contract).
     */
   case class Md5MinhashSig(child: Expression, k: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
     require(k > 0 && k <= 512, s"md5 minhash k out of range: $k")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def inputTypes = Seq(ArrayType(StringType))
     override def prettyName: String = "md5_minhash_sig"
     override def nullSafeEval(v: Any): Any =
       Kernels.md5MinhashSig(v.asInstanceOf[ArrayData], k)
@@ -185,8 +196,9 @@ object Expr {
   /** md5-Horner fingerprint in mod-(2^31-1) arithmetic — the oracle-
     * reproducible twin of RollingHash (see Kernels.md5PolyFingerprint).
     */
-  case class Md5PolyFingerprint(child: Expression) extends UnaryExpression {
+  case class Md5PolyFingerprint(child: Expression) extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = LongType
+    override def inputTypes = Seq(ArrayType(StringType))
     override def prettyName: String = "md5_poly_fingerprint"
     override def nullSafeEval(v: Any): Any =
       Kernels.md5PolyFingerprint(v.asInstanceOf[ArrayData])
@@ -200,10 +212,11 @@ object Expr {
     * expressions re-reading the array).
     */
   case class HyperplaneBucket(child: Expression, planes: Array[Float], dim: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
     require(planes.length % dim == 0 && planes.length / dim <= 63,
       s"planes length ${planes.length} not a ≤63 multiple of dim $dim")
     override def dataType: DataType = LongType
+    override def inputTypes = Seq(ArrayType(FloatType))
     override def prettyName: String = "hyperplane_bucket"
     override def nullSafeEval(v: Any): Any =
       Kernels.hyperplaneBucket(v.asInstanceOf[ArrayData], planes, dim)

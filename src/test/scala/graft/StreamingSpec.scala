@@ -448,4 +448,99 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.head.session_end == us(10, 10))
     } finally q2.stop()
   }
+
+  test("upsert merge is invariant under RANDOMIZED trigger partitionings (ScalaCheck)") {
+    // The three hand-picked adversarial partitionings above pin known
+    // failure shapes; this sweeps the space they were picked from. A
+    // generated case is (batch count m, salt, batch order): events are
+    // split into m disjoint batches by a salted hash of event_id and
+    // folded in a random batch order — every case must reproduce the
+    // one-shot aggregation bit-for-bit. 12 cases from a fixed seed.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .cache()
+    def canon(dfx: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      dfx.select(col("user_id"), col("last.event_id").as("le"), col("n_events"),
+        col("sum_dec").cast("double").as("sv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    val oneShot = canon(Streaming.upsertState(ev))
+    val genCase: Gen[(Int, Long, Seq[Int])] = for {
+      m <- Gen.choose(2, 9)
+      salt <- Gen.choose(0L, 1L << 40)
+      order <- Gen.const(new scala.util.Random(salt).shuffle((0 until m).toVector))
+    } yield (m, salt, order)
+    val prop = Prop.forAll(genCase) { case (m, salt, order) =>
+      val batches = order.map(i =>
+        ev.filter(pmod(xxhash64(col("event_id"), lit(salt)), lit(m)) === i))
+      val folded = canon(
+        batches.tail.foldLeft(Streaming.upsertState(batches.head))(Streaming.upsertMerge))
+      folded == oneShot
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(12)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L))
+    val res = SCTest.check(params, prop)
+    try assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+    finally ev.unpersist()
+  }
+
+  test("foreachBatch upsert sink survives a kill between batches (idempotent per-batchId merge)") {
+    // The production shape of stream_upsert_sink: a checkpointed FILE
+    // source, foreachBatch persisting the merged state keyed by
+    // batchId (state b(id) = merge(b(id-1), batch id), written with
+    // overwrite). Kill the query between batches, add more data,
+    // restart from the same checkpoint: the overwrite-by-batchId write
+    // makes any replayed batch idempotent, so the final persisted
+    // state must equal the one-shot aggregation over ALL events — the
+    // exactly-once contract a MERGE-INTO sink needs on a real cluster.
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("upsert_restart").toString
+    val (srcDir, ckpt, stateDir) = (s"$base/src", s"$base/ckpt", s"$base/state")
+    val all = Seq(
+      (1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.5),
+      (1L, 11L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "view", 2.25),
+      (2L, 12L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "click", 4.0),
+      (2L, 13L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), "purchase", 8.0),
+      (3L, 14L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "click", 0.5))
+    def toDf(rows: Seq[(Long, Long, java.sql.Timestamp, String, Double)]) =
+      rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+    val schema = toDf(all).schema
+    @volatile var lastBatch = -1L
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val merged =
+          if (id == 0L) Streaming.upsertState(batch.toDF())
+          else Streaming.upsertMerge(spark.read.parquet(s"$stateDir/b${id - 1}"), batch.toDF())
+        // overwrite => replaying batch `id` after a crash rewrites the
+        // same content from the same predecessor state: idempotent
+        merged.write.mode("overwrite").parquet(s"$stateDir/b$id")
+        lastBatch = math.max(lastBatch, id)
+        ()
+      }.start()
+    // phase 1: two files -> two batches, then KILL the query
+    toDf(all.take(2)).coalesce(1).write.mode("append").parquet(srcDir)
+    toDf(all.slice(2, 3)).coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(lastBatch >= 1L, s"expected >=2 batches before the kill, got ${lastBatch + 1}")
+    // phase 2: more data lands while the query is down; restart
+    toDf(all.drop(3)).coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    def canon(dfx: org.apache.spark.sql.DataFrame) =
+      dfx.select(col("user_id"), col("last.event_id").as("le"), col("n_events"),
+        col("sum_dec").cast("double").as("sv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val finalState = canon(spark.read.parquet(s"$stateDir/b$lastBatch"))
+    assert(finalState == canon(Streaming.upsertState(toDf(all))),
+      "post-restart folded state diverged from the one-shot aggregation")
+    // `last` is by EVENT time: user 2's later-arriving event 13 is older
+    assert(finalState.map(t => t._1 -> t._2).toMap == Map(1L -> 11L, 2L -> 12L, 3L -> 14L))
+  }
 }
