@@ -11,8 +11,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Multi-JVM validation: SPARK_GRAFT_MASTER=local-cluster[4,8,6144]
+    // runs the battery against real separate executor JVMs (worker
+    // launch needs SPARK_HOME; ship the library with SPARK_GRAFT_JAR=
+    // target/scala-2.13/<package>.jar — driver classpath alone is NOT
+    // visible to local-cluster executors, unlike local[n]).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // Broadcast decisions come from AQE's RUNTIME sizes only. The
@@ -24,6 +30,8 @@ object Bench {
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = sys.env.get("SPARK_GRAFT_JAR")
+      .fold(b0)(jar => b0.config("spark.jars", jar))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional subset filter: SPARK_GRAFT_QUERIES=q1_agg,dedup_minhash
@@ -158,8 +166,11 @@ object Bench {
     // fails to parse (observed in BENCH_r01/r02). Persist the full map
     // to a file, print it early for humans, and end with a compact
     // headline line guaranteed to fit inside the tail window.
+    // SPARK_GRAFT_DETAIL_OUT: write the full map elsewhere (scale /
+    // local-cluster batteries must not clobber the committed artifact).
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")),
       full.getBytes("UTF-8"))
     if (memLog) java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_MEM.json"),

@@ -29,6 +29,14 @@ object Caches {
       c
     }
 
+  /** Register an ALREADY-persisted frame for release. For loop
+    * operators that persist their own intermediates (round-over-round
+    * unpersist) but hand the final frame to a lazy consumer: the
+    * consumer evaluates after the operator returns, so the operator
+    * cannot unpersist it inline — the phase release reclaims it here.
+    */
+  def track(df: DataFrame): DataFrame = { live.add(df); df }
+
   /** Unpersist every registered cache. */
   def release(blocking: Boolean = false): Unit = {
     var d = live.poll()

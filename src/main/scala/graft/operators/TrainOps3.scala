@@ -498,6 +498,126 @@ object TrainOps3 {
       |  min(q) AS min_q, max(q) AS max_q
       |FROM x GROUP BY dim ORDER BY dim""".stripMargin
 
+  // --- bpe_train_merges: the full BPE merge-training loop -------------
+  // bpe_pair_counts is ONE iteration's input; this is the actual
+  // tokenizer-induction loop (Sennrich et al. 2016, word-level BPE):
+  // aggregate the corpus ONCE into (word, freq) — the only
+  // corpus-scale shuffle — then iterate K times over the vocab-sized
+  // frame: count adjacent symbol pairs weighted by word freq, pick the
+  // global argmax (count desc, pair asc — a deterministic tie-break),
+  // and rewrite every word's symbol sequence with the pair merged.
+  // The driver-side argmax per round is the same pattern as
+  // graph_pagerank's convergence loop: each round's reduction is tiny
+  // (vocab-sized), and K is a constant, so the loop adds no
+  // corpus-scale work after the first aggregation. At 100 TB the
+  // vocab frame is Heaps-law bounded (~millions of rows for billions
+  // of docs) and fits one executor's partition comfortably; the word
+  // count itself is a plain map-side-combined groupBy.
+  //
+  // Merge semantics: a sequence is a space-joined symbol string; a
+  // merge replaces ' a b ' with ' ab ' in TWO left-to-right
+  // non-overlapping replace passes over the space-padded sequence
+  // (pass 1 consumes the shared boundary space, pass 2 catches the
+  // occurrence it thereby skipped: ' a b a b a b ' -> 'ab ab ab').
+  // For runs of a self-pair ('l l l l l' -> 'll l ll') this differs
+  // from canonical greedy BPE ('ll ll l') but is deterministic and
+  // IDENTICAL in Spark and DuckDB (both replace() scan forward
+  // without rescanning replaced text), which is what makes the whole
+  // training loop oracle-gated — rare self-pair runs only shift which
+  // equal-count pair wins a later round.
+  private[graft] val BPE_MERGES = 6
+
+  /** Shared trainer for bpe_train_merges / bpe_tokenize: the K-round
+    * loop over the vocab frame. Each round's frame is persisted and
+    * the previous round's is dropped as soon as its successor is
+    * materialized: round k's argmax job then reads round k-1's cache
+    * instead of replaying the whole replace chain from the parquet
+    * scan (which would make the loop O(K^2) in corpus passes — at
+    * 100 TB the ONE corpus-scale word count must run once, not once
+    * per merge). Same lineage-truncation discipline as dedup_cluster's
+    * pointer-jump loop.
+    *
+    * Returns the merge table and, when keepFinal, the final vocab
+    * frame after all merges — materialized off the last round's cache
+    * and registered with the Caches registry (the caller hands it to
+    * a lazy consumer, so release happens at phase end, not inline).
+    */
+  private def bpeLoop(s: SparkSession, d: String, keepFinal: Boolean)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    import org.apache.spark.sql.Row
+    val vocab = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // seq: 'h e l l o' (split('') keeps a trailing '' under Spark's
+    // limit=-1; filter it before joining)
+    var seqs = vocab.select(col("freq"),
+      array_join(filter(split(col("word"), ""), x => x =!= lit("")), " ").as("seq"))
+      .persist()
+    var prev: DataFrame = null
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var k = 0
+    var exhausted = false
+    while (k < BPE_MERGES && !exhausted) {
+      val best: Array[Row] = seqs
+        .select(col("freq"), split(col("seq"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1).collect()
+      // the argmax job materialized seqs' cache -> its input is dead
+      if (prev != null) prev.unpersist(false)
+      prev = seqs
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val c = best(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        out += ((k + 1L, pair, merged, c))
+        val pat = lit(s" $pair ")
+        val rep = lit(s" $merged ")
+        seqs = seqs.select(col("freq"),
+          trim(replace(replace(
+            concat(lit(" "), col("seq"), lit(" ")), pat, rep), pat, rep)).as("seq"))
+          .persist()
+        k += 1
+      }
+    }
+    if (keepFinal) {
+      seqs.count() // materialize off prev's cache before dropping it
+      if (prev != null && !(prev eq seqs)) prev.unpersist(false)
+      graft.Caches.track(seqs)
+    } else {
+      if (prev != null) prev.unpersist(false)
+      seqs.unpersist(false)
+    }
+    (out.toSeq, seqs)
+  }
+
+  val bpeTrainMerges: Q = (s, d) => {
+    val (merges, _) = bpeLoop(s, d, keepFinal = false)
+    import s.implicits._
+    merges.toDF("rank", "pair", "merged", "c").orderBy(col("rank"))
+  }
+
+  // --- bpe_tokenize: serve side of the trained tokenizer --------------
+  // Corpus token statistics under the K trained merges. Key identity:
+  // tokenizing the CORPUS with a word-level tokenizer is tokenizing
+  // the weighted VOCAB — every occurrence of word w yields the same
+  // token sequence, so the final training frame (vocab after all K
+  // merges, freq-weighted) already IS the tokenized corpus. No second
+  // corpus pass: explode the vocab-sized frame and sum freq per token.
+  // Output: top-25 (token, count), count desc / token asc — the vocab
+  // histogram a tokenizer-induction pipeline reports.
+  val bpeTokenize: Q = (s, d) => {
+    val (_, fin) = bpeLoop(s, d, keepFinal = true)
+    fin.select(col("freq"), explode(split(col("seq"), " ")).as("token"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(25)
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_substring" -> dedupSubstring,
     "text_lm_rarity" -> textLmRarity,
@@ -507,8 +627,70 @@ object TrainOps3 {
     "pipe_quality_funnel" -> pipeQualityFunnel,
     "eval_split" -> evalSplit,
     "bpe_pair_counts" -> bpePairCounts,
+    "bpe_train_merges" -> bpeTrainMerges,
+    "bpe_tokenize" -> bpeTokenize,
     "dedup_semantic_keep" -> dedupSemanticKeep,
     "embed_dim_stats" -> embedDimStats)
+
+  // Unrolled K-iteration oracle, generated (EtlOps3.scala:76 pattern —
+  // generated texts beat hand-maintained ones for loop unrolls). Each
+  // iteration k: p_k counts pairs over s_k, b_k is the argmax row,
+  // s_{k+1} rewrites sequences via the same two-pass padded replace as
+  // the Scala loop. After exhaustion b_k is empty: the chr(1) COALESCE
+  // keeps the replace a no-op (no symbol contains control chars), and
+  // the final union simply has no row for that k.
+  // Every CTE is AS MATERIALIZED: s_k is referenced by both p_k and
+  // s_{k+1}, so under DuckDB's default inlining the chain expands
+  // exponentially (measured: >120 s at sf0.01 inlined, 4.5 s
+  // materialized). The argmax row joins in via LEFT JOIN ON TRUE —
+  // one reference per consumer instead of four scalar subqueries —
+  // and the unused final s_K is not emitted for the training oracle
+  // (DuckDB evaluates materialized CTEs even when unreferenced;
+  // skipping it halved the oracle wall) — the tokenize oracle DOES
+  // emit it, because the final frame is its subject. After early
+  // exhaustion b_k is empty, so s_{k+1} == s_k and the tokenize
+  // aggregate still reads the right final state.
+  private def bpeChainSql(withFinalSeq: Boolean): String = {
+    val iters = (0 until BPE_MERGES).map { k =>
+      val (pat, rep) = (
+        "COALESCE(' ' || bp.pair || ' ', chr(1))",
+        "COALESCE(' ' || bp.merged || ' ', chr(1))")
+      val head =
+        s"""p$k AS MATERIALIZED (SELECT pair, SUM(freq) AS c FROM (
+           |  SELECT freq, unnest([s[i] || ' ' || s[i+1] FOR i IN range(1, len(s))]) AS pair
+           |  FROM (SELECT freq, string_split(seq, ' ') AS s FROM s$k) t
+           |  WHERE len(s) >= 2) GROUP BY pair),
+           |b$k AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, c
+           |        FROM p$k ORDER BY c DESC, pair LIMIT 1)""".stripMargin
+      if (k == BPE_MERGES - 1 && !withFinalSeq) head
+      else head +
+        s""",
+           |s${k + 1} AS MATERIALIZED (SELECT freq,
+           |  trim(replace(replace(' ' || seq || ' ', $pat, $rep), $pat, $rep)) AS seq
+           |  FROM s$k LEFT JOIN b$k bp ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT word, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) >= 1 GROUP BY word),
+       |s0 AS MATERIALIZED (SELECT freq, array_to_string(string_split(word, ''), ' ') AS seq FROM w),
+       |$iters""".stripMargin
+  }
+
+  val bpeTrainMergesSql: String = {
+    val union = (0 until BPE_MERGES).map(k =>
+      s"SELECT ${k + 1} AS k, pair, merged, c FROM b$k").mkString("\nUNION ALL ")
+    s"""${bpeChainSql(withFinalSeq = false)}
+       |SELECT CAST(k AS BIGINT) AS rank, pair, merged, CAST(c AS BIGINT) AS c
+       |FROM ($union)
+       |ORDER BY rank""".stripMargin
+  }
+
+  val bpeTokenizeSql: String =
+    s"""${bpeChainSql(withFinalSeq = true)}
+       |SELECT token, CAST(SUM(freq) AS BIGINT) AS c
+       |FROM (SELECT freq, unnest(string_split(seq, ' ')) AS token FROM s$BPE_MERGES)
+       |GROUP BY token
+       |ORDER BY c DESC, token LIMIT 25""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_substring" -> dedupSubstringSql,
@@ -519,6 +701,8 @@ object TrainOps3 {
     "pipe_quality_funnel" -> pipeQualityFunnelSql,
     "eval_split" -> evalSplitSql,
     "bpe_pair_counts" -> bpePairCountsSql,
+    "bpe_train_merges" -> bpeTrainMergesSql,
+    "bpe_tokenize" -> bpeTokenizeSql,
     "dedup_semantic_keep" -> dedupSemanticKeepSql,
     "embed_dim_stats" -> embedDimStatsSql)
 }

@@ -164,4 +164,112 @@ class TrainOps3Spec extends AnyFunSuite {
     }
     assert(rows.exists(_.getBoolean(5)), "planted clusters produce mutual edges")
   }
+
+  /** Independent word-level BPE on plain Scala strings/maps, with the
+    * operator's exact semantics: (count desc, pair asc) argmax and the
+    * two-pass padded literal replace (Java String.replace is the same
+    * scan-forward non-overlapping replace Spark and DuckDB use).
+    */
+  private def bpeReference(words: Map[String, Long], k: Int): Seq[(Long, String, String, Long)] = {
+    def padReplace(s: String, pair: String, merged: String): String = {
+      val (pat, rep) = (" " + pair + " ", " " + merged + " ")
+      (" " + s + " ").replace(pat, rep).replace(pat, rep).trim
+    }
+    var seqs = words.toSeq.map { case (w, f) => (w.toCharArray.mkString(" "), f) }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((s, f) <- seqs; a = s.split(" "); if a.length >= 2; i <- 0 until a.length - 1)
+        counts(a(i) + " " + a(i + 1)) += f
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, c) = counts.toSeq.sortBy { case (p, n) => (-n, p) }.head
+        val merged = pair.replace(" ", "")
+        out += ((step.toLong, pair, merged, c))
+        seqs = seqs.map { case (s, f) => (padReplace(s, pair, merged), f) }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe_train_merges: matches independent BPE on a planted corpus with ties and self-pair runs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpetrain").toString
+    val texts = Seq(
+      "lllll aab aab aab",          // 'l l' self-pair run + repeated word
+      "banana bandana banana",      // tie-heavy pairs (an/na)
+      "aab banana lllll",
+      "zq zq zqzq")                 // short words, one 4-char
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+    val want = bpeReference(words, TrainOps3.BPE_MERGES)
+    val got = TrainOps3.bpeTrainMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    assert(got.nonEmpty)
+  }
+
+  test("bpe_tokenize: matches weighted-vocab tokenization under independently-trained merges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpetok").toString
+    val texts = Seq(
+      "lllll aab aab aab",
+      "banana bandana banana",
+      "aab banana lllll",
+      "zq zq zqzq")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+    val merges = bpeReference(words, TrainOps3.BPE_MERGES)
+    def padReplace(s: String, pair: String, merged: String): String = {
+      val (pat, rep) = (" " + pair + " ", " " + merged + " ")
+      (" " + s + " ").replace(pat, rep).replace(pat, rep).trim
+    }
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, f) <- words) {
+      var s = w.toCharArray.mkString(" ")
+      for ((_, pair, merged, _) <- merges) s = padReplace(s, pair, merged)
+      for (t <- s.split(" ")) counts(t) += f
+    }
+    val want = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(25)
+    val got = TrainOps3.bpeTokenize(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    assert(got.nonEmpty)
+  }
+
+  test("bpe_tokenize: sf corpus — 25 rows, counts non-increasing, tokens distinct and non-empty") {
+    val rows = TrainOps3.bpeTokenize(spark, sf).collect()
+    assert(rows.length == 25)
+    val cs = rows.map(_.getLong(1))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, cs.mkString(","))
+    val toks = rows.map(_.getString(0))
+    assert(toks.distinct.length == toks.length)
+    assert(toks.forall(t => t.nonEmpty && !t.contains(" ")))
+  }
+
+  test("bpe_train_merges: sf corpus — contiguous ranks, non-increasing counts, merged = pair sans space") {
+    val rows = TrainOps3.bpeTrainMerges(spark, sf).collect()
+    assert(rows.length == TrainOps3.BPE_MERGES, "sf corpus never exhausts 6 merges")
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    rows.foreach { r =>
+      assert(r.getString(2) == r.getString(1).replace(" ", ""))
+      assert(r.getLong(3) > 0)
+    }
+    // the chosen count can never rise: merging only removes occurrences
+    // of existing pairs, and a new pair's count is bounded by the count
+    // of the merge that created its symbol
+    val cs = rows.map(_.getLong(3))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, cs.mkString(","))
+    // distinct merged symbols (each merge consumes its pair)
+    assert(rows.map(_.getString(2)).distinct.length == rows.length)
+  }
 }
