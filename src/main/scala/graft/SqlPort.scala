@@ -365,6 +365,60 @@ object SqlPort {
     s"shiftleft(shiftright(zx, $k) & 1, ${2 * k}) + shiftleft(shiftright(zy, $k) & 1, ${2 * k + 1})"
   }.mkString("(", "\n      + ", ")")
 
+  /** Spark-dialect unroll of the BPE training loop (same structure as
+    * the generated DuckDB oracle in TrainOps3.bpeTrainMergesSql, same
+    * two-pass padded replace semantics). No MATERIALIZED keyword:
+    * Spark keeps multi-referenced deterministic CTEs as shared
+    * CTERelationDefs (physical subplan reuse), so the s_k chain does
+    * not inline exponentially the way DuckDB's default would.
+    * WHERE-before-LATERAL-VIEW ordering: the size guard sits in a
+    * subquery because Spark applies WHERE after generators.
+    */
+  private def bpeChainSpark(withFinalSeq: Boolean): String = {
+    val K = operators.TrainOps3.BPE_MERGES
+    val iters = (0 until K).map { k =>
+      val pat = "COALESCE(' ' || bp.pair || ' ', chr(1))"
+      val rep = "COALESCE(' ' || bp.merged || ' ', chr(1))"
+      val head =
+        s"""p$k AS (SELECT pair, SUM(freq) AS c FROM (
+           |  SELECT freq, pair
+           |  FROM (SELECT freq, split(seq, ' ') AS s FROM s$k WHERE size(split(seq, ' ')) >= 2) t
+           |  LATERAL VIEW explode(transform(sequence(1, size(s) - 1),
+           |    i -> concat(element_at(s, CAST(i AS INT)), ' ', element_at(s, CAST(i + 1 AS INT))))) pv AS pair
+           |  ) GROUP BY pair),
+           |b$k AS (SELECT pair, replace(pair, ' ', '') AS merged, c
+           |        FROM p$k ORDER BY c DESC, pair LIMIT 1)""".stripMargin
+      if (k == K - 1 && !withFinalSeq) head
+      else head +
+        s""",
+           |s${k + 1} AS (SELECT freq,
+           |  trim(replace(replace(' ' || seq || ' ', $pat, $rep), $pat, $rep)) AS seq
+           |  FROM s$k LEFT JOIN b$k bp ON true)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT word, COUNT(*) AS freq
+       |  FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) >= 1 GROUP BY word),
+       |s0 AS (SELECT freq, array_join(filter(split(word, ''), x -> x <> ''), ' ') AS seq FROM w),
+       |$iters""".stripMargin
+  }
+
+  private val bpeTrainMergesSpark: String = {
+    val K = operators.TrainOps3.BPE_MERGES
+    val union = (0 until K).map(k =>
+      s"SELECT ${k + 1} AS k, pair, merged, c FROM b$k").mkString("\nUNION ALL ")
+    s"""${bpeChainSpark(withFinalSeq = false)}
+       |SELECT CAST(k AS BIGINT) AS rank, pair, merged, CAST(c AS BIGINT) AS c
+       |FROM ($union)
+       |ORDER BY rank""".stripMargin
+  }
+
+  private val bpeTokenizeSpark: String =
+    s"""${bpeChainSpark(withFinalSeq = true)}
+       |SELECT token, CAST(SUM(freq) AS BIGINT) AS c
+       |FROM (SELECT freq, explode(split(seq, ' ')) AS token FROM s${operators.TrainOps3.BPE_MERGES})
+       |GROUP BY token
+       |ORDER BY c DESC, token LIMIT 25""".stripMargin
+
   val sparkSql: Map[String, String] = Map(
     "mm_metadata" ->
       """WITH media AS (
@@ -1633,6 +1687,87 @@ object SqlPort {
         |  CAST(SUM(q * q) AS DOUBLE) AS sum_sq,
         |  min(q) AS min_q, max(q) AS max_q
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "bpe_train_merges" -> bpeTrainMergesSpark,
+
+    // bm25_retrieval: unnest/string_split/list_filter → explode/split/
+    // filter; the scoring double expression keeps the oracle's exact
+    // operation sequence so the snapped micros agree bit-for-bit.
+    "bm25_retrieval" -> {
+      val vals = operators.TrainOps5.BM25_QUERIES
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      val k1 = operators.TrainOps5.BM25_K1
+      val b = operators.TrainOps5.BM25_B
+      s"""WITH queries AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+         |  FROM VALUES $vals AS t(query_id, qtext)),
+         |qterms AS (SELECT query_id, explode(split(qtext, ' ')) AS term FROM queries),
+         |terms AS (SELECT DISTINCT term FROM qterms),
+         |docs AS (SELECT doc_id,
+         |  filter(split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |dld AS (SELECT doc_id, toks, CAST(size(toks) AS BIGINT) AS dl FROM docs),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                 CAST(sum(dl) AS BIGINT) AS t_tokens FROM dld),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+         |  FROM (SELECT doc_id, dl, explode(toks) AS token FROM dld) t
+         |  JOIN terms ON token = term
+         |  GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |scored AS (SELECT tf.doc_id, tf.token,
+         |    CAST(floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |      ((tf * ($k1 + 1.0)) / (tf + ($k1 * ((1.0 - $b) +
+         |        (($b * dl) / (CAST(t_tokens AS DOUBLE) / n_docs))))))) * 1e6 + 0.5) AS BIGINT) AS w_micros
+         |  FROM tf JOIN dfreq USING (token), stats),
+         |pairs AS (SELECT query_id, doc_id,
+         |    CAST(sum(w_micros) AS BIGINT) AS score_micros,
+         |    CAST(count(*) AS BIGINT) AS n_terms_hit
+         |  FROM scored JOIN qterms ON scored.token = qterms.term
+         |  GROUP BY query_id, doc_id),
+         |ranked AS (SELECT query_id, doc_id, score_micros, n_terms_hit,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rank
+         |  FROM pairs)
+         |SELECT query_id, rank, doc_id, score_micros, n_terms_hit
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // dedup_paragraph: list slicing → slice(), range → sequence via
+    // LATERAL VIEW, window keeper → the engine's min(struct) form
+    // (identical lexicographic semantics, skew-safe partial agg).
+    "dedup_paragraph" -> {
+      val w = operators.TrainOps5.PARA_W
+      s"""WITH base AS (SELECT doc_id,
+         |    filter(split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sized AS (SELECT doc_id, toks, size(toks) AS n FROM base),
+         |chunks AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+         |    array_join(slice(toks, i * $w + 1, $w), ' ') AS chunk,
+         |    CAST(size(slice(toks, i * $w + 1, $w)) AS BIGINT) AS ntok
+         |  FROM (SELECT doc_id, toks, n FROM sized WHERE n > 0) s
+         |  LATERAL VIEW explode(sequence(0, CAST(ceil(n / $w.0) AS INT) - 1)) u AS i),
+         |keepers AS (SELECT chunk, min(struct(doc_id, idx)) AS kk FROM chunks GROUP BY chunk),
+         |flagged AS (SELECT c.doc_id, c.idx, c.ntok,
+         |    (c.doc_id = kk.doc_id AND c.idx = kk.idx) AS kept
+         |  FROM chunks c JOIN keepers k ON c.chunk = k.chunk),
+         |per_doc AS (SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT) AS tokens_kept
+         |  FROM flagged GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_chunks, CAST(0 AS BIGINT)) AS n_chunks,
+         |  COALESCE(n_removed, CAST(0 AS BIGINT)) AS n_removed,
+         |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+         |  COALESCE(tokens_kept, CAST(0 AS BIGINT)) AS tokens_kept,
+         |  CASE WHEN COALESCE(n_tokens, 0) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(floor((n_tokens - tokens_kept) * 1000000 / n_tokens) AS BIGINT)
+         |  END AS removed_ppm
+         |FROM (SELECT doc_id FROM base) d LEFT JOIN per_doc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "bpe_tokenize" -> bpeTokenizeSpark,
 
     "bpe_pair_counts" ->
       """WITH tok AS (SELECT explode(split(text, ' ')) AS tok FROM documents),

@@ -1,0 +1,166 @@
+package graft
+
+import graft.operators.TrainOps5
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrainOps5Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def writeDocs(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t5").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", s"src${i % 2}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // --- dedup_paragraph -------------------------------------------------
+
+  /** Independent reference: plain-Scala window chunking + first-
+    * occurrence keep over (doc_id, idx) order.
+    */
+  private def paraReference(texts: Seq[String]): Map[Long, (Long, Long, Long, Long, Long)] = {
+    val w = TrainOps5.PARA_W
+    val chunks = texts.zipWithIndex.flatMap { case (t, doc) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      toks.grouped(w).zipWithIndex.map { case (g, i) =>
+        (doc.toLong, i.toLong, g.mkString(" "), g.length.toLong)
+      }
+    }
+    val keeper = chunks.groupBy(_._3).map { case (c, occ) =>
+      c -> occ.map(o => (o._1, o._2)).min
+    }
+    val perDoc = chunks.groupBy(_._1).map { case (doc, cs) =>
+      val kept = cs.filter(c => keeper(c._3) == ((c._1, c._2)))
+      val nTok = cs.map(_._4).sum
+      val tokKept = kept.map(_._4).sum
+      val ppm = if (nTok == 0) 0L else math.floor((nTok - tokKept) * 1000000.0 / nTok).toLong
+      doc -> ((cs.size.toLong, (cs.size - kept.size).toLong, nTok, tokKept, ppm))
+    }
+    texts.indices.map(_.toLong).map(d => d -> perDoc.getOrElse(d, (0L, 0L, 0L, 0L, 0L))).toMap
+  }
+
+  test("dedup_paragraph: planted duplicate windows — counts match the independent reference") {
+    // docs 0 and 1 share their first 10-token window verbatim; doc 2
+    // repeats doc 0's window INSIDE itself; doc 3 is unique; doc 4 is
+    // a short doc that is a full duplicate of doc 3's trailing partial
+    // window; doc 5 is whitespace-only (0 tokens, 0 chunks).
+    val w10 = "a b c d e f g h i j"
+    val texts = Seq(
+      s"$w10 k l m",
+      s"$w10 x y z",
+      s"p q r s t u v w aa bb $w10",
+      "unique tokens only here two three four five six seven eight nine",
+      "eight nine",
+      "   ")
+    val dir = writeDocs(texts)
+    val want = paraReference(texts)
+    val got = TrainOps5.dedupParagraph(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == want, s"\ngot:  ${got.toSeq.sortBy(_._1)}\nwant: ${want.toSeq.sortBy(_._1)}")
+    // the planted duplicates actually removed something
+    assert(got(1L)._2 == 1L, "doc 1 loses the shared leading window")
+    assert(got(2L)._2 == 1L, "doc 2 loses its copy of doc 0's window")
+    assert(got(0L)._2 == 0L, "doc 0 is the first occurrence and keeps all")
+    assert(got(5L) == ((0L, 0L, 0L, 0L, 0L)), "empty doc reports zeros")
+  }
+
+  test("dedup_paragraph: sf corpus — removal accounting is globally consistent") {
+    val rows = TrainOps5.dedupParagraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_removed <= n_chunks")
+      assert(r.getLong(4) <= r.getLong(3), "tokens_kept <= n_tokens")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000)
+    }
+    // global identity: removed chunk count == occurrences - distinct chunks
+    val totalChunks = rows.map(_.getLong(1)).sum
+    val totalRemoved = rows.map(_.getLong(2)).sum
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), filter(split(coalesce(col("text"), lit("")), " "), x => x =!= lit("")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(explode(expr(
+        s"transform(sequence(0, CAST(ceil(n / ${TrainOps5.PARA_W}.0) AS INT) - 1), i -> array_join(slice(toks, i * ${TrainOps5.PARA_W} + 1, ${TrainOps5.PARA_W}), ' '))")).as("chunk"))
+    val distinctChunks = docs.select(col("chunk")).distinct().count()
+    assert(totalRemoved == totalChunks - distinctChunks,
+      s"removed=$totalRemoved chunks=$totalChunks distinct=$distinctChunks")
+  }
+
+  // --- bm25_retrieval --------------------------------------------------
+
+  /** Independent BM25 with the operator's exact op order and snap. */
+  private def bm25Reference(texts: Seq[String]): Map[Long, Seq[(Long, Long, Long)]] = {
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t.split(" ").filter(_.nonEmpty).toSeq)
+    }
+    val n = docs.size.toLong
+    val tTokens = docs.map(_._2.size.toLong).sum
+    val avgdl = tTokens.toDouble / n
+    val dfm = docs.flatMap { case (_, ts) => ts.distinct }.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    TrainOps5.BM25_QUERIES.map { case (qid, qtext) =>
+      val terms = qtext.split(" ").toSeq
+      val scored = docs.flatMap { case (doc, ts) =>
+        val dl = ts.size.toLong
+        val hits = terms.flatMap { term =>
+          val tf = ts.count(_ == term).toLong
+          if (tf == 0) None
+          else {
+            val df = dfm(term)
+            val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            val w = idf * ((tf * (1.2 + 1.0)) / (tf + (1.2 * ((1.0 - 0.75) + ((0.75 * dl) / avgdl)))))
+            Some(math.floor(w * 1e6 + 0.5).toLong)
+          }
+        }
+        if (hits.isEmpty) None else Some((doc, hits.sum, hits.size.toLong))
+      }
+      qid -> scored.sortBy { case (d, sc, _) => (-sc, d) }.take(5)
+        .map { case (d, sc, h) => (d, sc, h) }
+    }.toMap
+  }
+
+  test("bm25_retrieval: planted corpus — top-5 matches the independent scorer") {
+    val texts = Seq(
+      "data query plan data data plan",
+      "window merge batch window merge",
+      "slow scan filter scan scan scan",
+      "customer order line order",
+      "stream join state join stream stream state",
+      "hash group sort group",
+      "data window slow customer stream hash",           // one term from each query
+      "filler tokens with no overlap at all whatsoever", // never retrieved
+      "query merge scan order join sort")                // second term from each
+    val dir = writeDocs(texts)
+    val want = bm25Reference(texts)
+    val got = TrainOps5.bm25Retrieval(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      }
+    assert(got.keySet == want.keySet.filter(want(_).nonEmpty))
+    got.foreach { case (q, rs) =>
+      assert(rs == want(q), s"query $q:\ngot:  $rs\nwant: ${want(q)}")
+    }
+  }
+
+  test("bm25_retrieval: sf corpus — ranks contiguous, scores non-increasing, hits bounded") {
+    val rows = TrainOps5.bm25Retrieval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    val nTerms = TrainOps5.BM25_QUERIES.toMap.view.mapValues(_.split(" ").length).toMap
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq, s"query $q ranks")
+      assert(sorted.length <= 5)
+      val scores = sorted.map(_.getLong(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"query $q scores")
+      sorted.foreach { r =>
+        assert(r.getLong(4) >= 1 && r.getLong(4) <= nTerms(q), s"query $q n_terms_hit")
+        assert(r.getLong(3) > 0, s"query $q positive score")
+      }
+    }
+  }
+}
