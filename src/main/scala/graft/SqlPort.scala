@@ -1731,6 +1731,110 @@ object SqlPort {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    // rag_context_pack: same scoring chain as bm25_retrieval's port,
+    // candidate cut at 16 then the budget running sum.
+    "rag_context_pack" -> {
+      val vals = operators.TrainOps5.BM25_QUERIES
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      val k1 = operators.TrainOps5.BM25_K1
+      val b = operators.TrainOps5.BM25_B
+      val cand = operators.TrainOps5.RAG_CAND
+      val budget = operators.TrainOps5.RAG_BUDGET
+      s"""WITH queries AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+         |  FROM VALUES $vals AS t(query_id, qtext)),
+         |qterms AS (SELECT query_id, explode(split(qtext, ' ')) AS term FROM queries),
+         |terms AS (SELECT DISTINCT term FROM qterms),
+         |docs AS (SELECT doc_id,
+         |  filter(split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |dld AS (SELECT doc_id, toks, CAST(size(toks) AS BIGINT) AS dl FROM docs),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                 CAST(sum(dl) AS BIGINT) AS t_tokens FROM dld),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+         |  FROM (SELECT doc_id, dl, explode(toks) AS token FROM dld) t
+         |  JOIN terms ON token = term
+         |  GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |scored AS (SELECT tf.doc_id, tf.token, tf.dl,
+         |    CAST(floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |      ((tf * ($k1 + 1.0)) / (tf + ($k1 * ((1.0 - $b) +
+         |        (($b * dl) / (CAST(t_tokens AS DOUBLE) / n_docs))))))) * 1e6 + 0.5) AS BIGINT) AS w_micros
+         |  FROM tf JOIN dfreq USING (token), stats),
+         |pairs AS (SELECT query_id, doc_id,
+         |    CAST(sum(w_micros) AS BIGINT) AS score_micros,
+         |    max(scored.dl) AS dl
+         |  FROM scored JOIN qterms ON scored.token = qterms.term
+         |  GROUP BY query_id, doc_id),
+         |ranked AS (SELECT query_id, doc_id, score_micros, dl,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rank
+         |  FROM pairs),
+         |packed AS (SELECT query_id, rank, doc_id, dl,
+         |    CAST(sum(dl) OVER (PARTITION BY query_id ORDER BY rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM ranked WHERE rank <= $cand)
+         |SELECT query_id, rank, doc_id, dl, cum_tokens,
+         |       cum_tokens <= ${budget}L AS included
+         |FROM packed ORDER BY query_id, rank""".stripMargin
+    },
+
+    // text_lm_bigram: range/list indexing → sequence + element_at,
+    // // → DIV (non-negative operands, identical results).
+    "text_lm_bigram" ->
+      """WITH base AS (SELECT doc_id,
+        |    filter(split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |prs AS (SELECT doc_id, element_at(toks, CAST(i AS INT)) AS w1,
+        |               element_at(toks, CAST(i + 1 AS INT)) AS w2
+        |  FROM (SELECT doc_id, toks FROM base WHERE size(toks) >= 2) s
+        |  LATERAL VIEW explode(sequence(1, size(toks) - 1)) u AS i),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM prs GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        |vocab AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+        |  FROM (SELECT explode(toks) AS t FROM base)),
+        |scored AS (SELECT doc_id,
+        |    CAST(floor(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)) * 1e6 + 0.5) AS BIGINT) AS nll_micros
+        |  FROM prs JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab),
+        |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(nll_micros) AS BIGINT) AS nll_micros
+        |  FROM scored GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  COALESCE(n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+        |  COALESCE(nll_micros, CAST(0 AS BIGINT)) AS nll_micros,
+        |  CASE WHEN COALESCE(n_pairs, 0) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE COALESCE(nll_micros, 0) DIV n_pairs END AS mean_nll_micros
+        |FROM (SELECT doc_id FROM base) b LEFT JOIN per_doc USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // quality_classifier: list_sum/list_distinct → aggregate/
+    // array_distinct; identical frozen weights and op sequence.
+    "quality_classifier" -> {
+      val (w0, w1, w2, w3, w4) = operators.TrainOps5.QC_W
+      val sw = operators.TrainOps5.QC_STOPWORDS.map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id,
+         |    filter(split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |feat AS (SELECT doc_id,
+         |    CAST(size(toks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN size(toks) = 0 THEN 0.0
+         |         ELSE CAST(aggregate(toks, 0L, (acc, x) -> acc + length(x)) AS DOUBLE) / size(toks) END AS mean_len,
+         |    CASE WHEN size(toks) = 0 THEN 0.0
+         |         ELSE CAST(size(filter(toks, x -> x IN ($sw))) AS DOUBLE) / size(toks) END AS stop_ratio,
+         |    CASE WHEN size(toks) = 0 THEN 0.0
+         |         ELSE CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) END AS distinct_ratio
+         |  FROM base),
+         |z AS (SELECT doc_id, n_tokens, mean_len, stop_ratio, distinct_ratio,
+         |    ((($w0 + ($w1 * n_tokens)) + ($w2 * mean_len)) + (($w3 * stop_ratio) + ($w4 * distinct_ratio))) AS z
+         |  FROM feat)
+         |SELECT doc_id, n_tokens,
+         |  CAST(floor(mean_len * 1e6 + 0.5) AS BIGINT) AS mean_len_micros,
+         |  CAST(floor(stop_ratio * 1e6 + 0.5) AS BIGINT) AS stop_ratio_micros,
+         |  CAST(floor(distinct_ratio * 1e6 + 0.5) AS BIGINT) AS distinct_ratio_micros,
+         |  CAST(floor((1.0 / (1.0 + exp(-z))) * 1e6 + 0.5) AS BIGINT) AS score_micros,
+         |  CAST(floor((1.0 / (1.0 + exp(-z))) * 1e6 + 0.5) AS BIGINT) >= 500000 AS keep
+         |FROM z ORDER BY doc_id""".stripMargin
+    },
+
     // dedup_paragraph: list slicing → slice(), range → sequence via
     // LATERAL VIEW, window keeper → the engine's min(struct) form
     // (identical lexicographic semantics, skew-safe partial agg).

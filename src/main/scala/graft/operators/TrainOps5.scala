@@ -42,7 +42,11 @@ object TrainOps5 {
   private[graft] val BM25_K1 = "1.2"
   private[graft] val BM25_B = "0.75"
 
-  val bm25Retrieval: Q = (s, d) => {
+  /** The scored (query_id, doc_id, score_micros, n_terms_hit, dl)
+    * frame both retrieval heads share — everything up to (but not
+    * including) the per-query top-k.
+    */
+  private def bm25Pairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), toksOf(col("text")).as("toks"))
@@ -71,11 +75,16 @@ object TrainOps5 {
         (col("tf") + (expr(BM25_K1) * ((lit(1.0) - expr(BM25_B)) +
           ((expr(BM25_B) * col("dl")) / col("avgdl")))))))
       .withColumn("w_micros", floor(col("w") * 1e6 + 0.5).cast("long"))
-    val pairs = scored
+    scored
       .join(broadcast(qterms), col("token") === col("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w_micros")).as("score_micros"),
-        count(lit(1)).cast("long").as("n_terms_hit"))
+        count(lit(1)).cast("long").as("n_terms_hit"),
+        max(col("dl")).as("dl"))
+  }
+
+  val bm25Retrieval: Q = (s, d) => {
+    val pairs = bm25Pairs(s, d)
     TopK.topKPerGroup(pairs, Seq("query_id"),
         Seq(("score_micros", true), ("doc_id", false)), 5)
       .withColumn("rank", row_number().over(
@@ -85,6 +94,73 @@ object TrainOps5 {
         col("score_micros"), col("n_terms_hit"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // --- rag_context_pack: budgeted context assembly ---------------------
+  // The serving stage after retrieval: for each query, take the top-16
+  // BM25 candidates and include them in rank order while the running
+  // token total stays within a 512-token context budget (greedy prefix
+  // — the standard RAG context-window assembly rule). Excluded
+  // candidates stay in the report with included=false so the cut line
+  // is visible. Scale: the candidate set is TopKPerGroup-bounded
+  // BEFORE the running-sum window, so the per-query window sorts ≤16
+  // rows no matter how many documents matched — the window never sees
+  // corpus-sized partitions. All-integer (score micros + token
+  // counts), hash-gated.
+  private[graft] val RAG_CAND = 16
+  private[graft] val RAG_BUDGET = 512L
+
+  val ragContextPack: Q = (s, d) => {
+    val cand = TopK.topKPerGroup(bm25Pairs(s, d), Seq("query_id"),
+      Seq(("score_micros", true), ("doc_id", false)), RAG_CAND)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+    cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("dl")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("included", col("cum_tokens") <= RAG_BUDGET)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("dl"),
+        col("cum_tokens"), col("included"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ragContextPackSql: String =
+    s"""WITH queries(query_id, qtext) AS (VALUES $bm25QueryValues),
+       |qterms AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+       |                  unnest(string_split(qtext, ' ')) AS term FROM queries),
+       |terms AS (SELECT DISTINCT term FROM qterms),
+       |docs AS (SELECT doc_id,
+       |  list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |dld AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS t_tokens FROM dld),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dld) t
+       |  JOIN terms ON token = term
+       |  GROUP BY doc_id, token),
+       |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+       |scored AS (SELECT tf.doc_id, tf.token, tf.dl,
+       |    CAST(floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |      ((tf * ($BM25_K1 + 1.0)) / (tf + ($BM25_K1 * ((1.0 - $BM25_B) +
+       |        (($BM25_B * dl) / (CAST(t_tokens AS DOUBLE) / n_docs))))))) * 1e6 + 0.5) AS BIGINT) AS w_micros
+       |  FROM tf JOIN dfreq USING (token), stats),
+       |pairs AS (SELECT query_id, doc_id,
+       |    CAST(sum(w_micros) AS BIGINT) AS score_micros,
+       |    max(scored.dl) AS dl
+       |  FROM scored JOIN qterms ON scored.token = qterms.term
+       |  GROUP BY query_id, doc_id),
+       |ranked AS (SELECT query_id, doc_id, score_micros, dl,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rank
+       |  FROM pairs),
+       |packed AS (SELECT query_id, rank, doc_id, dl,
+       |    CAST(sum(dl) OVER (PARTITION BY query_id ORDER BY rank
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM ranked WHERE rank <= $RAG_CAND)
+       |SELECT query_id, rank, doc_id, dl, cum_tokens,
+       |       cum_tokens <= $RAG_BUDGET AS included
+       |FROM packed ORDER BY query_id, rank""".stripMargin
 
   private def bm25QueryValues: String =
     BM25_QUERIES.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
@@ -205,11 +281,156 @@ object TrainOps5 {
        |FROM (SELECT doc_id FROM base) d LEFT JOIN per_doc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --- text_lm_bigram: add-one-smoothed bigram LM surprisal -----------
+  // The bigram upgrade of text_lm_rarity's unigram proxy: train the LM
+  // on the corpus itself (bigram counts c2(w1,w2), context totals
+  // c1(w1) = Σ_w2 c2, vocab size V), then score every document's mean
+  // conditional surprisal nll = ln((c1 + V) / (c2 + 1)) — the
+  // perplexity-style quality filter with context. Train + serve in
+  // one dataflow: the bigram table derives FROM the per-doc pair
+  // frame's own groupBy (Catalyst reuses the exchange), c1 is a
+  // second aggregate of c2 (vocab-sized input), V is one scalar. Each
+  // pair's nll is snapped to integer micros BEFORE the per-doc sum
+  // (order-free); the mean is integer division. At 100 TB the bigram
+  // join is keyed (w1,w2) — Zipf-skewed keys are exactly what AQE's
+  // skew split handles, and both count tables are Heaps-bounded
+  // (vocab², far below corpus scale).
+  val textLmBigram: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), toksOf(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val prs = base.filter(col("n") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, n - 1), i -> struct(element_at(toks, i) AS w1, element_at(toks, CAST(i + 1 AS INT)) AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = prs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = base.select(explode(col("toks")).as("t")).agg(
+      countDistinct(col("t")).as("v"))
+    val scored = prs
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll_micros",
+        floor(log((col("c1") + col("v")).cast("double") / (col("c2") + lit(1L))) * 1e6 + 0.5).cast("long"))
+    val perDoc = scored.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("nll_micros")).as("nll_micros"))
+    base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("nll_micros"), lit(0L)).as("nll_micros"))
+      .withColumn("mean_nll_micros",
+        when(col("n_pairs") === 0L, 0L)
+          .otherwise(expr("nll_micros DIV n_pairs")))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLmBigramSql: String =
+    """WITH base AS (SELECT doc_id,
+      |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |prs AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM base, UNNEST(range(1, len(toks))) AS u(i)
+      |  WHERE len(toks) >= 2),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM prs GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+      |vocab AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+      |  FROM (SELECT unnest(toks) AS t FROM base)),
+      |scored AS (SELECT doc_id,
+      |    CAST(floor(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)) * 1e6 + 0.5) AS BIGINT) AS nll_micros
+      |  FROM prs JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab),
+      |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(nll_micros) AS BIGINT) AS nll_micros
+      |  FROM scored GROUP BY doc_id)
+      |SELECT b.doc_id,
+      |  COALESCE(n_pairs, 0) AS n_pairs,
+      |  COALESCE(nll_micros, 0) AS nll_micros,
+      |  CASE WHEN COALESCE(n_pairs, 0) = 0 THEN 0
+      |       ELSE COALESCE(nll_micros, 0) // n_pairs END AS mean_nll_micros
+      |FROM (SELECT doc_id FROM base) b LEFT JOIN per_doc USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
+  // --- quality_classifier: frozen linear model applied at scale -------
+  // The decision stage after feature extraction (the fasttext/CCNet
+  // quality-filter shape): a FROZEN logistic model over four per-doc
+  // features — token count, mean token length, stopword ratio,
+  // distinct-token ratio — scored as sigmoid(w·x), snapped to micros,
+  // thresholded at 0.5. Weights are interpolated constants shared by
+  // engine, oracle, and SqlPort mirror; every feature is a per-row
+  // projection (ZERO shuffles — the whole operator is one scan +
+  // codegen'd projection, embarrassingly parallel at any corpus size).
+  // The model is a stand-in for any trained linear head; the Spark
+  // surface (broadcastable weights, one-pass scoring, integer-stable
+  // output) is the real deliverable.
+  private[graft] val QC_STOPWORDS = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+  private[graft] val QC_W: (String, String, String, String, String) =
+    ("-2.0", "0.004", "0.35", "1.6", "1.2") // w0, w_ntok, w_meanlen, w_stop, w_distinct
+
+  val qualityClassifier: Q = (s, d) => {
+    val (w0, w1, w2, w3, w4) = QC_W
+    val sw = QC_STOPWORDS.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), toksOf(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("mean_len", when(col("n_tokens") === 0L, lit(0.0)).otherwise(
+        expr("CAST(aggregate(toks, 0L, (acc, x) -> acc + length(x)) AS DOUBLE)") / col("n_tokens")))
+      .withColumn("stop_ratio", when(col("n_tokens") === 0L, lit(0.0)).otherwise(
+        expr(s"CAST(size(filter(toks, x -> x IN ($sw))) AS DOUBLE)") / col("n_tokens")))
+      .withColumn("distinct_ratio", when(col("n_tokens") === 0L, lit(0.0)).otherwise(
+        expr("CAST(size(array_distinct(toks)) AS DOUBLE)") / col("n_tokens")))
+      .withColumn("z", expr(
+        s"(($w0 + ($w1 * n_tokens)) + ($w2 * mean_len)) + (($w3 * stop_ratio) + ($w4 * distinct_ratio))"))
+      .withColumn("score_micros",
+        floor((lit(1.0) / (lit(1.0) + exp(-col("z")))) * 1e6 + 0.5).cast("long"))
+      .withColumn("keep", col("score_micros") >= 500000L)
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("mean_len") * 1e6 + 0.5).cast("long").as("mean_len_micros"),
+        floor(col("stop_ratio") * 1e6 + 0.5).cast("long").as("stop_ratio_micros"),
+        floor(col("distinct_ratio") * 1e6 + 0.5).cast("long").as("distinct_ratio_micros"),
+        col("score_micros"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityClassifierSql: String = {
+    val (w0, w1, w2, w3, w4) = QC_W
+    val sw = QC_STOPWORDS.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (SELECT doc_id,
+       |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |feat AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mean_len,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(toks, x -> x IN ($sw))) AS DOUBLE) / len(toks) END AS stop_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS distinct_ratio
+       |  FROM base),
+       |z AS (SELECT doc_id, n_tokens, mean_len, stop_ratio, distinct_ratio,
+       |    ((($w0 + ($w1 * n_tokens)) + ($w2 * mean_len)) + (($w3 * stop_ratio) + ($w4 * distinct_ratio))) AS z
+       |  FROM feat)
+       |SELECT doc_id, n_tokens,
+       |  CAST(floor(mean_len * 1e6 + 0.5) AS BIGINT) AS mean_len_micros,
+       |  CAST(floor(stop_ratio * 1e6 + 0.5) AS BIGINT) AS stop_ratio_micros,
+       |  CAST(floor(distinct_ratio * 1e6 + 0.5) AS BIGINT) AS distinct_ratio_micros,
+       |  CAST(floor((1.0 / (1.0 + exp(-z))) * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       |  CAST(floor((1.0 / (1.0 + exp(-z))) * 1e6 + 0.5) AS BIGINT) >= 500000 AS keep
+       |FROM z ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "bm25_retrieval" -> bm25Retrieval,
-    "dedup_paragraph" -> dedupParagraph)
+    "rag_context_pack" -> ragContextPack,
+    "dedup_paragraph" -> dedupParagraph,
+    "text_lm_bigram" -> textLmBigram,
+    "quality_classifier" -> qualityClassifier)
 
   val oracles: Map[String, String] = Map(
     "bm25_retrieval" -> bm25RetrievalSql,
-    "dedup_paragraph" -> dedupParagraphSql)
+    "rag_context_pack" -> ragContextPackSql,
+    "dedup_paragraph" -> dedupParagraphSql,
+    "text_lm_bigram" -> textLmBigramSql,
+    "quality_classifier" -> qualityClassifierSql)
 }

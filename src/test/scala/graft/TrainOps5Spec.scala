@@ -146,6 +146,114 @@ class TrainOps5Spec extends AnyFunSuite {
     }
   }
 
+  test("rag_context_pack: budget prefix matches a driver-side recomputation from bm25 pairs") {
+    val rows = TrainOps5.ragContextPack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq, s"query $q ranks")
+      assert(sorted.length <= TrainOps5.RAG_CAND)
+      // cum_tokens is the prefix sum of dl; included iff within budget
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getLong(3)
+        assert(r.getLong(4) == cum, s"query $q cum at rank ${r.getLong(1)}")
+        assert(r.getBoolean(5) == (cum <= TrainOps5.RAG_BUDGET), s"query $q included flag")
+      }
+      // the included set is a prefix
+      val inc = sorted.map(_.getBoolean(5))
+      assert(!inc.zip(inc.tail).exists { case (a, b) => !a && b }, s"query $q prefix property")
+    }
+  }
+
+  test("rag_context_pack: top-5 candidate order agrees with bm25_retrieval") {
+    val bm25 = TrainOps5.bm25Retrieval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pack = TrainOps5.ragContextPack(spark, sf).collect()
+      .filter(_.getLong(1) <= 5)
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pack == bm25, "first five ranks of the pack are exactly the retrieval head")
+  }
+
+  // --- text_lm_bigram ---------------------------------------------------
+
+  /** Independent add-one bigram LM on plain Scala collections. */
+  private def bigramReference(texts: Seq[String]): Map[Long, (Long, Long, Long)] = {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t.split(" ").filter(_.nonEmpty).toSeq) }
+    val pairs = docs.flatMap { case (d, ts) => ts.zip(ts.drop(1)).map(p => (d, p._1, p._2)) }
+    val c2 = pairs.groupBy(p => (p._2, p._3)).map { case (k, g) => k -> g.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, g) => w1 -> g.values.sum }
+    val v = docs.flatMap(_._2).distinct.size.toLong
+    docs.map { case (d, _) =>
+      val mine = pairs.filter(_._1 == d)
+      val micros = mine.map { case (_, w1, w2) =>
+        math.floor(math.log((c1(w1) + v).toDouble / (c2((w1, w2)) + 1L)) * 1e6 + 0.5).toLong
+      }
+      val s = micros.sum
+      d -> ((mine.size.toLong, s, if (mine.isEmpty) 0L else s / mine.size))
+    }.toMap
+  }
+
+  test("text_lm_bigram: planted corpus matches the independent add-one bigram LM") {
+    val texts = Seq(
+      "a b a b a c",      // repeated bigram (a,b) is cheap; (a,c) rare
+      "a b",              // single common pair -> low surprisal
+      "x y z q",          // all-singleton bigrams -> high surprisal
+      "loner",            // one token -> zero pairs
+      "")                 // empty -> zero pairs
+    val dir = writeDocs(texts)
+    val want = bigramReference(texts)
+    val got = TrainOps5.textLmBigram(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"\ngot:  ${got.toSeq.sortBy(_._1)}\nwant: ${want.toSeq.sortBy(_._1)}")
+    assert(got(3L) == ((0L, 0L, 0L)) && got(4L) == ((0L, 0L, 0L)))
+    // the all-singleton doc is strictly more surprising than the common-pair doc
+    assert(got(2L)._3 > got(1L)._3, "rare bigrams score higher surprisal")
+  }
+
+  test("text_lm_bigram: sf corpus — mean is the integer quotient and surprisal is positive") {
+    val rows = TrainOps5.textLmBigram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, sum, mean) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      if (np == 0) assert(sum == 0 && mean == 0)
+      else {
+        assert(sum > 0, s"doc ${r.getLong(0)}: smoothed surprisal is strictly positive")
+        assert(mean == sum / np)
+      }
+    }
+  }
+
+  // --- quality_classifier ----------------------------------------------
+
+  test("quality_classifier: planted corpus matches a driver-side scoring of the frozen model") {
+    val texts = Seq(
+      "the a of and to in is the a of",                       // stopword-heavy
+      "alpha beta gamma delta epsilon zeta eta theta",        // all distinct, no stopwords
+      "x x x x x x x x x x x x",                              // degenerate repetition
+      "")                                                     // empty
+    val dir = writeDocs(texts)
+    val (w0, w1, w2, w3, w4) = TrainOps5.QC_W
+    val ws = Seq(w0, w1, w2, w3, w4).map(_.toDouble)
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val ts = t.split(" ").filter(_.nonEmpty)
+      val n = ts.length.toLong
+      val (ml, sr, dr) =
+        if (n == 0) (0.0, 0.0, 0.0)
+        else (ts.map(_.length.toLong).sum.toDouble / n,
+          ts.count(TrainOps5.QC_STOPWORDS.contains).toDouble / n,
+          ts.distinct.length.toDouble / n)
+      val z = ((ws(0) + (ws(1) * n)) + (ws(2) * ml)) + ((ws(3) * sr) + (ws(4) * dr))
+      val sc = math.floor((1.0 / (1.0 + math.exp(-z))) * 1e6 + 0.5).toLong
+      (i.toLong, n, math.floor(ml * 1e6 + 0.5).toLong, math.floor(sr * 1e6 + 0.5).toLong,
+        math.floor(dr * 1e6 + 0.5).toLong, sc, sc >= 500000L)
+    }
+    val got = TrainOps5.qualityClassifier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6))).toSeq.sortBy(_._1)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+  }
+
   test("bm25_retrieval: sf corpus — ranks contiguous, scores non-increasing, hits bounded") {
     val rows = TrainOps5.bm25Retrieval(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -18,7 +18,7 @@ SF="${2:-/root/testdata/sf0.1}"
 OUT="${3:-/tmp/verify_lc}"
 
 sbt -batch package >/dev/null
-JAR="$(ls target/scala-2.13/*.jar | head -1)"
+JAR="$(ls target/scala-2.13/*.jar | grep -v -- '-tests' | head -1)"
 
 export SPARK_HOME=/opt/spark
 # Workers build the executor command outside spark-class: the scala
