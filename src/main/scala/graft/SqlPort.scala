@@ -419,6 +419,49 @@ object SqlPort {
        |GROUP BY token
        |ORDER BY c DESC, token LIMIT 25""".stripMargin
 
+  /** Spark-dialect BM25 scoring chain shared by bm25_retrieval and
+    * bm25_index (the index is lossless, so one conformance text covers
+    * both keys). Keeps the DuckDB oracle's exact IEEE operation
+    * sequence so the snapped micros agree bit-for-bit.
+    */
+  private def bm25SparkPort: String = {
+    val vals = operators.TrainOps5.BM25_QUERIES
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    val k1 = operators.TrainOps5.BM25_K1
+    val b = operators.TrainOps5.BM25_B
+    s"""WITH queries AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+       |  FROM VALUES $vals AS t(query_id, qtext)),
+       |qterms AS (SELECT query_id, explode(split(qtext, ' ')) AS term FROM queries),
+       |terms AS (SELECT DISTINCT term FROM qterms),
+       |docs AS (SELECT doc_id,
+       |  filter(split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |dld AS (SELECT doc_id, toks, CAST(size(toks) AS BIGINT) AS dl FROM docs),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS t_tokens FROM dld),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+       |  FROM (SELECT doc_id, dl, explode(toks) AS token FROM dld) t
+       |  JOIN terms ON token = term
+       |  GROUP BY doc_id, token),
+       |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+       |scored AS (SELECT tf.doc_id, tf.token,
+       |    CAST(floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |      ((tf * ($k1 + 1.0)) / (tf + ($k1 * ((1.0 - $b) +
+       |        (($b * dl) / (CAST(t_tokens AS DOUBLE) / n_docs))))))) * 1e6 + 0.5) AS BIGINT) AS w_micros
+       |  FROM tf JOIN dfreq USING (token), stats),
+       |pairs AS (SELECT query_id, doc_id,
+       |    CAST(sum(w_micros) AS BIGINT) AS score_micros,
+       |    CAST(count(*) AS BIGINT) AS n_terms_hit
+       |  FROM scored JOIN qterms ON scored.token = qterms.term
+       |  GROUP BY query_id, doc_id),
+       |ranked AS (SELECT query_id, doc_id, score_micros, n_terms_hit,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, doc_id, score_micros, n_terms_hit
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val sparkSql: Map[String, String] = Map(
     "mm_metadata" ->
       """WITH media AS (
@@ -1693,43 +1736,11 @@ object SqlPort {
     // bm25_retrieval: unnest/string_split/list_filter → explode/split/
     // filter; the scoring double expression keeps the oracle's exact
     // operation sequence so the snapped micros agree bit-for-bit.
-    "bm25_retrieval" -> {
-      val vals = operators.TrainOps5.BM25_QUERIES
-        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
-      val k1 = operators.TrainOps5.BM25_K1
-      val b = operators.TrainOps5.BM25_B
-      s"""WITH queries AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
-         |  FROM VALUES $vals AS t(query_id, qtext)),
-         |qterms AS (SELECT query_id, explode(split(qtext, ' ')) AS term FROM queries),
-         |terms AS (SELECT DISTINCT term FROM qterms),
-         |docs AS (SELECT doc_id,
-         |  filter(split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
-         |  FROM documents),
-         |dld AS (SELECT doc_id, toks, CAST(size(toks) AS BIGINT) AS dl FROM docs),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |                 CAST(sum(dl) AS BIGINT) AS t_tokens FROM dld),
-         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
-         |  FROM (SELECT doc_id, dl, explode(toks) AS token FROM dld) t
-         |  JOIN terms ON token = term
-         |  GROUP BY doc_id, token),
-         |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
-         |scored AS (SELECT tf.doc_id, tf.token,
-         |    CAST(floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-         |      ((tf * ($k1 + 1.0)) / (tf + ($k1 * ((1.0 - $b) +
-         |        (($b * dl) / (CAST(t_tokens AS DOUBLE) / n_docs))))))) * 1e6 + 0.5) AS BIGINT) AS w_micros
-         |  FROM tf JOIN dfreq USING (token), stats),
-         |pairs AS (SELECT query_id, doc_id,
-         |    CAST(sum(w_micros) AS BIGINT) AS score_micros,
-         |    CAST(count(*) AS BIGINT) AS n_terms_hit
-         |  FROM scored JOIN qterms ON scored.token = qterms.term
-         |  GROUP BY query_id, doc_id),
-         |ranked AS (SELECT query_id, doc_id, score_micros, n_terms_hit,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rank
-         |  FROM pairs)
-         |SELECT query_id, rank, doc_id, score_micros, n_terms_hit
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    },
+    "bm25_retrieval" -> bm25SparkPort,
+
+    // bm25_index serves the identical ranking from the persisted
+    // inverted index — the SQL-only surface recomputes from documents.
+    "bm25_index" -> bm25SparkPort,
 
     // rag_context_pack: same scoring chain as bm25_retrieval's port,
     // candidate cut at 16 then the budget running sum.

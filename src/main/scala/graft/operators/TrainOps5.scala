@@ -162,6 +162,119 @@ object TrainOps5 {
        |       cum_tokens <= $RAG_BUDGET AS included
        |FROM packed ORDER BY query_id, rank""".stripMargin
 
+  // --- bm25_index: the persisted write-once inverted index ------------
+  // bm25_retrieval deliberately avoids materializing an inverted index
+  // (right for one-shot scoring); a SERVING deployment builds the index
+  // once and answers many query sets against it. The postings table
+  // (token, doc_id, tf, dl) is written PARTITIONED BY an md5-derived
+  // 64-way token bucket — the distributed analog of inverted-list
+  // seeks: a query set touches only the partitions its terms hash to
+  // (STATIC partition pruning; the probe bucket set is computed
+  // driver-side from the literal terms, so the directories are
+  // eliminated at plan time, before any IO — asserted in
+  // TrainOps5Spec). Corpus stats (N, total tokens) persist beside the
+  // postings so a serving process needs no corpus pass at all. Same
+  // write-once discipline as ann_ivf_index: repartition(bucket) before
+  // partitionBy bounds the layout at one file per bucket; builds are
+  // memoized per path+process. Scores are identical to bm25_retrieval
+  // by construction, so the SAME DuckDB oracle gates the whole
+  // build→persist→prune→score path.
+  private[graft] val BM25_BUCKETS = 64
+
+  private def tokenBucket(c: Column): Column =
+    pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(BM25_BUCKETS.toLong))
+
+  /** Driver-side mirror of [[tokenBucket]] for the literal query terms
+    * (15 hex chars = 60 bits, fits a long; parity spec-asserted).
+    */
+  private[graft] def tokenBucketLocal(t: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    math.floorMod(java.lang.Long.parseLong(hex.substring(0, 15), 16), BM25_BUCKETS.toLong)
+  }
+
+  /** Build + persist postings and stats; returns (n_docs, t_tokens). */
+  def buildBm25Index(docs0: DataFrame, path: String): (Long, Long) = {
+    val s = docs0.sparkSession
+    val docs = docs0
+      .select(col("doc_id"), toksOf(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val a = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).collect()(0)
+    val (nDocs, tTokens) = (a.getLong(0), if (a.isNullAt(1)) 0L else a.getLong(1))
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("bucket", tokenBucket(col("token")))
+    postings.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    import s.implicits._
+    Seq((nDocs, tTokens)).toDF("n_docs", "t_tokens")
+      .write.mode("overwrite").parquet(s"$path/stats")
+    (nDocs, tTokens)
+  }
+
+  /** Serve the static query set against a persisted index. */
+  def queryBm25Index(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val postingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, token STRING, tf BIGINT, dl BIGINT, bucket BIGINT")
+    val statsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "n_docs BIGINT, t_tokens BIGINT")
+    val postings = s.read.schema(postingsSchema).parquet(s"$path/postings")
+    val stats = s.read.schema(statsSchema).parquet(s"$path/stats")
+    val qterms = BM25_QUERIES.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+    val terms = BM25_QUERIES.flatMap(_._2.split(" ")).distinct
+    val buckets = terms.map(tokenBucketLocal).distinct
+    // bucket ∈ literals lands in PartitionFilters (directory-level
+    // elimination at plan time); token ∈ literals is the row filter
+    // inside the surviving buckets.
+    val tf = postings
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .select(col("doc_id"), col("token"), col("tf"), col("dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("t_tokens").cast("double") / col("n_docs"))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w", col("idf") * ((col("tf") * expr(s"($BM25_K1 + 1.0)")) /
+        (col("tf") + (expr(BM25_K1) * ((lit(1.0) - expr(BM25_B)) +
+          ((expr(BM25_B) * col("dl")) / col("avgdl")))))))
+      .withColumn("w_micros", floor(col("w") * 1e6 + 0.5).cast("long"))
+    val pairs = scored
+      .join(broadcast(qterms), col("token") === col("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_micros")).as("score_micros"),
+        count(lit(1)).cast("long").as("n_terms_hit"))
+    TopK.topKPerGroup(pairs, Seq("query_id"),
+        Seq(("score_micros", true), ("doc_id", false)), 5)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_micros").desc, col("doc_id"))).cast("long"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micros"), col("n_terms_hit"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Session-memoized builds (write-once semantics in a query fn). */
+  private val builtBm25 =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Drop memoized index records (mirrors Similarity.clearTrainedState;
+    * called by ScaleData writers that overwrite a corpus in place).
+    */
+  def clearIndexState(): Unit = builtBm25.clear()
+
+  val bm25Index: Q = (s, d) => {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_bm25_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    builtBm25.computeIfAbsent(path,
+      _ => buildBm25Index(Tables.documents(s, d), path))
+    queryBm25Index(s, path)
+  }
+
   private def bm25QueryValues: String =
     BM25_QUERIES.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
 
@@ -422,6 +535,7 @@ object TrainOps5 {
 
   val queries: Map[String, Q] = Map(
     "bm25_retrieval" -> bm25Retrieval,
+    "bm25_index" -> bm25Index,
     "rag_context_pack" -> ragContextPack,
     "dedup_paragraph" -> dedupParagraph,
     "text_lm_bigram" -> textLmBigram,
@@ -429,6 +543,9 @@ object TrainOps5 {
 
   val oracles: Map[String, String] = Map(
     "bm25_retrieval" -> bm25RetrievalSql,
+    // the index is lossless for matched terms, so the identical oracle
+    // gates the whole build -> persist -> prune -> score path
+    "bm25_index" -> bm25RetrievalSql,
     "rag_context_pack" -> ragContextPackSql,
     "dedup_paragraph" -> dedupParagraphSql,
     "text_lm_bigram" -> textLmBigramSql,

@@ -175,6 +175,49 @@ class TrainOps5Spec extends AnyFunSuite {
     assert(pack == bm25, "first five ranks of the pack are exactly the retrieval head")
   }
 
+  // --- bm25_index --------------------------------------------------------
+
+  test("bm25_index: driver-side bucket mirror matches Spark's md5 bucket for every query term") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val terms = TrainOps5.BM25_QUERIES.flatMap(_._2.split(" ")).distinct
+    val sparkSide = terms.toDF("t")
+      .select(col("t"), pmod(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"),
+        lit(TrainOps5.BM25_BUCKETS.toLong)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.foreach { t =>
+      assert(TrainOps5.tokenBucketLocal(t) == sparkSide(t), s"bucket mismatch for '$t'")
+    }
+  }
+
+  test("bm25_index: persisted index serves the identical ranking and PRUNES to the probed buckets") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_spec"
+    TrainOps5.buildBm25Index(Tables.documents(spark, sf), path)
+    // layout: one directory per bucket, bounded by the bucket count
+    val bucketDirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(bucketDirs.nonEmpty && bucketDirs.size <= TrainOps5.BM25_BUCKETS)
+    val served = TrainOps5.queryBm25Index(spark, path)
+    // STATIC pruning: the postings scan carries the bucket IN (...)
+    // predicate as a PartitionFilter — directory elimination at plan
+    // time, before any IO
+    val plan = served.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("bucket")).getOrElse("")
+    assert(scanLine.contains("bucket"),
+      s"postings scan must prune on bucket; plan:\n$plan")
+    val got = served.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val want = TrainOps5.bm25Retrieval(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, "index serve equals fresh retrieval")
+    // the probed bucket set is a strict subset of the written buckets
+    val probed = TrainOps5.BM25_QUERIES.flatMap(_._2.split(" "))
+      .map(TrainOps5.tokenBucketLocal).distinct.toSet
+    assert(probed.size < bucketDirs.size,
+      s"probe set (${probed.size}) should be smaller than the layout (${bucketDirs.size})")
+  }
+
   // --- text_lm_bigram ---------------------------------------------------
 
   /** Independent add-one bigram LM on plain Scala collections. */
