@@ -374,7 +374,7 @@ object SqlPort {
     * WHERE-before-LATERAL-VIEW ordering: the size guard sits in a
     * subquery because Spark applies WHERE after generators.
     */
-  private def bpeChainSpark(withFinalSeq: Boolean): String = {
+  private def bpeChainSpark(withFinalSeq: Boolean, trainWhere: String = ""): String = {
     val K = operators.TrainOps3.BPE_MERGES
     val iters = (0 until K).map { k =>
       val pat = "COALESCE(' ' || bp.pair || ' ', chr(1))"
@@ -396,7 +396,7 @@ object SqlPort {
            |  FROM s$k LEFT JOIN b$k bp ON true)""".stripMargin
     }.mkString(",\n")
     s"""WITH w AS (SELECT word, COUNT(*) AS freq
-       |  FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
+       |  FROM (SELECT explode(split(text, ' ')) AS word FROM documents$trainWhere)
        |  WHERE length(word) >= 1 GROUP BY word),
        |s0 AS (SELECT freq, array_join(filter(split(word, ''), x -> x <> ''), ' ') AS seq FROM w),
        |$iters""".stripMargin
@@ -418,6 +418,41 @@ object SqlPort {
        |FROM (SELECT freq, explode(split(seq, ' ')) AS token FROM s${operators.TrainOps3.BPE_MERGES})
        |GROUP BY token
        |ORDER BY c DESC, token LIMIT 25""".stripMargin
+
+  /** Spark-dialect unroll of the train-on-complement/serve-on-batch
+    * flow: the same chain restricted to the training slice, the batch
+    * application chain (one LEFT JOIN b_k per merge, COALESCE-chr(1)
+    * no-op past exhaustion), and the fertility/OOV rollup.
+    */
+  private val bpeApplyBatchSpark: String = {
+    val K = operators.TrainOps3.BPE_MERGES
+    val applyIters = (0 until K).map { k =>
+      val pat = "COALESCE(' ' || bp.pair || ' ', chr(1))"
+      val rep = "COALESCE(' ' || bp.merged || ' ', chr(1))"
+      s"""a${k + 1} AS (SELECT source,
+         |  trim(replace(replace(' ' || seq || ' ', $pat, $rep), $pat, $rep)) AS seq
+         |  FROM a$k LEFT JOIN b$k bp ON true)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeChainSpark(withFinalSeq = true, trainWhere = " WHERE doc_id % 7 <> 3")},
+       |vset AS (SELECT DISTINCT explode(split(seq, ' ')) AS vtok FROM s$K),
+       |bwords AS (SELECT source, word FROM (
+       |  SELECT source, explode(split(text, ' ')) AS word
+       |  FROM documents WHERE doc_id % 7 = 3) t WHERE length(word) >= 1),
+       |a0 AS (SELECT source, array_join(filter(split(word, ''), x -> x <> ''), ' ') AS seq FROM bwords),
+       |$applyIters,
+       |btok AS (SELECT source, explode(split(seq, ' ')) AS tok FROM a$K),
+       |tc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |  FROM btok LEFT JOIN vset ON tok = vtok GROUP BY source),
+       |wc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words FROM bwords GROUP BY source)
+       |SELECT wc.source, n_words, n_tokens,
+       |  n_tokens * 1000000 DIV n_words AS fertility_ppm,
+       |  n_oov,
+       |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE n_oov * 1000000 DIV n_tokens END AS oov_ppm
+       |FROM wc JOIN tc USING (source)
+       |ORDER BY wc.source""".stripMargin
+  }
 
   /** Spark-dialect BM25 scoring chain shared by bm25_retrieval and
     * bm25_index (the index is lossless, so one conformance text covers
@@ -1883,6 +1918,8 @@ object SqlPort {
     },
 
     "bpe_tokenize" -> bpeTokenizeSpark,
+
+    "bpe_apply_batch" -> bpeApplyBatchSpark,
 
     "bpe_pair_counts" ->
       """WITH tok AS (SELECT explode(split(text, ' ')) AS tok FROM documents),

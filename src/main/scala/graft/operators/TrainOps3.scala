@@ -542,10 +542,12 @@ object TrainOps3 {
     * and registered with the Caches registry (the caller hands it to
     * a lazy consumer, so release happens at phase end, not inline).
     */
-  private def bpeLoop(s: SparkSession, d: String, keepFinal: Boolean)
+  private def bpeLoop(s: SparkSession, d: String, keepFinal: Boolean,
+      trainFilter: Option[Column] = None)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.Row
-    val vocab = Tables.documents(s, d)
+    val base = trainFilter.foldLeft(Tables.documents(s, d))((df, f) => df.filter(f))
+    val vocab = base
       .select(explode(toks(col("text"))).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -618,6 +620,54 @@ object TrainOps3 {
       .orderBy(col("c").desc, col("token")).limit(25)
   }
 
+  // --- bpe_apply_batch: incremental serve + tokenizer QA --------------
+  // The deployment reality bpe_tokenize's corpus identity cannot
+  // cover: NEW data arrives after training. Train the K merges on the
+  // corpus COMPLEMENT (doc_id % 7 <> 3 — the same deterministic
+  // held-out convention as dedup_incremental's batch split), then
+  // apply them to the held-out batch and report the two tokenizer-QA
+  // metrics per source: FERTILITY (tokens per word, ppm — the
+  // compression the tokenizer actually achieves on unseen text) and
+  // OOV rate (emitted tokens absent from the trained vocabulary).
+  // The merge table is driver-held (K rows — the centroid pattern),
+  // so application is a literal 12-deep replace fold inside ONE
+  // codegen'd projection: no join against the training frame for
+  // tokenization, and the only batch-side shuffle is the per-source
+  // aggregate. The OOV check joins batch tokens against the
+  // Heaps-bounded trained-vocabulary frame. The oracle re-derives the
+  // merges with the same unrolled MATERIALIZED-CTE chain restricted
+  // to the training slice, then unrolls the application chain over
+  // the batch — the full train-on-old/serve-on-new flow under one
+  // hash gate.
+  val bpeApplyBatch: Q = (s, d) => {
+    val (merges, fin) = bpeLoop(s, d, keepFinal = true,
+      trainFilter = Some(col("doc_id") % 7 =!= 3))
+    val vtoks = fin.select(explode(split(col("seq"), " ")).as("vtok")).distinct()
+    val words = Tables.documents(s, d)
+      .filter(col("doc_id") % 7 === 3)
+      .select(col("source"), explode(toks(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+    val seq0 = array_join(filter(split(col("word"), ""), x => x =!= lit("")), " ")
+    val applied = merges.foldLeft(seq0) { case (c, (_, pair, merged, _)) =>
+      val (pat, rep) = (lit(s" $pair "), lit(s" $merged "))
+      trim(replace(replace(concat(lit(" "), c, lit(" ")), pat, rep), pat, rep))
+    }
+    val toksOut = words
+      .select(col("source"), explode(split(applied, " ")).as("tok"))
+      .join(vtoks, col("tok") === col("vtok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("n_oov"))
+    val wcount = words.groupBy(col("source")).agg(count(lit(1)).as("n_words"))
+    wcount.join(toksOut, "source")
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        expr("n_tokens * 1000000 DIV n_words").as("fertility_ppm"),
+        col("n_oov"),
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(expr("n_oov * 1000000 DIV n_tokens")).as("oov_ppm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_substring" -> dedupSubstring,
     "text_lm_rarity" -> textLmRarity,
@@ -629,6 +679,7 @@ object TrainOps3 {
     "bpe_pair_counts" -> bpePairCounts,
     "bpe_train_merges" -> bpeTrainMerges,
     "bpe_tokenize" -> bpeTokenize,
+    "bpe_apply_batch" -> bpeApplyBatch,
     "dedup_semantic_keep" -> dedupSemanticKeep,
     "embed_dim_stats" -> embedDimStats)
 
@@ -650,7 +701,7 @@ object TrainOps3 {
   // emit it, because the final frame is its subject. After early
   // exhaustion b_k is empty, so s_{k+1} == s_k and the tokenize
   // aggregate still reads the right final state.
-  private def bpeChainSql(withFinalSeq: Boolean): String = {
+  private def bpeChainSql(withFinalSeq: Boolean, trainWhere: String = ""): String = {
     val iters = (0 until BPE_MERGES).map { k =>
       val (pat, rep) = (
         "COALESCE(' ' || bp.pair || ' ', chr(1))",
@@ -670,7 +721,7 @@ object TrainOps3 {
            |  FROM s$k LEFT JOIN b$k bp ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH w AS (SELECT word, COUNT(*) AS freq
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents$trainWhere)
        |  WHERE len(word) >= 1 GROUP BY word),
        |s0 AS MATERIALIZED (SELECT freq, array_to_string(string_split(word, ''), ' ') AS seq FROM w),
        |$iters""".stripMargin
@@ -692,6 +743,35 @@ object TrainOps3 {
        |GROUP BY token
        |ORDER BY c DESC, token LIMIT 25""".stripMargin
 
+  val bpeApplyBatchSql: String = {
+    val applyIters = (0 until BPE_MERGES).map { k =>
+      val pat = "COALESCE(' ' || bp.pair || ' ', chr(1))"
+      val rep = "COALESCE(' ' || bp.merged || ' ', chr(1))"
+      s"""a${k + 1} AS MATERIALIZED (SELECT source,
+         |  trim(replace(replace(' ' || seq || ' ', $pat, $rep), $pat, $rep)) AS seq
+         |  FROM a$k LEFT JOIN b$k bp ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeChainSql(withFinalSeq = true, trainWhere = " WHERE doc_id % 7 <> 3")},
+       |vset AS MATERIALIZED (SELECT DISTINCT unnest(string_split(seq, ' ')) AS vtok FROM s$BPE_MERGES),
+       |bwords AS MATERIALIZED (SELECT source, word FROM (
+       |  SELECT source, unnest(string_split(text, ' ')) AS word
+       |  FROM documents WHERE doc_id % 7 = 3) t WHERE len(word) >= 1),
+       |a0 AS MATERIALIZED (SELECT source, array_to_string(string_split(word, ''), ' ') AS seq FROM bwords),
+       |$applyIters,
+       |btok AS (SELECT source, unnest(string_split(seq, ' ')) AS tok FROM a$BPE_MERGES),
+       |tc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |  FROM btok LEFT JOIN vset ON tok = vtok GROUP BY source),
+       |wc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words FROM bwords GROUP BY source)
+       |SELECT wc.source, n_words, n_tokens,
+       |  CAST(n_tokens * 1000000 // n_words AS BIGINT) AS fertility_ppm,
+       |  n_oov,
+       |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(n_oov * 1000000 // n_tokens AS BIGINT) END AS oov_ppm
+       |FROM wc JOIN tc USING (source)
+       |ORDER BY wc.source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_substring" -> dedupSubstringSql,
     "text_lm_rarity" -> textLmRaritySql,
@@ -703,6 +783,7 @@ object TrainOps3 {
     "bpe_pair_counts" -> bpePairCountsSql,
     "bpe_train_merges" -> bpeTrainMergesSql,
     "bpe_tokenize" -> bpeTokenizeSql,
+    "bpe_apply_batch" -> bpeApplyBatchSql,
     "dedup_semantic_keep" -> dedupSemanticKeepSql,
     "embed_dim_stats" -> embedDimStatsSql)
 }

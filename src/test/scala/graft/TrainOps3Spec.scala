@@ -256,6 +256,69 @@ class TrainOps3Spec extends AnyFunSuite {
     assert(toks.forall(t => t.nonEmpty && !t.contains(" ")))
   }
 
+  test("bpe_apply_batch: held-out batch with true OOV matches an independent train/serve run") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpeapply").toString
+    // doc_ids 0,1,2,4,5,6 train (id % 7 != 3); doc 3 and doc 10 are the
+    // batch. Doc 3 contains 'zz' and 'qqq' whose chars never occur in
+    // training -> every emitted token is OOV; 'aab' is in-vocab.
+    val rows = Seq(
+      (0L, "aab aab aab banana", "src0"),
+      (1L, "banana bandana aab", "src0"),
+      (2L, "aab banana banana", "src1"),
+      (3L, "zz qqq aab", "src0"),           // batch
+      (4L, "bandana aab aab", "src1"),
+      (5L, "aab banana", "src1"),
+      (6L, "banana banana aab", "src0"),
+      (10L, "aab banana", "src1"))           // batch (10 % 7 = 3)
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent train on the complement
+    val trainWords = rows.filter(_._1 % 7 != 3).flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+    val merges = bpeReference(trainWords, TrainOps3.BPE_MERGES)
+    def padReplace(s: String, pair: String, merged: String): String = {
+      val (pat, rep) = (" " + pair + " ", " " + merged + " ")
+      (" " + s + " ").replace(pat, rep).replace(pat, rep).trim
+    }
+    def applyAll(w: String): Seq[String] = {
+      var s = w.toCharArray.mkString(" ")
+      for ((_, pair, merged, _) <- merges) s = padReplace(s, pair, merged)
+      s.split(" ").toSeq
+    }
+    val vocab = trainWords.keys.flatMap(applyAll).toSet
+    val batch = rows.filter(_._1 % 7 == 3)
+    val want = batch.groupBy(_._3).map { case (src, docs) =>
+      val words = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      val toks = words.flatMap(applyAll)
+      val oov = toks.count(!vocab.contains(_)).toLong
+      (src, words.size.toLong, toks.size.toLong,
+        toks.size.toLong * 1000000L / words.size, oov,
+        if (toks.isEmpty) 0L else oov * 1000000L / toks.size)
+    }.toSeq.sortBy(_._1)
+    val got = TrainOps3.bpeApplyBatch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    // the planted OOV actually fires
+    assert(got.find(_._1 == "src0").get._5 > 0, "zz/qqq emit OOV tokens")
+    assert(got.find(_._1 == "src1").get._5 == 0, "in-vocab batch doc has zero OOV")
+  }
+
+  test("bpe_apply_batch: sf corpus — fertility within [1, 1e7] ppm, OOV bounded by token count") {
+    val rows = TrainOps3.bpeApplyBatch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nt, fert, oov, oovppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nw > 0 && nt >= nw, "merging never splits below one token per word")
+      assert(fert == nt * 1000000L / nw)
+      assert(oov >= 0 && oov <= nt)
+      assert(oovppm == (if (nt == 0) 0L else oov * 1000000L / nt))
+    }
+  }
+
   test("bpe_train_merges: sf corpus — contiguous ranks, non-increasing counts, merged = pair sans space") {
     val rows = TrainOps3.bpeTrainMerges(spark, sf).collect()
     assert(rows.length == TrainOps3.BPE_MERGES, "sf corpus never exhausts 6 merges")
