@@ -1881,6 +1881,36 @@ object SqlPort {
          |FROM z ORDER BY doc_id""".stripMargin
     },
 
+    // stream_quality_gate: the classifier port plus the routing
+    // verdict (batch twin of the streaming gate).
+    "stream_quality_gate" -> {
+      val (w0, w1, w2, w3, w4) = operators.TrainOps5.QC_W
+      val sw = operators.TrainOps5.QC_STOPWORDS.map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id,
+         |    filter(split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |feat AS (SELECT doc_id,
+         |    CAST(size(toks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN size(toks) = 0 THEN 0.0
+         |         ELSE CAST(aggregate(toks, 0L, (acc, x) -> acc + length(x)) AS DOUBLE) / size(toks) END AS mean_len,
+         |    CASE WHEN size(toks) = 0 THEN 0.0
+         |         ELSE CAST(size(filter(toks, x -> x IN ($sw))) AS DOUBLE) / size(toks) END AS stop_ratio,
+         |    CASE WHEN size(toks) = 0 THEN 0.0
+         |         ELSE CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) END AS distinct_ratio
+         |  FROM base),
+         |z AS (SELECT doc_id, n_tokens,
+         |    ((($w0 + ($w1 * n_tokens)) + ($w2 * mean_len)) + (($w3 * stop_ratio) + ($w4 * distinct_ratio))) AS z
+         |  FROM feat),
+         |sc AS (SELECT doc_id, n_tokens,
+         |    CAST(floor((1.0 / (1.0 + exp(-z))) * 1e6 + 0.5) AS BIGINT) AS score_micros
+         |  FROM z)
+         |SELECT doc_id, n_tokens, score_micros,
+         |  CASE WHEN n_tokens < 5 THEN 'too_short'
+         |       WHEN score_micros < 500000 THEN 'low_score'
+         |       ELSE 'pass' END AS verdict
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
     // dedup_paragraph: list slicing → slice(), range → sequence via
     // LATERAL VIEW, window keeper → the engine's min(struct) form
     // (identical lexicographic semantics, skew-safe partial agg).

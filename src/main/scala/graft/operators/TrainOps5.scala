@@ -481,10 +481,15 @@ object TrainOps5 {
   private[graft] val QC_W: (String, String, String, String, String) =
     ("-2.0", "0.004", "0.35", "1.6", "1.2") // w0, w_ntok, w_meanlen, w_stop, w_distinct
 
-  val qualityClassifier: Q = (s, d) => {
+  /** Frame-level scoring core shared by the batch key and the
+    * streaming gate (stateless projection — runs unchanged on a
+    * stream). Input needs (doc_id, text); emits the feature micros,
+    * score and keep flag.
+    */
+  def scoreQuality(docs: DataFrame): DataFrame = {
     val (w0, w1, w2, w3, w4) = QC_W
     val sw = QC_STOPWORDS.map(w => s"'$w'").mkString(", ")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), toksOf(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("mean_len", when(col("n_tokens") === 0L, lit(0.0)).otherwise(
@@ -503,8 +508,10 @@ object TrainOps5 {
         floor(col("stop_ratio") * 1e6 + 0.5).cast("long").as("stop_ratio_micros"),
         floor(col("distinct_ratio") * 1e6 + 0.5).cast("long").as("distinct_ratio_micros"),
         col("score_micros"), col("keep"))
-      .orderBy(col("doc_id"))
   }
+
+  val qualityClassifier: Q = (s, d) =>
+    scoreQuality(Tables.documents(s, d)).orderBy(col("doc_id"))
 
   val qualityClassifierSql: String = {
     val (w0, w1, w2, w3, w4) = QC_W

@@ -424,7 +424,57 @@ object Streaming {
       |FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rn = 1
       |ORDER BY a.user_id""".stripMargin
 
+  /** stream_quality_gate: the ingest-quality gate as a STREAM stage —
+    * the frozen logistic classifier (TrainOps5.scoreQuality, a
+    * stateless codegen'd projection, so it runs UNCHANGED in a
+    * streaming query with no watermark or state) plus the routing
+    * verdict an ingest pipeline acts on: too_short (hard floor before
+    * the model), low_score (model reject), pass. StreamingSpec drives
+    * this exact function through MemoryStream and asserts the
+    * per-trigger union equals the batch twin; the batch twin is
+    * DuckDB-gated, so the stream stage's semantics are oracle-checked.
+    */
+  def qualityGate(docs: DataFrame): DataFrame =
+    graft.operators.TrainOps5.scoreQuality(docs)
+      .withColumn("verdict",
+        when(col("n_tokens") < 5L, lit("too_short"))
+          .when(!col("keep"), lit("low_score"))
+          .otherwise(lit("pass")))
+      .select(col("doc_id"), col("n_tokens"), col("score_micros"), col("verdict"))
+
+  val streamQualityGate: Q = (s, d) =>
+    qualityGate(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  val streamQualityGateSql: String = {
+    val (w0, w1, w2, w3, w4) = graft.operators.TrainOps5.QC_W
+    val sw = graft.operators.TrainOps5.QC_STOPWORDS.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (SELECT doc_id,
+       |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |feat AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mean_len,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(toks, x -> x IN ($sw))) AS DOUBLE) / len(toks) END AS stop_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS distinct_ratio
+       |  FROM base),
+       |z AS (SELECT doc_id, n_tokens,
+       |    ((($w0 + ($w1 * n_tokens)) + ($w2 * mean_len)) + (($w3 * stop_ratio) + ($w4 * distinct_ratio))) AS z
+       |  FROM feat),
+       |sc AS (SELECT doc_id, n_tokens,
+       |    CAST(floor((1.0 / (1.0 + exp(-z))) * 1e6 + 0.5) AS BIGINT) AS score_micros
+       |  FROM z)
+       |SELECT doc_id, n_tokens, score_micros,
+       |  CASE WHEN n_tokens < 5 THEN 'too_short'
+       |       WHEN score_micros < 500000 THEN 'low_score'
+       |       ELSE 'pass' END AS verdict
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_quality_gate" -> streamQualityGate,
     "stream_upsert_sink" -> streamUpsertSink,
     "stream_sessionize" -> streamSessionize,
     "stream_window_counts" -> streamWindowCounts,
@@ -433,6 +483,7 @@ object Streaming {
     "stream_dup_gate" -> streamDupGate,
     "stream_dup_gate_exact" -> streamDupGateExact)
   val oracles: Map[String, String] = Map(
+    "stream_quality_gate" -> streamQualityGateSql,
     "stream_upsert_sink" -> streamUpsertSinkSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_window_counts" -> streamWindowCountsSql,

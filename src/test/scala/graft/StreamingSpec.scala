@@ -543,4 +543,37 @@ class StreamingSpec extends AnyFunSuite {
     // `last` is by EVENT time: user 2's later-arriving event 13 is older
     assert(finalState.map(t => t._1 -> t._2).toMap == Map(1L -> 11L, 2L -> 12L, 3L -> 14L))
   }
+
+  test("qualityGate runs UNCHANGED on a stream; per-trigger union equals the batch twin") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a b"),                                    // too_short
+      (3L, "x x x x x x x x x x"),                    // degenerate repetition
+      (4L, ""),                                       // empty -> too_short
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    // stateless projection: append mode, no watermark, no state store
+    val q = Streaming.qualityGate(df)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("qg").start()
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      def canon(dfx: org.apache.spark.sql.DataFrame) = dfx
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val streamed = canon(spark.table("qg"))
+      val batch = canon(Streaming.qualityGate(docs.toDF("doc_id", "text")))
+      assert(streamed == batch, s"\nstream: $streamed\nbatch:  $batch")
+      val verdicts = streamed.map(t => t._1 -> t._4).toMap
+      assert(verdicts(2L) == "too_short" && verdicts(4L) == "too_short")
+      assert(verdicts(1L) == "pass" || verdicts(1L) == "low_score") // model decides
+      assert(streamed.size == 5)
+    } finally q.stop()
+  }
 }
