@@ -227,4 +227,68 @@ class PlanAuditSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"$scans scans — locality rows must share one pass:\n${plan.take(1200)}")
   }
+
+  // --- round-11 operators ------------------------------------------------
+
+  test("bm25_retrieval filters the token stream by a BROADCAST term set before any shuffle") {
+    val plan = executedPlan("bm25_retrieval")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"term filter must be a broadcast join:\n${plan.take(1500)}")
+    // no corpus-wide inverted index: the only SortMergeJoin-scale keys
+    // allowed are the tiny matched-token frames, never the raw stream
+    assert(!plan.toLowerCase.contains("cartesian"), plan.take(1000))
+  }
+
+  test("quality_classifier is one scan + projection: ZERO exchanges in the final plan") {
+    // the orderBy is the output contract; below it the scoring itself
+    // must not shuffle. Count Exchange nodes excluding the final sort's
+    // rangepartitioning.
+    val plan = executedPlan("quality_classifier")
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    val rangeEx = "rangepartitioning".r.findAllIn(plan.toLowerCase).size
+    assert(exchanges == rangeEx,
+      s"scoring must be shuffle-free (found ${exchanges - rangeEx} non-sort exchanges):\n${plan.take(1500)}")
+  }
+
+  test("dedup_paragraph keeper is an aggregation with partial combine, not a window") {
+    val plan = executedPlan("dedup_paragraph")
+    // min(struct) keeper: viral chunks must hit map-side partial
+    // aggregation; a Window over the chunk partition would serialize
+    // the hottest chunk into one task
+    assert(!plan.contains("Window ["), // final orderBy is a Sort, not Window
+      s"keeper must not be a window:\n${plan.take(1500)}")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate")
+      || plan.contains("SortAggregate"), plan.take(800))
+  }
+
+  test("rag_context_pack's budget window runs on the TopK-bounded frame, never SinglePartition") {
+    val plan = executedPlan("rag_context_pack")
+    assert(plan.contains("TopKPerGroup"),
+      s"candidate cut must be the bounded-heap operator:\n${plan.take(1200)}")
+    // the budget window must be hash-partitioned by query (its input is
+    // the ≤16-per-query TopK frame); the scalar stats aggregate is the
+    // only legitimate SinglePartition (one row), so assert on the
+    // window's own exchange rather than the whole plan
+    val windowIdx = plan.indexOf("Window [")
+    assert(windowIdx >= 0, plan.take(800))
+    val below = plan.substring(windowIdx)
+    val exIdx = below.indexOf("Exchange ")
+    assert(exIdx >= 0 && below.substring(exIdx).startsWith("Exchange hashpartitioning(query_id"),
+      s"pack window must consume a query-hash exchange:\n${below.take(800)}")
+  }
+
+  test("text_lm_bigram reads documents ONCE per count table branch with pruned columns") {
+    val plan = executedPlan("text_lm_bigram")
+    assert(!plan.contains("n_chars") && !plan.contains("lang"),
+      s"unpruned documents columns:\n${plan.take(1500)}")
+  }
+
+  test("bpe_apply_batch tokenizes via a literal replace fold: no join before the explode") {
+    // the merge table is driver-held; the only joins allowed are the
+    // OOV vocabulary check and the final per-source rollup join
+    val plan = executedPlan("bpe_apply_batch")
+    assert(!plan.toLowerCase.contains("cartesian"), plan.take(1000))
+    assert(plan.contains("staticinvoke") || plan.contains("replace"),
+      s"replace fold missing from the projection:\n${plan.take(800)}")
+  }
 }
