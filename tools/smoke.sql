@@ -53,6 +53,31 @@ SELECT doc_id,
        / size(split(text, ' '))) * 0.3 AS quality_score
 FROM documents ORDER BY doc_id;
 
+-- key: quality_classifier (round-11 frozen logistic quality filter,
+-- zero shuffles — the SQL-only face of the training-data curation gate)
+WITH base AS (SELECT doc_id,
+    filter(split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+  FROM documents),
+feat AS (SELECT doc_id,
+    CAST(size(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN size(toks) = 0 THEN 0.0
+         ELSE CAST(aggregate(toks, 0L, (acc, x) -> acc + length(x)) AS DOUBLE) / size(toks) END AS mean_len,
+    CASE WHEN size(toks) = 0 THEN 0.0
+         ELSE CAST(size(filter(toks, x -> x IN ('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / size(toks) END AS stop_ratio,
+    CASE WHEN size(toks) = 0 THEN 0.0
+         ELSE CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) END AS distinct_ratio
+  FROM base),
+z AS (SELECT doc_id, n_tokens, mean_len, stop_ratio, distinct_ratio,
+    (((-2.0 + (0.004 * n_tokens)) + (0.35 * mean_len)) + ((1.6 * stop_ratio) + (1.2 * distinct_ratio))) AS z
+  FROM feat)
+SELECT doc_id, n_tokens,
+  CAST(floor(mean_len * 1e6 + 0.5) AS BIGINT) AS mean_len_micros,
+  CAST(floor(stop_ratio * 1e6 + 0.5) AS BIGINT) AS stop_ratio_micros,
+  CAST(floor(distinct_ratio * 1e6 + 0.5) AS BIGINT) AS distinct_ratio_micros,
+  CAST(floor((1.0 / (1.0 + exp(-z))) * 1e6 + 0.5) AS BIGINT) AS score_micros,
+  CAST(floor((1.0 / (1.0 + exp(-z))) * 1e6 + 0.5) AS BIGINT) >= 500000 AS keep
+FROM z ORDER BY doc_id;
+
 -- injected custom kernels: codegen'd expressions registered by
 -- GraftExtensions under their SQL names (no Registry call needed)
 SELECT doc_id,
