@@ -259,4 +259,64 @@ class KernelPropertySpec extends AnyFunSuite {
           Kernels.hyperplaneBucket(farr(scaled), planes, 8) == b0)
     })
   }
+
+  // --- round-11 kernels --------------------------------------------------
+
+  /** The driver-side md5 bucket mirror (TrainOps5.tokenBucketLocal)
+    * must agree with the Spark-side formula for ANY token, not just
+    * the six static queries' terms — the pure-JVM mirror of Spark's
+    * md5() + conv(hex,16,10) + pmod chain, checked here without a
+    * session by re-deriving via BigInt.
+    */
+  test("bm25 token bucket: local mirror equals the conv(md5-prefix) % B definition") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)) { w =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expect = (BigInt(hex.substring(0, 15), 16) mod BigInt(graft.operators.TrainOps5.BM25_BUCKETS)).toLong
+      graft.operators.TrainOps5.tokenBucketLocal(w) == expect
+    })
+  }
+
+  /** BPE application safety: for ANY word and ANY merge table built
+    * from it, folding the two-pass padded replaces never loses or
+    * invents characters — concatenating the emitted tokens always
+    * reconstructs the word. This is the invariant that makes
+    * bpe_apply_batch's token accounting (fertility, OOV) trustworthy
+    * regardless of which merges training produced.
+    */
+  test("bpe padded-replace fold reconstructs the word for any merge chain") {
+    def padReplace(s: String, pair: String, merged: String): String = {
+      val (pat, rep) = (" " + pair + " ", " " + merged + " ")
+      (" " + s + " ").replace(pat, rep).replace(pat, rep).trim
+    }
+    val genWord = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val gen = for {
+      w <- genWord
+      k <- Gen.choose(0, 6)
+    } yield (w, k)
+    check(Prop.forAll(gen) { case (w, k) =>
+      // train k merges on the word itself (greedy argmax, operator tie-break)
+      var seqs = List(w.toCharArray.mkString(" "))
+      var merges = List.empty[(String, String)]
+      var step = 0
+      var done = false
+      while (step < k && !done) {
+        val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        for (s <- seqs; a = s.split(" "); if a.length >= 2; i <- 0 until a.length - 1)
+          counts(a(i) + " " + a(i + 1)) += 1L
+        if (counts.isEmpty) done = true
+        else {
+          val (pair, _) = counts.toSeq.sortBy { case (p, n) => (-n, p) }.head
+          merges :+= (pair, pair.replace(" ", ""))
+          seqs = seqs.map(s => padReplace(s, pair, pair.replace(" ", "")))
+          step += 1
+        }
+      }
+      // apply the trained chain to the ORIGINAL word (serve side)
+      var s = w.toCharArray.mkString(" ")
+      for ((p, m) <- merges) s = padReplace(s, p, m)
+      val tokens = s.split(" ").filter(_.nonEmpty)
+      tokens.mkString("") == w && tokens.forall(_.nonEmpty)
+    })
+  }
 }
