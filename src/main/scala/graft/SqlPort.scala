@@ -1777,6 +1777,10 @@ object SqlPort {
     // inverted index — the SQL-only surface recomputes from documents.
     "bm25_index" -> bm25SparkPort,
 
+    // bm25_index_incr: build-then-append maintenance path, same
+    // lossless ranking contract.
+    "bm25_index_incr" -> bm25SparkPort,
+
     // rag_context_pack: same scoring chain as bm25_retrieval's port,
     // candidate cut at 16 then the budget running sum.
     "rag_context_pack" -> {

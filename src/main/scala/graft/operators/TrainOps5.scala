@@ -258,6 +258,57 @@ object TrainOps5 {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental maintenance: append a NEW batch of documents to an
+    * existing index. Postings are per (doc_id, token) aggregates and a
+    * document lives in exactly one batch, so batch-local tf/dl rows
+    * are EXACTLY the rows a full rebuild would produce — the append is
+    * lossless by construction (gated below). The write is append-mode
+    * into the same bucket partitioning (bucket-aligned files land in
+    * their directories; serve-side pruning is unchanged); stats are
+    * additive scalars. At 100 TB this is the difference between
+    * re-tokenizing the corpus per ingest and paying only for the new
+    * batch.
+    */
+  def appendBm25Index(newDocs: DataFrame, path: String,
+      prev: (Long, Long)): (Long, Long) = {
+    val s = newDocs.sparkSession
+    val docs = newDocs
+      .select(col("doc_id"), toksOf(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val a = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).collect()(0)
+    val (bDocs, bTokens) = (a.getLong(0), if (a.isNullAt(1)) 0L else a.getLong(1))
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("bucket", tokenBucket(col("token")))
+    postings.repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    val nd = (prev._1 + bDocs, prev._2 + bTokens)
+    import s.implicits._
+    Seq(nd).toDF("n_docs", "t_tokens")
+      .write.mode("overwrite").parquet(s"$path/stats")
+    nd
+  }
+
+  /** bm25_index_incr: the maintenance path under the SAME oracle —
+    * build the index from the doc_id % 7 <> 3 slice, APPEND the
+    * held-out batch, serve. Output must equal a fresh whole-corpus
+    * retrieval bit-for-bit, which is exactly what the shared DuckDB
+    * oracle asserts: incremental maintenance is lossless.
+    */
+  val bm25IndexIncr: Q = (s, d) => {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_bm25i_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    builtBm25.computeIfAbsent(path, { _ =>
+      val base = buildBm25Index(
+        Tables.documents(s, d).filter(col("doc_id") % 7 =!= 3), path)
+      appendBm25Index(
+        Tables.documents(s, d).filter(col("doc_id") % 7 === 3), path, base)
+    })
+    queryBm25Index(s, path)
+  }
+
   /** Session-memoized builds (write-once semantics in a query fn). */
   private val builtBm25 =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
@@ -543,6 +594,7 @@ object TrainOps5 {
   val queries: Map[String, Q] = Map(
     "bm25_retrieval" -> bm25Retrieval,
     "bm25_index" -> bm25Index,
+    "bm25_index_incr" -> bm25IndexIncr,
     "rag_context_pack" -> ragContextPack,
     "dedup_paragraph" -> dedupParagraph,
     "text_lm_bigram" -> textLmBigram,
@@ -553,6 +605,9 @@ object TrainOps5 {
     // the index is lossless for matched terms, so the identical oracle
     // gates the whole build -> persist -> prune -> score path
     "bm25_index" -> bm25RetrievalSql,
+    // ...and the same oracle gates the APPEND path: serve-after-append
+    // must equal a fresh whole-corpus retrieval bit-for-bit
+    "bm25_index_incr" -> bm25RetrievalSql,
     "rag_context_pack" -> ragContextPackSql,
     "dedup_paragraph" -> dedupParagraphSql,
     "text_lm_bigram" -> textLmBigramSql,

@@ -218,6 +218,30 @@ class TrainOps5Spec extends AnyFunSuite {
       s"probe set (${probed.size}) should be smaller than the layout (${bucketDirs.size})")
   }
 
+  test("bm25_index_incr: build-then-append serves the identical ranking as one-shot build") {
+    import org.apache.spark.sql.functions._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_incr_spec"
+    val full = Tables.documents(spark, sf)
+    // one-shot reference index
+    TrainOps5.buildBm25Index(full, s"$base/full")
+    val oneShot = TrainOps5.queryBm25Index(spark, s"$base/full").collect().toSeq
+    // split build + append
+    val st = TrainOps5.buildBm25Index(full.filter(col("doc_id") % 7 =!= 3), s"$base/incr")
+    TrainOps5.appendBm25Index(full.filter(col("doc_id") % 7 === 3), s"$base/incr", st)
+    val incr = TrainOps5.queryBm25Index(spark, s"$base/incr").collect().toSeq
+    def canon(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(canon(incr) == canon(oneShot), "append path diverged from rebuild")
+    // appended files landed INSIDE the existing bucket partitioning
+    val dirs = new java.io.File(s"$base/incr/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.size <= TrainOps5.BM25_BUCKETS)
+    // stats are the additive scalars of both batches
+    val stats = spark.read.parquet(s"$base/incr/stats").collect()(0)
+    val fullStats = spark.read.parquet(s"$base/full/stats").collect()(0)
+    assert(stats.getLong(0) == fullStats.getLong(0) && stats.getLong(1) == fullStats.getLong(1))
+  }
+
   // --- text_lm_bigram ---------------------------------------------------
 
   /** Independent add-one bigram LM on plain Scala collections. */
