@@ -139,6 +139,9 @@ object Bench {
       // unreachable.
       graft.Caches.release(blocking = true)
       graft.operators.Similarity.clearTrainedState()
+      // BM25 index builds are memoized per path+process; clear them too
+      // so a repeated battery re-pays the build, not serve-only cost.
+      graft.operators.TrainOps5.clearIndexState()
       System.gc()
       if (memLog) {
         sampling = false

@@ -1842,9 +1842,10 @@ object SqlPort {
         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
         |vocab AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
         |  FROM (SELECT explode(toks) AS t FROM base)),
-        |scored AS (SELECT doc_id,
+        |typed AS (SELECT w1, w2,
         |    CAST(floor(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)) * 1e6 + 0.5) AS BIGINT) AS nll_micros
-        |  FROM prs JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab),
+        |  FROM c2 JOIN c1 USING (w1), vocab),
+        |scored AS (SELECT doc_id, nll_micros FROM prs JOIN typed USING (w1, w2)),
         |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
         |    CAST(sum(nll_micros) AS BIGINT) AS nll_micros
         |  FROM scored GROUP BY doc_id)
@@ -1925,14 +1926,14 @@ object SqlPort {
          |  FROM documents),
          |sized AS (SELECT doc_id, toks, size(toks) AS n FROM base),
          |chunks AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
-         |    array_join(slice(toks, i * $w + 1, $w), ' ') AS chunk,
+         |    md5(array_join(slice(toks, i * $w + 1, $w), ' ')) AS ckey,
          |    CAST(size(slice(toks, i * $w + 1, $w)) AS BIGINT) AS ntok
          |  FROM (SELECT doc_id, toks, n FROM sized WHERE n > 0) s
          |  LATERAL VIEW explode(sequence(0, CAST(ceil(n / $w.0) AS INT) - 1)) u AS i),
-         |keepers AS (SELECT chunk, min(struct(doc_id, idx)) AS kk FROM chunks GROUP BY chunk),
+         |keepers AS (SELECT ckey, min(struct(doc_id, idx)) AS kk FROM chunks GROUP BY ckey),
          |flagged AS (SELECT c.doc_id, c.idx, c.ntok,
          |    (c.doc_id = kk.doc_id AND c.idx = kk.idx) AS kept
-         |  FROM chunks c JOIN keepers k ON c.chunk = k.chunk),
+         |  FROM chunks c JOIN keepers k ON c.ckey = k.ckey),
          |per_doc AS (SELECT doc_id,
          |    CAST(count(*) AS BIGINT) AS n_chunks,
          |    CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,

@@ -320,6 +320,76 @@ object Similarity {
       Seq(("cosine", true), ("vec_id", false)), k))
   }
 
+  // --- ann_ivf_index_incr: frozen-quantizer incremental append --------
+  // The IVF sibling of bm25_index_incr: a vector batch is ingested into
+  // the persisted index WITHOUT re-running k-means. The persisted
+  // centroids are the FROZEN quantizer — the production posture, where
+  // the quantizer is a training artifact and ingest must not drift it
+  // (drifting centroids would silently invalidate every previously
+  // assigned cell). Assignment is per-vector nearest-centroid,
+  // independent of every other vector, so append-then-serve EQUALS a
+  // fresh whole-corpus assignment under the same centroids — the
+  // losslessness gate IndexSpec asserts exactly at 1x AND 10x.
+  //
+  // Consistency: unlike BM25, IVF serve reads NO corpus-level
+  // statistics (scoring is pure per-pair cosine), so there is no
+  // mixed-stats failure mode to protect against — a reader during an
+  // append sees the old index plus whichever of the batch's cell files
+  // have landed, which is a correct index over a subset of the evolving
+  // corpus (the contract an ANN serve already has). Plain append-mode
+  // files therefore suffice where bm25's stats write needed the
+  // versioned commit point.
+  //
+  // RE-TRAIN POLICY (when appending must stop): quantizer drift shows
+  // up as cell skew — when the max cell's share of the corpus exceeds
+  // ~8x the mean cell size (or recall@k on a held-out calibration set
+  // drops below the build-time RECALL_TARGET), rebuild the quantizer
+  // via buildIvfIndex; until that bound trips, ingest is pay-per-batch.
+
+  /** Assign a NEW vector batch under the persisted (frozen) centroids
+    * and append it into the existing cent_id partitioning — same
+    * one-file-per-cell discipline as the build (repartition before
+    * partitionBy; each append adds at most one file per touched cell,
+    * so file counts grow with batches, not tasks×cells — compact when
+    * batch count grows large).
+    */
+  def appendIvfIndex(newVecs: DataFrame, path: String): Unit = {
+    val s = newVecs.sparkSession
+    val centSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "cent_id BIGINT, cvec ARRAY<FLOAT>")
+    val cents = s.read.schema(centSchema).parquet(s"$path/centroids")
+    val assigned = TopK.topKPerGroup(
+        newVecs.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            Expr.dotProduct(col("embedding"), col("cvec")).as("cdist")),
+        Seq("vec_id"), Seq(("cdist", true), ("cent_id", false)), 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    assigned.repartition(col("cent_id"))
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/corpus")
+  }
+
+  /** ann_ivf_index_incr: build the index from the vec_id % 7 <> 3
+    * slice (k-means trains on ingested data only), APPEND the held-out
+    * batch under the frozen quantizer, serve the standard query set.
+    * Rows-only registered (float cosine, like every IVF head); the
+    * losslessness gate — serve-after-append == fresh whole-corpus
+    * assignment on the same centroids — is asserted in IndexSpec, and
+    * the probe-side pruning/recall assertions of ann_ivf_index apply
+    * unchanged (same serve path).
+    */
+  val annIvfIndexIncr: Q = (s, d) => {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_ivfi_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    val geom = builtIndexes.computeIfAbsent(path, { _ =>
+      val g = buildIvfIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") % 7 =!= 3), path)
+      appendIvfIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3), path)
+      g
+    })
+    queryIvfIndex(s, path, queriesDf(s, d), geom._2, TOPK)
+  }
+
   /** Session-memoized index builds (write-once semantics in a query fn). */
   private val builtIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
@@ -456,6 +526,7 @@ object Similarity {
     "ann_lsh_exact" -> annLshExact,
     "ann_ivf" -> annIvf,
     "ann_ivf_index" -> annIvfIndex,
+    "ann_ivf_index_incr" -> annIvfIndexIncr,
     "ann_quantized" -> annQuantized)
 
   /** Float-cosine variants are rows-only: DuckDB's float accumulation

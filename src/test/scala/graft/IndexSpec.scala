@@ -36,7 +36,7 @@ class IndexSpec extends AnyFunSuite {
     * ≤ 10% of cells, and checks recall@10 ≥ 0.9 against the exact
     * broadcast top-k.
     */
-  private def clusteredCase(nClusters: Int, members: Int, tag: String): Unit = {
+  private def clusteredCorpus(nClusters: Int, members: Int): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val rnd = new java.util.Random(42L)
     val dim = 64
@@ -53,7 +53,11 @@ class IndexSpec extends AnyFunSuite {
       val n = math.sqrt(v.map(x => x * x).sum)
       ((c.toLong * members + m).toLong, v.map(x => (x / n).toFloat))
     }
-    val corpus = rows.toDF("vec_id", "embedding")
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def clusteredCase(nClusters: Int, members: Int, tag: String): Unit = {
+    val corpus = clusteredCorpus(nClusters, members)
     val cpath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_clustered_$tag"
     val (nCent, nProbe) = Similarity.buildIvfIndex(corpus, cpath)
     assert(nProbe <= math.ceil(0.1 * nCent).toInt,
@@ -83,6 +87,44 @@ class IndexSpec extends AnyFunSuite {
     // fraction and the recall bar must survive the scale-up — the
     // scale-stability claim behind ann_ivf_index
     clusteredCase(400, 50, "10x")
+  }
+
+  /** ann_ivf_index_incr losslessness gate: append-then-serve must
+    * EXACTLY equal a fresh whole-corpus assignment under the SAME
+    * frozen centroids. The reference index copies the incr build's
+    * centroids and assigns the whole corpus in one appendIvfIndex pass
+    * (append into an empty corpus dir IS the assignment pass), so any
+    * divergence is an append bug — never k-means nondeterminism.
+    */
+  private def losslessCase(corpus: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    val ipath = s"${System.getProperty("java.io.tmpdir")}/graft_ivfi_spec_$tag"
+    val rpath = s"${System.getProperty("java.io.tmpdir")}/graft_ivfi_ref_$tag"
+    rm(new java.io.File(ipath)); rm(new java.io.File(rpath))
+    val (_, nProbe) = Similarity.buildIvfIndex(corpus.filter(col("vec_id") % 7 =!= 3), ipath)
+    Similarity.appendIvfIndex(corpus.filter(col("vec_id") % 7 === 3), ipath)
+    val centSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "cent_id BIGINT, cvec ARRAY<FLOAT>")
+    spark.read.schema(centSchema).parquet(s"$ipath/centroids")
+      .write.parquet(s"$rpath/centroids")
+    Similarity.appendIvfIndex(corpus, rpath)
+    val qs = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def serve(p: String) = Similarity.queryIvfIndex(spark, p, qs, nProbe, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
+      .toSet
+    assert(serve(ipath) == serve(rpath),
+      s"[$tag] frozen-quantizer append diverged from fresh whole-corpus assignment")
+  }
+
+  test("ann_ivf_index_incr: frozen-quantizer append is lossless at 1x") {
+    losslessCase(Tables.embeddings(spark, sf), "1x")
+  }
+
+  test("ann_ivf_index_incr: frozen-quantizer append is lossless at the 10x clustered corpus") {
+    losslessCase(clusteredCorpus(400, 50), "10x")
   }
 
   test("index probe plan uses dynamic partition pruning on cent_id") {

@@ -261,6 +261,46 @@ class PlanAuditSpec extends AnyFunSuite {
       || plan.contains("SortAggregate"), plan.take(800))
   }
 
+  test("dedup_paragraph shuffles the fixed-width md5 chunk key, never the raw window text") {
+    val plan = executedPlan("dedup_paragraph")
+    // the groupBy/join key must be the 32-char md5 (ckey) — shuffling
+    // the 10-token window strings themselves would dominate shuffle
+    // bytes at corpus scale
+    assert(plan.contains("hashpartitioning(ckey"),
+      s"keeper shuffle must key on the md5 chunk key:\n${plan.take(1500)}")
+    assert(!plan.contains("hashpartitioning(chunk"),
+      s"raw chunk text must not be a shuffle key:\n${plan.take(1500)}")
+  }
+
+  test("text_lm_bigram scores per bigram TYPE: the pair stream crosses exactly ONE join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+    val plan = SparkEntry.queries("text_lm_bigram")(spark, sf)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    def keyNames(j: Join): Set[String] =
+      j.condition.toSeq.flatMap(_.references.toSeq.map(_.name)).toSet
+    // exactly one join touches w2 — the single (w1,w2)-keyed join the
+    // corpus-scale pair stream crosses
+    val pairJoins = joins.filter(j => keyNames(j).contains("w2"))
+    assert(pairJoins.size == 1,
+      s"pair stream must cross one (w1,w2) join, found ${pairJoins.size}:\n${plan.treeString.take(2000)}")
+    // any w1-only join must be the vocab-scale c2⋈c1 enrichment: both
+    // inputs aggregates (count tables), never the corpus pair stream —
+    // the instance-level plan re-shuffled every bigram occurrence by
+    // its first word (top key "the" = percent-scale skew)
+    def core(p: LogicalPlan): LogicalPlan = p match {
+      case u: Project => core(u.child)
+      case u: Filter => core(u.child)
+      case other => other
+    }
+    val w1Only = joins.filter(j => keyNames(j) == Set("w1"))
+    assert(w1Only.nonEmpty, "expected the vocab-scale c2⋈c1 join")
+    w1Only.foreach { j =>
+      assert(core(j.left).isInstanceOf[Aggregate] && core(j.right).isInstanceOf[Aggregate],
+        s"w1-only join must enrich count tables, not the pair stream:\n${j.treeString.take(1500)}")
+    }
+  }
+
   test("rag_context_pack's budget window runs on the TopK-bounded frame, never SinglePartition") {
     val plan = executedPlan("rag_context_pack")
     assert(plan.contains("TopKPerGroup"),

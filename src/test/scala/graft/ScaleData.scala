@@ -124,6 +124,7 @@ object ScaleData {
     // counts this JVM memoized for the old contents (Dedup contract).
     operators.Dedup.invalidateCorpusSizes()
     operators.Similarity.clearTrainedState()
+    operators.TrainOps5.clearIndexState()
     println(s"[scaledata] scale10 written to $out")
   }
 
@@ -157,6 +158,7 @@ object ScaleData {
     // counts this JVM memoized for the old contents (Dedup contract).
     operators.Dedup.invalidateCorpusSizes()
     operators.Similarity.clearTrainedState()
+    operators.TrainOps5.clearIndexState()
     println(s"[scaledata] scale100 written to $out")
   }
 
@@ -209,6 +211,7 @@ object ScaleData {
     // counts this JVM memoized for the old contents (Dedup contract).
     operators.Dedup.invalidateCorpusSizes()
     operators.Similarity.clearTrainedState()
+    operators.TrainOps5.clearIndexState()
     println(s"[scaledata] corpus100 written to $out")
   }
 
@@ -248,6 +251,7 @@ object ScaleData {
     // counts this JVM memoized for the old contents (Dedup contract).
     operators.Dedup.invalidateCorpusSizes()
     operators.Similarity.clearTrainedState()
+    operators.TrainOps5.clearIndexState()
     println(s"[scaledata] clustered ($nClusters x $members) written to $out")
   }
 
@@ -288,6 +292,7 @@ object ScaleData {
     // counts this JVM memoized for the old contents (Dedup contract).
     operators.Dedup.invalidateCorpusSizes()
     operators.Similarity.clearTrainedState()
+    operators.TrainOps5.clearIndexState()
     println(s"[scaledata] stress written to $out")
   }
 }

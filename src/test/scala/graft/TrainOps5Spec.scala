@@ -193,8 +193,9 @@ class TrainOps5Spec extends AnyFunSuite {
   test("bm25_index: persisted index serves the identical ranking and PRUNES to the probed buckets") {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_spec"
     TrainOps5.buildBm25Index(Tables.documents(spark, sf), path)
-    // layout: one directory per bucket, bounded by the bucket count
-    val bucketDirs = new java.io.File(s"$path/postings").listFiles()
+    // layout: one directory per bucket inside the build delta, bounded
+    // by the bucket count
+    val bucketDirs = new java.io.File(s"$path/delta_v0").listFiles()
       .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
     assert(bucketDirs.nonEmpty && bucketDirs.size <= TrainOps5.BM25_BUCKETS)
     val served = TrainOps5.queryBm25Index(spark, path)
@@ -225,21 +226,87 @@ class TrainOps5Spec extends AnyFunSuite {
     // one-shot reference index
     TrainOps5.buildBm25Index(full, s"$base/full")
     val oneShot = TrainOps5.queryBm25Index(spark, s"$base/full").collect().toSeq
-    // split build + append
-    val st = TrainOps5.buildBm25Index(full.filter(col("doc_id") % 7 =!= 3), s"$base/incr")
-    TrainOps5.appendBm25Index(full.filter(col("doc_id") % 7 === 3), s"$base/incr", st)
+    // split build + append (with the batches-partition-docs check on)
+    TrainOps5.buildBm25Index(full.filter(col("doc_id") % 7 =!= 3), s"$base/incr")
+    TrainOps5.appendBm25Index(full.filter(col("doc_id") % 7 === 3), s"$base/incr",
+      checkDisjoint = true)
     val incr = TrainOps5.queryBm25Index(spark, s"$base/incr").collect().toSeq
     def canon(rs: Seq[org.apache.spark.sql.Row]) =
       rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(canon(incr) == canon(oneShot), "append path diverged from rebuild")
-    // appended files landed INSIDE the existing bucket partitioning
-    val dirs = new java.io.File(s"$base/incr/postings").listFiles()
+    // the appended delta carries the same bucket partitioning
+    val dirs = new java.io.File(s"$base/incr/delta_v1").listFiles()
       .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
     assert(dirs.nonEmpty && dirs.size <= TrainOps5.BM25_BUCKETS)
-    // stats are the additive scalars of both batches
-    val stats = spark.read.parquet(s"$base/incr/stats").collect()(0)
-    val fullStats = spark.read.parquet(s"$base/full/stats").collect()(0)
+    // committed stats are the additive scalars of both batches
+    val stats = spark.read.parquet(s"$base/incr/stats_v1").collect()(0)
+    val fullStats = spark.read.parquet(s"$base/full/stats_v0").collect()(0)
     assert(stats.getLong(0) == fullStats.getLong(0) && stats.getLong(1) == fullStats.getLong(1))
+  }
+
+  test("bm25 index commit protocol: serve during an in-flight append sees fully-old, commit flips to fully-new, retry is idempotent") {
+    import org.apache.spark.sql.functions._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_torn_spec"
+    val full = Tables.documents(spark, sf)
+    val oldBatch = full.filter(col("doc_id") % 7 =!= 3)
+    val newBatch = full.filter(col("doc_id") % 7 === 3)
+    TrainOps5.buildBm25Index(oldBatch, path)
+    val preAppend = TrainOps5.queryBm25Index(spark, path).collect().toSeq
+    // complete append, then simulate the failure window between the
+    // delta write and the stats commit by deleting the stats dir: the
+    // delta_v1 files are on disk but the version never committed
+    TrainOps5.appendBm25Index(newBatch, path)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$path/stats_v1"))
+    assert(new java.io.File(s"$path/delta_v1").exists(), "torn state: delta present")
+    val torn = TrainOps5.queryBm25Index(spark, path).collect().toSeq
+    assert(torn == preAppend,
+      "a reader during an uncommitted append must see the fully-old index")
+    // retry the append: delta_v1 is overwritten (idempotent), stats commit
+    TrainOps5.appendBm25Index(newBatch, path)
+    val committed = TrainOps5.queryBm25Index(spark, path).collect().toSeq
+    val fresh = TrainOps5.bm25Retrieval(spark, sf).collect().toSeq
+    assert(committed == fresh, "after the stats commit the serve is fully-new")
+  }
+
+  test("bm25 append: checkDisjoint rejects a batch that re-ingests indexed doc_ids") {
+    import org.apache.spark.sql.functions._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_dup_spec"
+    val full = Tables.documents(spark, sf)
+    TrainOps5.buildBm25Index(full.filter(col("doc_id") < 100), path)
+    val overlapping = full.filter(col("doc_id") < 50) // already indexed
+    val e = intercept[IllegalArgumentException] {
+      TrainOps5.appendBm25Index(overlapping, path, checkDisjoint = true)
+    }
+    assert(e.getMessage.contains("double-count"))
+    // the rejected batch committed nothing: still at version 0
+    assert(TrainOps5.committedVersion(path).contains(0))
+  }
+
+  test("clearIndexState contract: after an in-place corpus rewrite the memoized bm25_index must not serve the stale build") {
+    import spark.implicits._
+    // two corpora at the SAME path whose top-1 doc for a bm25 query
+    // differs: corpus A makes doc 0 the 'data query plan' hit, corpus B
+    // hands it to doc 1
+    val dir = java.nio.file.Files.createTempDirectory("t5swap").toString
+    def write(texts: Seq[String]): Unit =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(Seq("data query plan data query plan", "filler tokens only"))
+    val before = graft.SparkEntry.queries("bm25_index")(spark, dir).collect().toSeq
+    // in-place rewrite + the exact invalidation trio ScaleData's
+    // writers run (Dedup + Similarity + TrainOps5)
+    write(Seq("filler tokens only", "data query plan data query plan"))
+    graft.operators.Dedup.invalidateCorpusSizes()
+    graft.operators.Similarity.clearTrainedState()
+    graft.operators.TrainOps5.clearIndexState()
+    val after = graft.SparkEntry.queries("bm25_index")(spark, dir).collect().toSeq
+    assert(before != after, "post-rewrite serve must reflect the new corpus, not the memo")
+    val fresh = TrainOps5.bm25Retrieval(spark, dir).collect().toSeq
+    assert(after == fresh, "post-invalidation serve equals fresh retrieval on the new corpus")
   }
 
   // --- text_lm_bigram ---------------------------------------------------
