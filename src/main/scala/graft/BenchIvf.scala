@@ -80,6 +80,31 @@ object BenchIvf {
       println(s"""{"metric":"ivf_split","sf":"$sfDir","n":$n,"nCent":$nCent,""" +
         s""""build_sec":${f3(buildSec)},"train_sec":${f3(trainSec)},""" +
         s""""serve_sec":${f3(serveSec)},"nProbe":$nProbe}""")
+
+      // --- incremental append split (ann_ivf_index_incr) -------------
+      // build on the vec_id % 7 <> 3 slice (train + assign + persist),
+      // APPEND the held-out batch under the frozen quantizer, serve the
+      // standard query set against the appended index. append_sec is
+      // the pay-per-batch ingest cost the operator exists for — at
+      // scale it replaces re-running build_sec per ingest.
+      val ipath = java.nio.file.Files.createTempDirectory("graft_ivfi_bench").toString
+      try {
+        val corpusA = corpus.filter(col("vec_id") % 7 =!= 3)
+        val batch = corpus.filter(col("vec_id") % 7 === 3)
+        val nBatch = batch.count()
+        var geomI: (Int, Int) = null
+        val buildASec = timed { geomI = operators.Similarity.buildIvfIndex(corpusA, ipath) }
+        val appendSec = timed { operators.Similarity.appendIvfIndex(batch, ipath) }
+        def serveIncr(): Unit =
+          operators.Similarity.queryIvfIndex(spark, ipath, queriesDf, geomI._2, 10).count()
+        serveIncr() // untimed warmup
+        val serveIncrSec = (1 to 3).map(_ => timed(serveIncr())).min
+        println(s"""{"metric":"ivf_incr_split","sf":"$sfDir","n":$n,"n_batch":$nBatch,""" +
+          s""""build_sec":${f3(buildASec)},"append_sec":${f3(appendSec)},""" +
+          s""""serve_sec":${f3(serveIncrSec)},"nProbe":${geomI._2}}""")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ipath))
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
       spark.stop()

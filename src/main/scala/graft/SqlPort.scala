@@ -1886,6 +1886,59 @@ object SqlPort {
          |FROM z ORDER BY doc_id""".stripMargin
     },
 
+    // stream_bm25_gate: unnest/list_filter → explode/filter via
+    // LATERAL VIEW; identical scoring operation sequence and frozen
+    // GATE_TERMS/GATE_THRESHOLD constants (batch twin of the
+    // retrieval-scored ingest gate; the SQL face recomputes the index
+    // postings from documents).
+    "stream_bm25_gate" -> {
+      val k1 = operators.TrainOps5.BM25_K1
+      val b = operators.TrainOps5.BM25_B
+      val gt = streaming.Streaming.GATE_TERMS
+      val th = streaming.Streaming.GATE_THRESHOLD
+      s"""WITH base AS (SELECT doc_id,
+         |    filter(split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |corpus AS (SELECT doc_id AS match_id, toks,
+         |    CAST(size(toks) AS BIGINT) AS dl
+         |  FROM base WHERE doc_id % 7 <> 3),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                 CAST(sum(dl) AS BIGINT) AS t_tokens FROM corpus),
+         |postings AS (SELECT match_id, token, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+         |  FROM (SELECT match_id, dl, explode(toks) AS token FROM corpus) t
+         |  GROUP BY match_id, token),
+         |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY token),
+         |inc AS (SELECT doc_id, toks FROM base WHERE doc_id % 7 = 3),
+         |iterms AS (SELECT DISTINCT doc_id AS in_id, token
+         |  FROM (SELECT doc_id, explode(toks) AS token FROM inc) t),
+         |ranked AS (SELECT in_id, token, df,
+         |    row_number() OVER (PARTITION BY in_id ORDER BY df, token) AS rn
+         |  FROM iterms JOIN dfreq USING (token)),
+         |qt AS (SELECT in_id, token, df FROM ranked WHERE rn <= $gt),
+         |scored AS (SELECT qt.in_id, p.match_id,
+         |    CAST(floor((ln(1.0 + (n_docs - qt.df + 0.5) / (qt.df + 0.5)) *
+         |      ((tf * ($k1 + 1.0)) / (tf + ($k1 * ((1.0 - $b) +
+         |        (($b * p.dl) / (CAST(t_tokens AS DOUBLE) / n_docs))))))) * 1e6 + 0.5) AS BIGINT) AS w_micros
+         |  FROM qt JOIN postings p USING (token), stats),
+         |pairs AS (SELECT in_id, match_id,
+         |    CAST(sum(w_micros) AS BIGINT) AS score_micros,
+         |    CAST(count(*) AS BIGINT) AS n_terms_hit
+         |  FROM scored GROUP BY in_id, match_id),
+         |best AS (SELECT in_id, match_id, score_micros, n_terms_hit,
+         |    row_number() OVER (PARTITION BY in_id
+         |      ORDER BY score_micros DESC, match_id) AS rn
+         |  FROM pairs)
+         |SELECT i.doc_id,
+         |  COALESCE(b.match_id, CAST(-1 AS BIGINT)) AS best_match,
+         |  COALESCE(b.score_micros, CAST(0 AS BIGINT)) AS score_micros,
+         |  COALESCE(b.n_terms_hit, CAST(0 AS BIGINT)) AS n_terms_hit,
+         |  CASE WHEN COALESCE(b.score_micros, CAST(0 AS BIGINT)) >= ${th}L THEN 'dup_suspect'
+         |       ELSE 'pass' END AS verdict
+         |FROM (SELECT doc_id FROM inc) i
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON i.doc_id = b.in_id
+         |ORDER BY i.doc_id""".stripMargin
+    },
+
     // stream_quality_gate: the classifier port plus the routing
     // verdict (batch twin of the streaming gate).
     "stream_quality_gate" -> {

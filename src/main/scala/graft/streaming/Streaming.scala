@@ -473,7 +473,145 @@ object Streaming {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  // --- stream_bm25_gate: retrieval-scored ingest gate ------------------
+  // Decontamination-by-retrieval as a STREAM stage: each incoming
+  // document is scored against the PERSISTED BM25 index (the corpus
+  // already ingested — TrainOps5's delta/stats commit protocol) and
+  // routed dup_suspect / pass on its best match's score. Per-doc query
+  // terms are the doc's GATE_TERMS rarest index terms, ranked by index
+  // df — the WAND-style discipline that bounds posting fan-out per
+  // incoming doc (common terms pull corpus-sized posting lists and
+  // carry the least signal; the rarest terms are exactly the ones a
+  // near-duplicate must share). All scoring state is STATIC (postings,
+  // stats), so per-doc verdicts are independent of trigger
+  // partitioning: the foreachBatch union over ANY trigger split equals
+  // the batch twin — StreamingSpec asserts that through MemoryStream,
+  // and the batch twin is DuckDB-gated, so the stream stage's
+  // semantics are oracle-checked (the stream_quality_gate
+  // construction, with state upgraded from a frozen scalar model to a
+  // persisted index).
+  private[graft] val GATE_TERMS = 8
+  private[graft] val GATE_THRESHOLD = 4000000L // score 4.0 in micros
+
+  /** Score an incoming (doc_id, text) frame against a persisted BM25
+    * index: one row per incoming doc with its best-scoring indexed
+    * match and the routing verdict. Runs per micro-batch under
+    * foreachBatch (per-doc aggregation needs batch semantics; the
+    * static index makes the per-trigger union exact). Scale: the
+    * postings join is keyed by token and carries only the batch's
+    * ≤ GATE_TERMS×|batch| rarest terms; the per-doc term-selection
+    * window partitions by incoming doc (partition size ≤ the doc's
+    * distinct tokens, never corpus-sized); the final top-1 is the
+    * bounded-heap TopKPerGroup.
+    */
+  def bm25GateBatch(docs: DataFrame, indexPath: String): DataFrame = {
+    val s = docs.sparkSession
+    val (postings0, stats) = graft.operators.TrainOps5.openBm25Index(s, indexPath)
+    val postings = postings0.select(col("doc_id").as("match_id"),
+      col("token"), col("tf"), col("dl"))
+    val k1 = graft.operators.TrainOps5.BM25_K1
+    val b = graft.operators.TrainOps5.BM25_B
+    // index-wide document frequency (vocab-sized; a serving deployment
+    // would persist this term dictionary beside the postings — here it
+    // is one postings pass, shared across the whole batch)
+    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val iterms = docs.select(col("doc_id").as("in_id"),
+        explode(filter(split(coalesce(col("text"), lit("")), " "),
+          x => x =!= lit(""))).as("term"))
+      .distinct()
+    val w = Window.partitionBy(col("in_id")).orderBy(col("df"), col("term"))
+    val qterms = iterms.join(dfreq, col("term") === col("token"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= GATE_TERMS)
+      .select(col("in_id"), col("term"), col("df"))
+    // identical IEEE operation sequence as bm25_retrieval / the oracle
+    val scored = postings.join(qterms, col("token") === col("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("t_tokens").cast("double") / col("n_docs"))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w", col("idf") * ((col("tf") * expr(s"($k1 + 1.0)")) /
+        (col("tf") + (expr(k1) * ((lit(1.0) - expr(b)) +
+          ((expr(b) * col("dl")) / col("avgdl")))))))
+      .withColumn("w_micros", floor(col("w") * 1e6 + 0.5).cast("long"))
+    val pairs = scored.groupBy(col("in_id"), col("match_id"))
+      .agg(sum(col("w_micros")).as("score_micros"),
+        count(lit(1)).cast("long").as("n_terms_hit"))
+    val best = graft.plans.TopK.topKPerGroup(pairs, Seq("in_id"),
+      Seq(("score_micros", true), ("match_id", false)), 1)
+    docs.select(col("doc_id"))
+      .join(best, col("doc_id") === col("in_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("match_id"), lit(-1L)).as("best_match"),
+        coalesce(col("score_micros"), lit(0L)).as("score_micros"),
+        coalesce(col("n_terms_hit"), lit(0L)).as("n_terms_hit"))
+      .withColumn("verdict",
+        when(col("score_micros") >= GATE_THRESHOLD, lit("dup_suspect"))
+          .otherwise(lit("pass")))
+  }
+
+  /** stream_bm25_gate: the oracle-gated batch twin — index the
+    * doc_id % 7 <> 3 corpus slice (the already-ingested corpus),
+    * gate the held-out % 7 = 3 slice as the incoming stream.
+    */
+  val streamBm25Gate: Q = (s, d) => {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_bm25g_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    graft.operators.TrainOps5.ensureBm25Index(
+      Tables.documents(s, d).filter(col("doc_id") % 7 =!= 3), path)
+    bm25GateBatch(
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), col("text")), path)
+      .orderBy(col("doc_id"))
+  }
+
+  val streamBm25GateSql: String = {
+    val k1 = graft.operators.TrainOps5.BM25_K1
+    val b = graft.operators.TrainOps5.BM25_B
+    s"""WITH base AS (SELECT doc_id,
+       |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |corpus AS (SELECT doc_id AS match_id, toks,
+       |    CAST(len(toks) AS BIGINT) AS dl
+       |  FROM base WHERE doc_id % 7 <> 3),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS t_tokens FROM corpus),
+       |postings AS (SELECT match_id, token, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+       |  FROM (SELECT match_id, dl, unnest(toks) AS token FROM corpus) t
+       |  GROUP BY match_id, token),
+       |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY token),
+       |inc AS (SELECT doc_id, toks FROM base WHERE doc_id % 7 = 3),
+       |iterms AS (SELECT DISTINCT doc_id AS in_id, token
+       |  FROM (SELECT doc_id, unnest(toks) AS token FROM inc) t),
+       |ranked AS (SELECT in_id, token, df,
+       |    row_number() OVER (PARTITION BY in_id ORDER BY df, token) AS rn
+       |  FROM iterms JOIN dfreq USING (token)),
+       |qt AS (SELECT in_id, token, df FROM ranked WHERE rn <= $GATE_TERMS),
+       |scored AS (SELECT qt.in_id, p.match_id,
+       |    CAST(floor((ln(1.0 + (n_docs - qt.df + 0.5) / (qt.df + 0.5)) *
+       |      ((tf * ($k1 + 1.0)) / (tf + ($k1 * ((1.0 - $b) +
+       |        (($b * p.dl) / (CAST(t_tokens AS DOUBLE) / n_docs))))))) * 1e6 + 0.5) AS BIGINT) AS w_micros
+       |  FROM qt JOIN postings p USING (token), stats),
+       |pairs AS (SELECT in_id, match_id,
+       |    CAST(sum(w_micros) AS BIGINT) AS score_micros,
+       |    CAST(count(*) AS BIGINT) AS n_terms_hit
+       |  FROM scored GROUP BY in_id, match_id),
+       |best AS (SELECT in_id, match_id, score_micros, n_terms_hit,
+       |    row_number() OVER (PARTITION BY in_id
+       |      ORDER BY score_micros DESC, match_id) AS rn
+       |  FROM pairs)
+       |SELECT i.doc_id,
+       |  COALESCE(b.match_id, CAST(-1 AS BIGINT)) AS best_match,
+       |  COALESCE(b.score_micros, CAST(0 AS BIGINT)) AS score_micros,
+       |  COALESCE(b.n_terms_hit, CAST(0 AS BIGINT)) AS n_terms_hit,
+       |  CASE WHEN COALESCE(b.score_micros, 0) >= $GATE_THRESHOLD THEN 'dup_suspect'
+       |       ELSE 'pass' END AS verdict
+       |FROM (SELECT doc_id FROM inc) i
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON i.doc_id = b.in_id
+       |ORDER BY i.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_bm25_gate" -> streamBm25Gate,
     "stream_quality_gate" -> streamQualityGate,
     "stream_upsert_sink" -> streamUpsertSink,
     "stream_sessionize" -> streamSessionize,
@@ -483,6 +621,7 @@ object Streaming {
     "stream_dup_gate" -> streamDupGate,
     "stream_dup_gate_exact" -> streamDupGateExact)
   val oracles: Map[String, String] = Map(
+    "stream_bm25_gate" -> streamBm25GateSql,
     "stream_quality_gate" -> streamQualityGateSql,
     "stream_upsert_sink" -> streamUpsertSinkSql,
     "stream_sessionize" -> streamSessionizeSql,

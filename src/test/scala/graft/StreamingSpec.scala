@@ -544,6 +544,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState.map(t => t._1 -> t._2).toMap == Map(1L -> 11L, 2L -> 12L, 3L -> 14L))
   }
 
+  test("bm25 gate scores each trigger against the static index; union over triggers equals the batch twin") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // indexed corpus (the already-ingested side, persisted once)
+    val corpus = Seq(
+      (0L, "solar inverter efficiency curve under partial shading"),
+      (1L, "thermal derating of the output stage at high ambient"),
+      (2L, "gate driver timing margins for the half bridge"),
+      (3L, "electrolytic capacitor ripple current lifetime model"))
+    val idxPath = java.nio.file.Files.createTempDirectory("bm25g").toString + "/index"
+    graft.operators.TrainOps5.buildBm25Index(corpus.toDF("doc_id", "text"), idxPath)
+    val incoming = Seq(
+      (100L, "solar inverter efficiency curve under partial shading"), // verbatim re-ingest
+      (101L, "zebra xylophone quux entirely novel tokens"),            // nothing indexed
+      (102L, "the output"))                                            // weak common overlap
+    val mem = MemoryStream[(Long, String)]
+    val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = Streaming.bm25GateBatch(batch.toDF(), idxPath).collect()
+        buf.synchronized { buf ++= rows }
+        ()
+      }.start()
+    try {
+      mem.addData(incoming.take(1): _*); q.processAllAvailable()
+      mem.addData(incoming.drop(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    def canon(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    val streamed = canon(buf.toSeq)
+    val batchTwin = canon(
+      Streaming.bm25GateBatch(incoming.toDF("doc_id", "text"), idxPath).collect().toSeq)
+    assert(streamed == batchTwin,
+      s"\nstream: $streamed\nbatch:  $batchTwin")
+    val verdicts = streamed.map(t => t._1 -> t._5).toMap
+    assert(verdicts(100L) == "dup_suspect", "a verbatim re-ingest must be flagged")
+    assert(verdicts(101L) == "pass" && verdicts(102L) == "pass")
+    val matches = streamed.map(t => t._1 -> t._2).toMap
+    assert(matches(100L) == 0L, "the copy's best match is its indexed original")
+    assert(matches(101L) == -1L, "no indexed term -> sentinel match")
+  }
+
   test("qualityGate runs UNCHANGED on a stream; per-trigger union equals the batch twin") {
     val spark2 = spark
     import spark2.implicits._
