@@ -1896,6 +1896,7 @@ object SqlPort {
       val b = operators.TrainOps5.BM25_B
       val gt = streaming.Streaming.GATE_TERMS
       val th = streaming.Streaming.GATE_THRESHOLD
+      val cap = streaming.Streaming.GATE_POSTINGS_CAP
       s"""WITH base AS (SELECT doc_id,
          |    filter(split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
          |  FROM documents),
@@ -1915,11 +1916,15 @@ object SqlPort {
          |    row_number() OVER (PARTITION BY in_id ORDER BY df, token) AS rn
          |  FROM iterms JOIN dfreq USING (token)),
          |qt AS (SELECT in_id, token, df FROM ranked WHERE rn <= $gt),
+         |capped AS (SELECT match_id, token, tf, dl FROM (
+         |    SELECT match_id, token, tf, dl,
+         |      row_number() OVER (PARTITION BY token ORDER BY tf DESC, match_id) AS prn
+         |    FROM postings) p WHERE prn <= $cap),
          |scored AS (SELECT qt.in_id, p.match_id,
          |    CAST(floor((ln(1.0 + (n_docs - qt.df + 0.5) / (qt.df + 0.5)) *
          |      ((tf * ($k1 + 1.0)) / (tf + ($k1 * ((1.0 - $b) +
          |        (($b * p.dl) / (CAST(t_tokens AS DOUBLE) / n_docs))))))) * 1e6 + 0.5) AS BIGINT) AS w_micros
-         |  FROM qt JOIN postings p USING (token), stats),
+         |  FROM qt JOIN capped p USING (token), stats),
          |pairs AS (SELECT in_id, match_id,
          |    CAST(sum(w_micros) AS BIGINT) AS score_micros,
          |    CAST(count(*) AS BIGINT) AS n_terms_hit

@@ -492,6 +492,19 @@ object Streaming {
   // persisted index).
   private[graft] val GATE_TERMS = 8
   private[graft] val GATE_THRESHOLD = 4000000L // score 4.0 in micros
+  // Absolute per-term candidate bound (the dedup-family block-cap
+  // discipline applied to posting lists): each probed term contributes
+  // only its GATE_POSTINGS_CAP highest-impact postings (tf desc,
+  // match_id tiebreak — impact-ordered posting truncation from the IR
+  // literature). Without it a closed-vocabulary corpus degenerates to
+  // all-pairs: even a doc's RAREST terms can sit in most documents, so
+  // per-doc work grows with the corpus (measured: 9.8 s at 1x,
+  // 163 s at 10x on the salted-copy corpus = superlinear). With the
+  // cap, per-incoming-doc work is ≤ GATE_TERMS × GATE_POSTINGS_CAP
+  // postings — linear in the batch at ANY corpus size. Exact whenever
+  // df(rarest probed term) ≤ cap (the Zipf-corpus common case); on
+  // degenerate vocabularies it trades recall on ties, never cost.
+  private[graft] val GATE_POSTINGS_CAP = 256
 
   /** Score an incoming (doc_id, text) frame against a persisted BM25
     * index: one row per incoming doc with its best-scoring indexed
@@ -524,8 +537,15 @@ object Streaming {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= GATE_TERMS)
       .select(col("in_id"), col("term"), col("df"))
+    // restrict postings to the batch's probed term set, then truncate
+    // each term's posting list to its top-GATE_POSTINGS_CAP entries by
+    // impact (see the cap note above) via the bounded-heap operator
+    val pterms = qterms.select(col("term").as("pterm")).distinct()
+    val capped = graft.plans.TopK.topKPerGroup(
+      postings.join(pterms, col("token") === col("pterm")).drop("pterm"),
+      Seq("token"), Seq(("tf", true), ("match_id", false)), GATE_POSTINGS_CAP)
     // identical IEEE operation sequence as bm25_retrieval / the oracle
-    val scored = postings.join(qterms, col("token") === col("term"))
+    val scored = capped.join(qterms, col("token") === col("term"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("t_tokens").cast("double") / col("n_docs"))
       .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -586,11 +606,15 @@ object Streaming {
        |    row_number() OVER (PARTITION BY in_id ORDER BY df, token) AS rn
        |  FROM iterms JOIN dfreq USING (token)),
        |qt AS (SELECT in_id, token, df FROM ranked WHERE rn <= $GATE_TERMS),
+       |capped AS (SELECT match_id, token, tf, dl FROM (
+       |    SELECT match_id, token, tf, dl,
+       |      row_number() OVER (PARTITION BY token ORDER BY tf DESC, match_id) AS prn
+       |    FROM postings) p WHERE prn <= $GATE_POSTINGS_CAP),
        |scored AS (SELECT qt.in_id, p.match_id,
        |    CAST(floor((ln(1.0 + (n_docs - qt.df + 0.5) / (qt.df + 0.5)) *
        |      ((tf * ($k1 + 1.0)) / (tf + ($k1 * ((1.0 - $b) +
        |        (($b * p.dl) / (CAST(t_tokens AS DOUBLE) / n_docs))))))) * 1e6 + 0.5) AS BIGINT) AS w_micros
-       |  FROM qt JOIN postings p USING (token), stats),
+       |  FROM qt JOIN capped p USING (token), stats),
        |pairs AS (SELECT in_id, match_id,
        |    CAST(sum(w_micros) AS BIGINT) AS score_micros,
        |    CAST(count(*) AS BIGINT) AS n_terms_hit
