@@ -497,7 +497,7 @@ object SqlPort {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
-  val sparkSql: Map[String, String] = Map(
+  private val basePorts: Map[String, String] = Map(
     "mm_metadata" ->
       """WITH media AS (
         |  SELECT doc_id, text,
@@ -2465,4 +2465,58 @@ object SqlPort {
         |    ON p.user_id = c.user_id AND c.ts <= p.ts) t
         |WHERE rn = 1
         |ORDER BY user_id, ts, event_id""".stripMargin)
+
+  /** Ports composed from other ports: eval_retrieval reuses the exact
+    * ann_quantized / ann_lsh_exact conformance texts as nested CTE
+    * subquery blocks (Spark supports WITH inside a derived table), so
+    * the eval's SQL face can never drift from the heads it grades;
+    * dedup_paragraph_apply mirrors the engine's md5-key keeper with
+    * the ordered rebuild as array_sort over (idx, chunk) structs.
+    */
+  val sparkSql: Map[String, String] = basePorts ++ Map(
+    "eval_retrieval" ->
+      s"""WITH truth AS (SELECT query_id, vec_id FROM (
+         |${basePorts("ann_quantized")}) tq),
+         |cand AS (SELECT query_id, vec_id, rank AS cand_rank FROM (
+         |${basePorts("ann_lsh_exact")}) tc),
+         |hits AS (SELECT c.query_id, c.cand_rank
+         |  FROM cand c JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id),
+         |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY query_id),
+         |ha AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit, min(cand_rank) AS first_rel
+         |  FROM hits GROUP BY query_id)
+         |SELECT nt.query_id, n_truth,
+         |  COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+         |  COALESCE(n_hit, CAST(0 AS BIGINT)) * 1000000 DIV n_truth AS recall_ppm,
+         |  CASE WHEN first_rel IS NULL THEN CAST(0 AS BIGINT)
+         |       ELSE 1000000 DIV first_rel END AS rr_micros
+         |FROM nt LEFT JOIN ha USING (query_id) ORDER BY nt.query_id""".stripMargin,
+
+    "dedup_paragraph_apply" -> {
+      val w = operators.TrainOps5.PARA_W
+      s"""WITH base AS (SELECT doc_id,
+         |    filter(split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sized AS (SELECT doc_id, toks, size(toks) AS n FROM base),
+         |chunks AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+         |    array_join(slice(toks, i * $w + 1, $w), ' ') AS chunk,
+         |    CAST(size(slice(toks, i * $w + 1, $w)) AS BIGINT) AS ntok
+         |  FROM (SELECT doc_id, toks, n FROM sized WHERE n > 0) s
+         |  LATERAL VIEW explode(sequence(0, CAST(ceil(n / $w.0) AS INT) - 1)) u AS i),
+         |keepers AS (SELECT md5(chunk) AS ckey, min(struct(doc_id, idx)) AS kk
+         |  FROM chunks GROUP BY md5(chunk)),
+         |kept AS (SELECT c.doc_id, c.idx, c.chunk, c.ntok
+         |  FROM chunks c JOIN keepers k ON md5(c.chunk) = k.ckey
+         |  WHERE c.doc_id = k.kk.doc_id AND c.idx = k.kk.idx),
+         |rebuilt AS (SELECT doc_id,
+         |    array_join(transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), ' ') AS text_clean,
+         |    CAST(count(*) AS BIGINT) AS n_chunks_kept,
+         |    CAST(sum(ntok) AS BIGINT) AS n_tokens_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(text_clean, '') AS text_clean,
+         |  COALESCE(n_chunks_kept, CAST(0 AS BIGINT)) AS n_chunks_kept,
+         |  COALESCE(n_tokens_kept, CAST(0 AS BIGINT)) AS n_tokens_kept
+         |FROM (SELECT doc_id FROM base) d LEFT JOIN rebuilt USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })
 }

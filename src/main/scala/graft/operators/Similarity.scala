@@ -520,6 +520,57 @@ object Similarity {
       |WHERE rnk <= $TOPK ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- eval_retrieval: IR-quality evaluation of the ANN index ---------
+  // The index-QA operator a 100-TB retrieval deployment runs after
+  // every build/append: grade the approximate head (ann_lsh_exact's
+  // md5-plane multiprobe — int64 scores, engine-reproducible) against
+  // exact truth (ann_quantized's int64 brute force) with the two
+  // standard IR metrics, per query: recall@10 (ppm) and MRR (the
+  // reciprocal rank of the first relevant candidate, micros). Both
+  // inputs are TopK-bounded per query, so the eval is metadata-sized
+  // at any corpus size; everything is integer arithmetic, so the whole
+  // metric computation sits under the DuckDB hash gate (the oracle
+  // composes the ann_quantized and ann_lsh_exact conformance texts as
+  // nested CTE blocks — the eval can never drift from the heads it
+  // grades).
+  val evalRetrieval: Q = (s, d) => {
+    val truth = annQuantized(s, d).select(col("query_id"), col("vec_id"))
+    val cand = annLshExact(s, d)
+      .select(col("query_id"), col("vec_id"), col("rank").as("cand_rank"))
+    val hits = cand.join(truth, Seq("query_id", "vec_id"), "left_semi")
+    val nTruth = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+    val hitAgg = hits.groupBy(col("query_id")).agg(
+      count(lit(1)).as("n_hit"), min(col("cand_rank")).as("first_rel"))
+    nTruth.join(hitAgg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("first_rel"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 DIV n_truth"))
+      .withColumn("rr_micros",
+        when(col("first_rel").isNull, lit(0L))
+          .otherwise(expr("1000000 DIV first_rel")))
+      .select(col("query_id"), col("n_truth"), col("n_hit"),
+        col("recall_ppm"), col("rr_micros"))
+      .orderBy(col("query_id"))
+  }
+
+  val evalRetrievalSql: String =
+    s"""WITH truth AS (SELECT query_id, vec_id FROM (
+       |${annQuantizedSql}) tq),
+       |cand AS (SELECT query_id, vec_id, rank AS cand_rank FROM (
+       |${annLshExactSql}) tc),
+       |hits AS (SELECT c.query_id, c.cand_rank
+       |  FROM cand c JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id),
+       |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY query_id),
+       |ha AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit, min(cand_rank) AS first_rel
+       |  FROM hits GROUP BY query_id)
+       |SELECT nt.query_id, n_truth,
+       |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(n_hit, 0) * 1000000 // n_truth AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN first_rel IS NULL THEN 0
+       |       ELSE 1000000 // first_rel END AS BIGINT) AS rr_micros
+       |FROM nt LEFT JOIN ha USING (query_id) ORDER BY nt.query_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
@@ -527,7 +578,8 @@ object Similarity {
     "ann_ivf" -> annIvf,
     "ann_ivf_index" -> annIvfIndex,
     "ann_ivf_index_incr" -> annIvfIndexIncr,
-    "ann_quantized" -> annQuantized)
+    "ann_quantized" -> annQuantized,
+    "eval_retrieval" -> evalRetrieval)
 
   /** Float-cosine variants are rows-only: DuckDB's float accumulation
     * order differs at the last ulp; exactness there is covered by
@@ -536,5 +588,6 @@ object Similarity {
     */
   val oracles: Map[String, String] = Map(
     "ann_quantized" -> annQuantizedSql,
-    "ann_lsh_exact" -> annLshExactSql)
+    "ann_lsh_exact" -> annLshExactSql,
+    "eval_retrieval" -> evalRetrievalSql)
 }

@@ -512,6 +512,76 @@ object TrainOps5 {
       .orderBy(col("doc_id"))
   }
 
+  // --- dedup_paragraph_apply: the APPLY face of C4 window dedup -------
+  // dedup_paragraph reports what would be removed; this operator EMITS
+  // the cleaned corpus — each doc's surviving (first-occurrence)
+  // windows re-joined in order, duplicated windows dropped. The keeper
+  // decision still flows through the fixed-width md5 key join; the
+  // window TEXT must travel once into the per-doc reconstruction
+  // aggregation, which is inherent to rewriting a corpus (shuffle is
+  // sized by the output text). Per-doc collect_list state is bounded
+  // by the doc's own length (the chunk_sliding class, never
+  // corpus-sized); array_sort on (idx, chunk) structs makes the
+  // rebuild order deterministic under any partitioning.
+  val dedupParagraphApply: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), toksOf(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val chunks = base
+      .filter(col("n") > 0)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST(ceil(n / $PARA_W.0) AS INT) - 1),
+           |  i -> struct(CAST(i AS BIGINT) AS idx,
+           |              array_join(slice(toks, i * $PARA_W + 1, $PARA_W), ' ') AS chunk,
+           |              CAST(size(slice(toks, i * $PARA_W + 1, $PARA_W)) AS BIGINT) AS ntok))""".stripMargin))
+        .as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"),
+        md5(col("c.chunk")).as("ckey"), col("c.ntok").as("ntok"))
+    val keepers = chunks.select(col("doc_id"), col("idx"), col("ckey"))
+      .groupBy(col("ckey"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+      .select(col("ckey"), col("k.doc_id").as("kd"), col("k.idx").as("ki"))
+    val kept = chunks.join(keepers, "ckey")
+      .filter(col("doc_id") === col("kd") && col("idx") === col("ki"))
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+        x => x.getField("chunk")), " ").as("text_clean"),
+      count(lit(1)).as("n_chunks_kept"),
+      sum(col("ntok")).as("n_tokens_kept"))
+    base.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_chunks_kept"), lit(0L)).as("n_chunks_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupParagraphApplySql: String =
+    s"""WITH base AS (SELECT doc_id,
+       |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |sized AS (SELECT doc_id, toks, len(toks) AS n FROM base),
+       |chunks AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+       |    array_to_string(toks[i * $PARA_W + 1 : i * $PARA_W + $PARA_W], ' ') AS chunk,
+       |    CAST(len(toks[i * $PARA_W + 1 : i * $PARA_W + $PARA_W]) AS BIGINT) AS ntok
+       |  FROM sized, UNNEST(range(0, CAST(ceil(n / $PARA_W.0) AS BIGINT))) AS u(i)
+       |  WHERE n > 0),
+       |flagged AS (SELECT doc_id, idx, chunk, ntok,
+       |    row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS occ
+       |  FROM chunks),
+       |rebuilt AS (SELECT doc_id,
+       |    string_agg(chunk, ' ' ORDER BY idx) AS text_clean,
+       |    CAST(count(*) AS BIGINT) AS n_chunks_kept,
+       |    CAST(sum(ntok) AS BIGINT) AS n_tokens_kept
+       |  FROM flagged WHERE occ = 1 GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(text_clean, '') AS text_clean,
+       |  COALESCE(n_chunks_kept, 0) AS n_chunks_kept,
+       |  COALESCE(n_tokens_kept, 0) AS n_tokens_kept
+       |FROM (SELECT doc_id FROM base) d LEFT JOIN rebuilt USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val dedupParagraphSql: String =
     s"""WITH base AS (SELECT doc_id,
        |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
@@ -707,6 +777,7 @@ object TrainOps5 {
     "bm25_index_incr" -> bm25IndexIncr,
     "rag_context_pack" -> ragContextPack,
     "dedup_paragraph" -> dedupParagraph,
+    "dedup_paragraph_apply" -> dedupParagraphApply,
     "text_lm_bigram" -> textLmBigram,
     "quality_classifier" -> qualityClassifier)
 
@@ -720,6 +791,7 @@ object TrainOps5 {
     "bm25_index_incr" -> bm25RetrievalSql,
     "rag_context_pack" -> ragContextPackSql,
     "dedup_paragraph" -> dedupParagraphSql,
+    "dedup_paragraph_apply" -> dedupParagraphApplySql,
     "text_lm_bigram" -> textLmBigramSql,
     "quality_classifier" -> qualityClassifierSql)
 }

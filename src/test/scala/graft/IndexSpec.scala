@@ -127,6 +127,26 @@ class IndexSpec extends AnyFunSuite {
     losslessCase(clusteredCorpus(400, 50), "10x")
   }
 
+  test("eval_retrieval metrics equal a driver-side recomputation from the two graded heads") {
+    val truth = Similarity.queries("ann_quantized")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val cand = Similarity.queries("ann_lsh_exact")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("rank")))
+    val got = Similarity.evalRetrieval(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val byQ = truth.groupBy(_._1)
+    assert(got.keySet == byQ.keySet)
+    byQ.foreach { case (q, ts) =>
+      val nTruth = ts.size.toLong
+      val rel = cand.filter(c => c._1 == q && truth((c._1, c._2)))
+      val nHit = rel.size.toLong
+      val rr = if (rel.isEmpty) 0L else 1000000L / rel.map(_._3).min
+      val recall = nHit * 1000000L / nTruth
+      assert(got(q) == ((nTruth, nHit, recall, rr)),
+        s"query $q: got ${got(q)}, want (${nTruth}, $nHit, $recall, $rr)")
+    }
+  }
+
   test("index probe plan uses dynamic partition pruning on cent_id") {
     val qs = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

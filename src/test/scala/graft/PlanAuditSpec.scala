@@ -272,6 +272,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"raw chunk text must not be a shuffle key:\n${plan.take(1500)}")
   }
 
+  test("dedup_paragraph_apply rebuild aggregates only the KEPT chunks behind the md5-key join") {
+    val plan = executedPlan("dedup_paragraph_apply")
+    // keeper stays the md5-keyed partial-combine aggregation; the
+    // collect_list rebuild must sit above the keeper filter (state is
+    // the surviving chunks of one doc, never a window over the corpus)
+    assert(plan.contains("hashpartitioning(ckey"),
+      s"keeper shuffle must key on the md5 chunk key:\n${plan.take(1500)}")
+    assert(!plan.contains("Window ["),
+      s"rebuild must be an aggregation, not a window:\n${plan.take(1500)}")
+    assert(plan.contains("collect_list"), plan.take(800))
+  }
+
+  test("eval_retrieval grades TopK-bounded heads: both reductions are the bounded-heap operator") {
+    val plan = executedPlan("eval_retrieval")
+    val topks = "TopKPerGroup".r.findAllIn(plan).size
+    assert(topks >= 2,
+      s"both graded heads must reduce through TopKPerGroup (found $topks):\n${plan.take(1500)}")
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      s"no unbroadcast cartesian in the eval composition:\n${plan.take(1200)}")
+  }
+
   test("text_lm_bigram scores per bigram TYPE: the pair stream crosses exactly ONE join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
     val plan = SparkEntry.queries("text_lm_bigram")(spark, sf)

@@ -90,6 +90,49 @@ class TrainOps5Spec extends AnyFunSuite {
       s"removed=$totalRemoved chunks=$totalChunks distinct=$distinctChunks")
   }
 
+  test("dedup_paragraph_apply: planted corpus — cleaned text keeps exactly the first-occurrence windows") {
+    val w10 = "a b c d e f g h i j"
+    val texts = Seq(
+      s"$w10 k l m",
+      s"$w10 x y z",
+      s"p q r s t u v w aa bb $w10",
+      "unique tokens only here two three four five six seven eight nine",
+      "eight nine",
+      "   ")
+    val dir = writeDocs(texts)
+    // independent reference: first-occurrence keep over (doc_id, idx),
+    // surviving windows re-joined in order
+    val w = TrainOps5.PARA_W
+    val chunks = texts.zipWithIndex.flatMap { case (t, doc) =>
+      t.split(" ").filter(_.nonEmpty).grouped(w).zipWithIndex.map {
+        case (g, i) => (doc.toLong, i.toLong, g.mkString(" "), g.length.toLong)
+      }
+    }
+    val keeper = chunks.groupBy(_._3).map { case (c, occ) => c -> occ.map(o => (o._1, o._2)).min }
+    val want = texts.indices.map { doc =>
+      val kept = chunks.filter(c => c._1 == doc && keeper(c._3) == ((c._1, c._2))).sortBy(_._2)
+      (doc.toLong, kept.map(_._3).mkString(" "), kept.size.toLong, kept.map(_._4).sum)
+    }
+    val got = TrainOps5.dedupParagraphApply(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq.sortBy(_._1)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    assert(got(1)._2 == "x y z", "doc 1's duplicated leading window is cut from the text")
+    assert(got(5)._2 == "" && got(5)._3 == 0L, "empty doc rebuilds to empty")
+  }
+
+  test("dedup_paragraph_apply agrees with dedup_paragraph's accounting on the sf corpus") {
+    val report = TrainOps5.dedupParagraph(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) - r.getLong(2), r.getLong(4)))).toMap
+    val applied = TrainOps5.dedupParagraphApply(spark, sf).collect()
+    applied.foreach { r =>
+      val (keptChunks, keptTokens) = report(r.getLong(0))
+      assert(r.getLong(2) == keptChunks, s"doc ${r.getLong(0)} kept-chunk count")
+      assert(r.getLong(3) == keptTokens, s"doc ${r.getLong(0)} kept-token count")
+      val rebuiltTokens = r.getString(1).split(" ").count(_.nonEmpty).toLong
+      assert(rebuiltTokens == keptTokens, s"doc ${r.getLong(0)} rebuilt text token count")
+    }
+  }
+
   // --- bm25_retrieval --------------------------------------------------
 
   /** Independent BM25 with the operator's exact op order and snap. */
