@@ -91,3 +91,66 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   ROUND(dot_product(a.embedding, b.embedding), 6) AS dot
 FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
 WHERE a.vec_id < 5 ORDER BY a.vec_id;
+
+
+-- key: eval_retrieval
+WITH truth AS (SELECT query_id, vec_id FROM (
+WITH q AS (SELECT vec_id AS query_id,
+             transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS qv
+           FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id,
+             transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS cv
+           FROM embeddings),
+     scored AS (
+       SELECT q.query_id, c.vec_id,
+              CAST(aggregate(zip_with(qv, cv, (x, y) -> x * y),
+                CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS qdot
+       FROM q JOIN c ON c.vec_id <> q.query_id),
+     ranked AS (SELECT query_id, vec_id, qdot,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+SELECT query_id, vec_id, qdot, rnk AS rank FROM ranked
+WHERE rnk <= 10 ORDER BY query_id, rank) tq),
+cand AS (SELECT query_id, vec_id, rank AS cand_rank FROM (
+WITH e AS (SELECT vec_id,
+             transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS cv
+           FROM embeddings),
+dims AS (SELECT explode(sequence(0, 63)) AS j),
+signs AS (SELECT p, dims.j,
+    CASE WHEN CAST(conv(substr(md5('a_' || CAST(p AS STRING) || '_' || CAST(dims.j AS STRING)), 1, 15), 16, 10) AS BIGINT) & 1 = 1
+         THEN 1 ELSE -1 END AS s
+  FROM (SELECT explode(sequence(0, 7)) AS p) pp CROSS JOIN dims),
+bd AS (SELECT e.vec_id, signs.p, SUM(element_at(e.cv, signs.j + 1) * signs.s) AS dot
+       FROM e CROSS JOIN signs GROUP BY e.vec_id, signs.p),
+bk AS (SELECT vec_id, SUM(CASE WHEN dot > 0 THEN shiftleft(1, p) ELSE 0 END) AS bucket
+       FROM bd GROUP BY vec_id),
+q AS (SELECT e.vec_id AS query_id, e.cv AS qv, bk.bucket AS qb
+      FROM e JOIN bk ON e.vec_id = bk.vec_id WHERE e.vec_id < 5),
+qp AS (SELECT query_id, qv, qb ^ f AS qbucket
+       FROM q CROSS JOIN (SELECT explode(array(0, 1, 2, 4, 8, 16, 32, 64, 128)) AS f) pr),
+cand AS (SELECT qp.query_id, bk.vec_id, qp.qv
+         FROM qp JOIN bk ON bk.bucket = qp.qbucket
+         WHERE bk.vec_id <> qp.query_id),
+scored AS (SELECT c.query_id, c.vec_id,
+             CAST(aggregate(zip_with(c.qv, e.cv, (x, y) -> x * y),
+               CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS qdot
+           FROM cand c JOIN e ON e.vec_id = c.vec_id),
+rk AS (SELECT query_id, vec_id, qdot,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+       FROM scored)
+SELECT query_id, vec_id, qdot, rnk AS rank FROM rk
+WHERE rnk <= 10 ORDER BY query_id, rank) tc),
+hits AS (SELECT c.query_id, c.cand_rank
+  FROM cand c JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id),
+nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY query_id),
+ha AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit, min(cand_rank) AS first_rel
+  FROM hits GROUP BY query_id)
+SELECT nt.query_id, n_truth,
+  COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+  COALESCE(n_hit, CAST(0 AS BIGINT)) * 1000000 DIV n_truth AS recall_ppm,
+  CASE WHEN first_rel IS NULL THEN CAST(0 AS BIGINT)
+       ELSE 1000000 DIV first_rel END AS rr_micros
+FROM nt LEFT JOIN ha USING (query_id) ORDER BY nt.query_id
+;
