@@ -314,6 +314,26 @@ class TrainOps5Spec extends AnyFunSuite {
     assert(committed == fresh, "after the stats commit the serve is fully-new")
   }
 
+  test("bm25 commit protocol: a multi-batch append chain serves every committed prefix exactly") {
+    import org.apache.spark.sql.functions._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_chain_spec"
+    val full = Tables.documents(spark, sf).filter(col("doc_id") < 350)
+    def slice(i: Int) = full.filter(col("doc_id") % 5 === i)
+    // build = batch 0, then four appends -> versions 1..4 (exercises
+    // multi-delta version discovery and union reads past v1)
+    TrainOps5.buildBm25Index(slice(0), path)
+    (1 to 4).foreach { i =>
+      TrainOps5.appendBm25Index(slice(i), path, checkDisjoint = true)
+      assert(TrainOps5.committedVersion(path).contains(i))
+      // serve over the committed prefix == one-shot build of that prefix
+      val ref = s"$path-ref$i"
+      TrainOps5.buildBm25Index(full.filter(col("doc_id") % 5 <= i), ref)
+      val got = TrainOps5.queryBm25Index(spark, path).collect().toSeq
+      val want = TrainOps5.queryBm25Index(spark, ref).collect().toSeq
+      assert(got == want, s"after append $i the chain diverged from the one-shot build")
+    }
+  }
+
   test("bm25 append: checkDisjoint rejects a batch that re-ingests indexed doc_ids") {
     import org.apache.spark.sql.functions._
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_dup_spec"
