@@ -103,15 +103,22 @@ object Relational2 {
       |WHERE sum_qty > 250
       |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
 
-  // --- TPC-H Q22-style: rich customers with no orders ----------------
+  // --- TPC-H Q22-style: rich customers with no urgent orders ---------
+  // TPC-H's "customers with no orders at all" predicate is vacuous on
+  // the driver corpus (every customer has ≥1 order at every SF, so the
+  // anti-join was structurally empty and the gate row proved nothing).
+  // Restricting the anti-join side to 1-URGENT orders keeps the exact
+  // Q22 plan shape — broadcast scalar subquery + anti-join + group —
+  // while making the output non-empty at the gated scales.
   val q22Balance: Q = (s, d) => {
     val cust = Tables.customer(s, d)
     val avgBal = cust.filter(col("c_acctbal") > 0)
       .agg((sum(d2(col("c_acctbal"))).cast("double") / count(lit(1))).as("a"))
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
     Tables.customer(s, d)
       .join(broadcast(avgBal))
       .filter(col("c_acctbal") > col("a"))
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("numcust"), sum(d2(col("c_acctbal"))).cast("double").as("totacctbal"))
       .orderBy(col("c_nationkey"))
@@ -123,7 +130,8 @@ object Relational2 {
       |FROM customer
       |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
       |                   FROM customer WHERE c_acctbal > 0)
-      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
   // --- statistics aggregates -----------------------------------------

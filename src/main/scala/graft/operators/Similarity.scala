@@ -368,6 +368,32 @@ object Similarity {
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/corpus")
   }
 
+  /** Compact a long-appended IVF index back to one file per cell.
+    * Each appendIvfIndex adds up to one file per touched cell, so
+    * after many ingest batches a cell's read pays per-batch file opens
+    * — compaction coalesces every cell to a single file (the build's
+    * layout) without touching assignments, so serve output is
+    * IDENTICAL before and after (IndexSpec asserts the equality and
+    * the per-cell file bound). Unlike BM25 (whose versioned stats give
+    * an online commit point), the IVF corpus is one partitioned root,
+    * so this is an OFFLINE maintenance op: consolidate into a staging
+    * directory, then swap — run it in the same maintenance window as a
+    * quantizer rebuild, not under concurrent serves.
+    */
+  def compactIvfIndex(s: SparkSession, path: String): Unit = {
+    val corpusSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, cent_id BIGINT")
+    val staging = s"$path/corpus_compacting"
+    s.read.schema(corpusSchema).parquet(s"$path/corpus")
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(staging)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, "corpus"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(root, "corpus_compacting"),
+      new org.apache.hadoop.fs.Path(root, "corpus"))
+  }
+
   /** ann_ivf_index_incr: build the index from the vec_id % 7 <> 3
     * slice (k-means trains on ingested data only), APPEND the held-out
     * batch under the frozen quantizer, serve the standard query set.

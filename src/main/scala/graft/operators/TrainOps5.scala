@@ -199,37 +199,87 @@ object TrainOps5 {
   // token bucket, and a batch becomes VISIBLE only when its cumulative
   // stats directory (stats_vN) commits — readers resolve the newest
   // stats_vN whose _SUCCESS marker exists and read exactly
-  // delta_v0..vN. Serve therefore observes a committed prefix of
-  // batches: entirely pre-append or entirely post-append, never new
-  // postings scored with old N/avgdl. A failure between the delta
-  // write and the stats write leaves an orphan delta that readers
-  // ignore; retrying the append overwrites it (delta writes are
-  // idempotent per version). The same protocol holds on an object
-  // store: the stats marker is the single atomic commit point.
-  // TrainOps5Spec interleaves append and serve to assert the
-  // fully-old-or-fully-new guarantee.
+  // delta_v0..vN (or a committed compact_vK plus the deltas after K —
+  // see compactBm25Index). The cumulative TERM DICTIONARY df_vN (df
+  // per token across all committed batches) is written between the
+  // delta and the stats commit, so every committed version carries its
+  // dictionary — serving-path readers (queryBm25Index,
+  // Streaming.bm25GateBatch) probe the vocab-sized dictionary instead
+  // of re-aggregating the index-sized postings. Serve therefore
+  // observes a committed prefix of batches: entirely pre-append or
+  // entirely post-append, never new postings scored with old N/avgdl
+  // or a mixed dictionary. A failure between the delta write and the
+  // stats write leaves orphan delta/df dirs that readers ignore;
+  // retrying the append overwrites them (writes are idempotent per
+  // version). All listings go through the Hadoop FileSystem API, so
+  // the protocol works unchanged on file:/hdfs:/s3a: paths — the
+  // stats marker is the single atomic commit point.
+  //
+  // SINGLE-WRITER CONTRACT: one appendBm25Index (or compactBm25Index)
+  // at a time per index path. Two concurrent appenders would both read
+  // committedVersion = v and both write version v+1 (delta writes are
+  // overwrite-mode for orphan-retry idempotence), committing stats
+  // inconsistent with the delta contents. Readers are unrestricted and
+  // lock-free; writers must be serialized by the ingest pipeline (the
+  // usual posture: one ingest job owns an index). TrainOps5Spec
+  // interleaves append and serve to assert the fully-old-or-fully-new
+  // reader guarantee.
 
   private val postingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, token STRING, tf BIGINT, dl BIGINT, bucket BIGINT")
   private val statsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "n_docs BIGINT, t_tokens BIGINT")
+  private val dfSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "token STRING, df BIGINT, bucket BIGINT")
+
+  /** The index root's FileSystem + Path — resolved through Hadoop so
+    * the protocol's listings/deletes run identically on local, HDFS,
+    * and object-store URIs (the parquet writes already do).
+    */
+  private def indexFs(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
+  }
 
   /** Newest batch version whose stats directory committed (_SUCCESS is
     * written last by the parquet commit protocol, so a half-written
-    * stats dir is invisible). Driver-side local listing; a cluster
-    * deployment lists via the Hadoop FileSystem the same way.
+    * stats dir is invisible).
     */
   private[graft] def committedVersion(path: String): Option[Int] = {
-    val vs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("stats_v\\d+"))
-      .map(_.getName.stripPrefix("stats_v").toInt)
-      .filter(v => new java.io.File(s"$path/stats_v$v/_SUCCESS").exists())
+    val (fs, root) = indexFs(path)
+    if (!fs.exists(root)) return None
+    val vs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("stats_v\\d+"))
+      .map(_.getPath.getName.stripPrefix("stats_v").toInt)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(root, s"stats_v$v/_SUCCESS")))
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private def readDeltas(s: SparkSession, path: String, v: Int): DataFrame =
-    (0 to v).map(i => s.read.schema(postingsSchema).parquet(s"$path/delta_v$i"))
+  /** Newest committed compaction at or below version v (compact_vK's
+    * own parquet _SUCCESS is its commit marker): readers substitute it
+    * for delta_v0..K.
+    */
+  private[graft] def committedCompact(path: String, v: Int): Option[Int] = {
+    val (fs, root) = indexFs(path)
+    if (!fs.exists(root)) return None
+    val ks = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("compact_v\\d+"))
+      .map(_.getPath.getName.stripPrefix("compact_v").toInt)
+      .filter(k => k <= v &&
+        fs.exists(new org.apache.hadoop.fs.Path(root, s"compact_v$k/_SUCCESS")))
+    if (ks.isEmpty) None else Some(ks.max)
+  }
+
+  private def readDeltas(s: SparkSession, path: String, v: Int): DataFrame = {
+    val roots = committedCompact(path, v) match {
+      case Some(k) => s"$path/compact_v$k" +: (k + 1 to v).map(i => s"$path/delta_v$i")
+      case None    => (0 to v).map(i => s"$path/delta_v$i")
+    }
+    roots.map(r => s.read.schema(postingsSchema).parquet(r))
       .reduce(_ unionByName _)
+  }
 
   /** One batch's postings → its immutable delta directory. Postings
     * are per-(doc_id, token) aggregates, so a batch's rows are exactly
@@ -251,6 +301,30 @@ object TrainOps5 {
     (a.getLong(0), if (a.isNullAt(1)) 0L else a.getLong(1))
   }
 
+  /** Cumulative term dictionary for version v: document frequency of
+    * every index token across batches 0..v. Postings are per
+    * (doc_id, token) and batches partition documents, so df is ADDITIVE
+    * across batches: version v's dictionary = version v-1's plus the
+    * new delta's per-token row counts — an append pays one batch-sized
+    * aggregation plus one vocab-sized merge, never an index-sized scan.
+    * Bucket-partitioned like the postings so literal term probes prune
+    * directories. Written after the delta and BEFORE the stats commit,
+    * so every committed version has its dictionary.
+    */
+  private[graft] def writeDf(s: SparkSession, path: String, v: Int): Unit = {
+    val batch = s.read.schema(postingsSchema).parquet(s"$path/delta_v$v")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val cum =
+      if (v == 0) batch
+      else s.read.schema(dfSchema).parquet(s"$path/df_v${v - 1}")
+        .select(col("token"), col("df"))
+        .unionByName(batch)
+        .groupBy(col("token")).agg(sum(col("df")).as("df"))
+    cum.withColumn("bucket", tokenBucket(col("token")))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df_v$v")
+  }
+
   /** Commit point: cumulative stats for version v. */
   private[graft] def writeStats(s: SparkSession, path: String, v: Int,
       nDocs: Long, tTokens: Long): Unit = {
@@ -259,37 +333,72 @@ object TrainOps5 {
       .write.mode("overwrite").parquet(s"$path/stats_v$v")
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
+  /** The directory names this protocol owns at an index root. */
+  private def isProtocolEntry(name: String): Boolean =
+    name.matches("(delta|stats|df|compact)_v\\d+")
+
+  /** Clear an index root for a rebuild — but ONLY if everything inside
+    * is protocol-owned (delta_vN, stats_vN, df_vN, compact_vN). A build
+    * pointed at the wrong directory (a dataset dir, a home dir) must
+    * refuse loudly instead of silently destroying unrelated data.
+    */
+  private[graft] def clearIndexRoot(path: String): Unit = {
+    val (fs, root) = indexFs(path)
+    if (!fs.exists(root)) return
+    val entries = fs.listStatus(root)
+    val foreign = entries.map(_.getPath.getName).filterNot(isProtocolEntry)
+    require(foreign.isEmpty,
+      s"buildBm25Index: refusing to clear $path — it contains non-index " +
+        s"entries ${foreign.take(5).mkString(", ")}; builds only replace " +
+        "directories that hold nothing but delta_v*/stats_v*/df_v*/compact_v*")
+    entries.foreach(st => fs.delete(st.getPath, true))
   }
 
-  /** Build + persist postings and stats as version 0; returns
-    * (n_docs, t_tokens). A build REPLACES any prior index at the path
-    * (old deltas/stats are cleared so stale versions cannot shadow the
-    * new corpus).
+  /** Build + persist postings, term dictionary, and stats as version 0;
+    * returns (n_docs, t_tokens). A build REPLACES any prior index at
+    * the path (old versions are cleared so stale ones cannot shadow the
+    * new corpus); the clear refuses directories holding anything the
+    * protocol does not own.
     */
   def buildBm25Index(docs0: DataFrame, path: String): (Long, Long) = {
-    deleteRecursively(new java.io.File(path))
+    clearIndexRoot(path)
+    val s = docs0.sparkSession
     val (nDocs, tTokens) = writeDelta(docs0, s"$path/delta_v0")
-    writeStats(docs0.sparkSession, path, 0, nDocs, tTokens)
+    writeDf(s, path, 0)
+    writeStats(s, path, 0, nDocs, tTokens)
     (nDocs, tTokens)
   }
 
-  /** Open the committed version of a persisted index as
-    * (postings, stats) frames — the serving face other operators
-    * compose over (stream_bm25_gate scores an ingest stream against
-    * it). One schema-explicit read PER delta root (each root carries
-    * its own bucket partition layout; a multi-root read would need a
-    * shared basePath and lose per-root pruning), unioned — a bucket
-    * probe filter pushes into every delta's scan as a static
-    * PartitionFilter.
+  /** One committed version's worth of index state: postings, corpus
+    * stats, and the term dictionary — all three resolved at the SAME
+    * version, so a reader can never mix pre- and post-append state.
     */
-  def openBm25Index(s: SparkSession, path: String): (DataFrame, DataFrame) = {
+  final case class Bm25View(
+      postings: DataFrame, stats: DataFrame, dfreq: DataFrame, version: Int)
+
+  /** Open the committed version of a persisted index — the serving
+    * face other operators compose over (stream_bm25_gate scores an
+    * ingest stream against it). One schema-explicit read PER delta
+    * root (each root carries its own bucket partition layout; a
+    * multi-root read would need a shared basePath and lose per-root
+    * pruning), unioned — a bucket probe filter pushes into every
+    * delta's scan as a static PartitionFilter. The version is resolved
+    * ONCE for postings + stats + dictionary.
+    */
+  def openBm25View(s: SparkSession, path: String): Bm25View = {
     val v = committedVersion(path).getOrElse(
       throw new IllegalStateException(s"no committed bm25 index at $path"))
-    (readDeltas(s, path, v),
-      s.read.schema(statsSchema).parquet(s"$path/stats_v$v"))
+    Bm25View(
+      readDeltas(s, path, v),
+      s.read.schema(statsSchema).parquet(s"$path/stats_v$v"),
+      s.read.schema(dfSchema).parquet(s"$path/df_v$v"),
+      v)
+  }
+
+  /** Back-compat two-frame face. */
+  def openBm25Index(s: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val view = openBm25View(s, path)
+    (view.postings, view.stats)
   }
 
   /** Memoized build over `docs` at `path` (write-once per path+process;
@@ -304,7 +413,8 @@ object TrainOps5 {
     */
   def queryBm25Index(s: SparkSession, path: String): DataFrame = {
     import s.implicits._
-    val (postings, stats) = openBm25Index(s, path)
+    val view = openBm25View(s, path)
+    val (postings, stats) = (view.postings, view.stats)
     val qterms = BM25_QUERIES.toDF("query_id", "qtext")
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
     val terms = BM25_QUERIES.flatMap(_._2.split(" ")).distinct
@@ -315,7 +425,13 @@ object TrainOps5 {
     val tf = postings
       .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
       .select(col("doc_id"), col("token"), col("tf"), col("dl"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df comes from the persisted dictionary (same bucket pruning), not
+    // a re-aggregation of the postings — identical values by protocol
+    // (the dictionary is the per-token posting-row count at the same
+    // committed version).
+    val dfreq = view.dfreq
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .select(col("token"), col("df"))
     val scored = tf
       .join(broadcast(dfreq), "token")
       .crossJoin(broadcast(stats))
@@ -376,9 +492,45 @@ object TrainOps5 {
     }
     val prev = s.read.schema(statsSchema).parquet(s"$path/stats_v$v").collect()(0)
     val (bDocs, bTokens) = writeDelta(newDocs, s"$path/delta_v${v + 1}")
+    writeDf(s, path, v + 1)
     val nd = (prev.getLong(0) + bDocs, prev.getLong(1) + bTokens)
     writeStats(s, path, v + 1, nd._1, nd._2)
     nd
+  }
+
+  /** Compact the committed delta chain into one consolidated postings
+    * root. Serve cost over a long-ingested index grows with the number
+    * of delta roots (one directory listing + scan union per batch);
+    * compaction rewrites delta_v0..v (or the previous compact plus its
+    * trailing deltas) into compact_v{v} — same bucket partitioning,
+    * back to ONE file per bucket — and retires the subsumed roots.
+    * Atomicity rides the existing protocol: compact_v's own parquet
+    * _SUCCESS is its commit marker, readers resolving version v pick
+    * the newest committed compact ≤ v, and stats/df are untouched (the
+    * compacted rows are a pure reshuffle of the same postings), so
+    * serve output is IDENTICAL before and after — TrainOps5Spec
+    * asserts the equality. Same single-writer contract as append.
+    * Subsumed deltas are deleted after the compact commits; a
+    * deployment with long-running concurrent readers would retire them
+    * after a grace period instead (a reader that resolved its roots
+    * before the compact landed may still be scanning them).
+    */
+  def compactBm25Index(s: SparkSession, path: String): Unit = {
+    val v = committedVersion(path).getOrElse(
+      throw new IllegalStateException(s"no committed bm25 index at $path"))
+    val priorCompact = committedCompact(path, v)
+    if (priorCompact.contains(v)) return // already compacted at v
+    readDeltas(s, path, v)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/compact_v$v")
+    val (fs, root) = indexFs(path)
+    val first = priorCompact.map(_ + 1).getOrElse(0)
+    (first to v).foreach { i =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"delta_v$i"), true)
+    }
+    priorCompact.foreach { k =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"compact_v$k"), true)
+    }
   }
 
   /** bm25_index_incr: the maintenance path under the SAME oracle —

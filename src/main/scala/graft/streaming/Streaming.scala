@@ -519,15 +519,19 @@ object Streaming {
     */
   def bm25GateBatch(docs: DataFrame, indexPath: String): DataFrame = {
     val s = docs.sparkSession
-    val (postings0, stats) = graft.operators.TrainOps5.openBm25Index(s, indexPath)
-    val postings = postings0.select(col("doc_id").as("match_id"),
+    val view = graft.operators.TrainOps5.openBm25View(s, indexPath)
+    val stats = view.stats
+    val postings = view.postings.select(col("doc_id").as("match_id"),
       col("token"), col("tf"), col("dl"))
     val k1 = graft.operators.TrainOps5.BM25_K1
     val b = graft.operators.TrainOps5.BM25_B
-    // index-wide document frequency (vocab-sized; a serving deployment
-    // would persist this term dictionary beside the postings — here it
-    // is one postings pass, shared across the whole batch)
-    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // document frequency comes from the PERSISTED term dictionary
+    // (df_vN, committed with the postings at the same version) — a
+    // vocab-sized read, never an index-sized postings aggregation, so
+    // per-trigger cost scales with the batch + vocabulary, not with
+    // how much corpus has been ingested. PlanAuditSpec asserts the
+    // gate plan carries no aggregation over a bare postings scan.
+    val dfreq = view.dfreq.select(col("token"), col("df"))
     val iterms = docs.select(col("doc_id").as("in_id"),
         explode(filter(split(coalesce(col("text"), lit("")), " "),
           x => x =!= lit(""))).as("term"))
