@@ -147,6 +147,43 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("compactIvfIndex: serve identical before/after; cells coalesce back to one file after many appends") {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    val cpath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_compact_spec"
+    rm(new java.io.File(cpath))
+    val corpus = Tables.embeddings(spark, sf)
+    val (_, nProbe) = Similarity.buildIvfIndex(corpus.filter(col("vec_id") % 7 === 0), cpath)
+    // three separate appends -> up to 4 files per touched cell
+    (1 to 6).grouped(2).foreach { g =>
+      Similarity.appendIvfIndex(
+        corpus.filter(col("vec_id") % 7 === g.head || col("vec_id") % 7 === g.last), cpath)
+    }
+    val someCell = new java.io.File(s"$cpath/corpus").listFiles()
+      .filter(_.getName.startsWith("cent_id="))
+    assert(someCell.nonEmpty)
+    assert(someCell.map(_.listFiles().count(_.getName.endsWith(".parquet"))).max > 1,
+      "precondition: appends produced multi-file cells")
+    val qs = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def serve() = Similarity.queryIvfIndex(spark, cpath, qs, nProbe, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
+      .toSet
+    val before = serve()
+    Similarity.compactIvfIndex(spark, cpath)
+    assert(serve() == before, "compaction changed serve output")
+    val cells = new java.io.File(s"$cpath/corpus").listFiles()
+      .filter(_.getName.startsWith("cent_id="))
+    assert(cells.nonEmpty)
+    cells.foreach { c =>
+      val parts = c.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts == 1, s"${c.getName}: $parts files after compaction")
+    }
+    assert(!new java.io.File(s"$cpath/corpus_compacting").exists(),
+      "staging directory must be swapped away")
+  }
+
   test("index probe plan uses dynamic partition pruning on cent_id") {
     val qs = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

@@ -352,4 +352,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("staticinvoke") || plan.contains("replace"),
       s"replace fold missing from the projection:\n${plan.take(800)}")
   }
+
+  test("stream_bm25_gate probes the persisted term dictionary: no aggregation over a bare postings scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val lp = SparkEntry.queries("stream_bm25_gate")(spark, sf)
+      .queryExecution.optimizedPlan
+    def scansPath(p: LogicalPlan, frag: String): Boolean =
+      p.collectLeaves().exists {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.exists(_.toString.contains(frag))
+          case _ => false
+        }
+        case _ => false
+      }
+    // the df dictionary read must be in the plan at all...
+    assert(scansPath(lp, "/df_v"),
+      "gate must read the persisted df_vN dictionary, not rederive df")
+    // ...and every aggregation that consumes postings must sit ABOVE a
+    // join (i.e. the postings were term-restricted first). An Aggregate
+    // whose subtree is a bare delta scan is the index-sized per-trigger
+    // df recomputation this plan retired.
+    val aggs = lp.collect {
+      case a: Aggregate if scansPath(a.child, "/delta_v") => a
+    }
+    aggs.foreach { a =>
+      assert(a.child.collect { case j: Join => j }.nonEmpty,
+        s"aggregation over a bare postings scan (cost scales with the index, " +
+          s"not the trigger):\n${a.toString.take(1200)}")
+    }
+  }
 }

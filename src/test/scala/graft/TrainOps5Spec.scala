@@ -334,6 +334,92 @@ class TrainOps5Spec extends AnyFunSuite {
     }
   }
 
+  test("bm25 df dictionary: committed df_vN equals a per-token recount of the committed postings at every version") {
+    import org.apache.spark.sql.functions._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_df_spec"
+    val full = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    TrainOps5.buildBm25Index(full.filter(col("doc_id") % 3 === 0), path)
+    TrainOps5.appendBm25Index(full.filter(col("doc_id") % 3 =!= 0), path,
+      checkDisjoint = true)
+    val view = TrainOps5.openBm25View(spark, path)
+    assert(view.version == 1)
+    val want = view.postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = view.dfreq.select(col("token"), col("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, "dictionary must be exactly the per-token posting count")
+    assert(got.nonEmpty && got.values.forall(_ >= 1L))
+  }
+
+  test("compactBm25Index: serve identical before/after, subsumed deltas retired, append and re-compact keep working") {
+    import org.apache.spark.sql.functions._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_compact_spec"
+    val full = Tables.documents(spark, sf).filter(col("doc_id") < 350)
+    def slice(i: Int) = full.filter(col("doc_id") % 5 === i)
+    TrainOps5.buildBm25Index(slice(0), path)
+    (1 to 3).foreach(i => TrainOps5.appendBm25Index(slice(i), path, checkDisjoint = true))
+    val before = TrainOps5.queryBm25Index(spark, path).collect().toSeq
+    TrainOps5.compactBm25Index(spark, path)
+    val after = TrainOps5.queryBm25Index(spark, path).collect().toSeq
+    assert(after == before, "compaction changed serve output")
+    // layout: delta roots retired, one committed compact at v3, bounded
+    // at one file per bucket
+    val rootNames = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(!rootNames.exists(_.startsWith("delta_v")), s"deltas not retired: $rootNames")
+    assert(rootNames.contains("compact_v3"))
+    assert(new java.io.File(s"$path/compact_v3/_SUCCESS").exists())
+    val bucketDirs = new java.io.File(s"$path/compact_v3").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty && bucketDirs.length <= TrainOps5.BM25_BUCKETS)
+    bucketDirs.foreach { b =>
+      val parts = b.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${b.getName}: ${parts.length} files after compaction")
+    }
+    // append AFTER compaction: reader unions compact_v3 + delta_v4 and
+    // the chain still equals a one-shot build of the whole corpus
+    TrainOps5.appendBm25Index(slice(4), path, checkDisjoint = true)
+    val ref = s"$path-ref"
+    TrainOps5.buildBm25Index(full, ref)
+    assert(TrainOps5.queryBm25Index(spark, path).collect().toSeq ==
+      TrainOps5.queryBm25Index(spark, ref).collect().toSeq,
+      "post-compaction append diverged from one-shot build")
+    // second compaction consolidates compact_v3 + delta_v4 into
+    // compact_v4 and retires both
+    TrainOps5.compactBm25Index(spark, path)
+    val names2 = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(names2.contains("compact_v4") && !names2.contains("compact_v3")
+      && !names2.exists(_.startsWith("delta_v")), s"re-compaction layout: $names2")
+    assert(TrainOps5.queryBm25Index(spark, path).collect().toSeq ==
+      TrainOps5.queryBm25Index(spark, ref).collect().toSeq)
+  }
+
+  test("buildBm25Index refuses to clear a directory holding non-index entries") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("bm25guard").toString
+    Files.writeString(Paths.get(s"$dir/precious_data.csv"), "do,not,delete\n")
+    val e = intercept[IllegalArgumentException] {
+      TrainOps5.buildBm25Index(Tables.documents(spark, sf).limit(5), dir)
+    }
+    assert(e.getMessage.contains("refusing to clear"))
+    assert(Files.exists(Paths.get(s"$dir/precious_data.csv")),
+      "the guard must leave foreign files untouched")
+  }
+
+  test("bm25 commit protocol resolves through an explicit file: URI (Hadoop FileSystem, not java.io)") {
+    import org.apache.spark.sql.functions._
+    val path = "file:" + s"${System.getProperty("java.io.tmpdir")}/graft_bm25_uri_spec"
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    TrainOps5.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), path)
+    TrainOps5.appendBm25Index(docs.filter(col("doc_id") % 2 === 1), path,
+      checkDisjoint = true)
+    assert(TrainOps5.committedVersion(path).contains(1))
+    val ref = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_uri_ref"
+    TrainOps5.buildBm25Index(docs, ref)
+    assert(TrainOps5.queryBm25Index(spark, path).collect().toSeq ==
+      TrainOps5.queryBm25Index(spark, ref).collect().toSeq,
+      "file:-URI index serves identically to the local-path index")
+  }
+
   test("bm25 append: checkDisjoint rejects a batch that re-ingests indexed doc_ids") {
     import org.apache.spark.sql.functions._
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_dup_spec"
