@@ -2491,6 +2491,53 @@ object SqlPort {
          |       ELSE 1000000 DIV first_rel END AS rr_micros
          |FROM nt LEFT JOIN ha USING (query_id) ORDER BY nt.query_id""".stripMargin,
 
+    "eval_retrieval_ivf" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS cv
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, cv FROM e WHERE vec_id % 7 <> 3),
+         |mm AS (SELECT greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM b),
+         |cents AS (SELECT vec_id AS cent_id, cv AS cvec FROM b CROSS JOIN mm
+         |  WHERE CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % m = 0),
+         |ad AS (SELECT e.vec_id, e.cv, c.cent_id,
+         |    CAST(aggregate(zip_with(e.cv, c.cvec, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cdot
+         |  FROM e CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cv, cent_id FROM (
+         |    SELECT vec_id, cv, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rn
+         |    FROM ad) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, cv AS qv FROM e WHERE vec_id < 5),
+         |pd AS (SELECT q.query_id, q.qv, c.cent_id,
+         |    CAST(aggregate(zip_with(q.qv, c.cvec, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cdot
+         |  FROM q CROSS JOIN cents c),
+         |probes AS (SELECT query_id, qv, cent_id FROM (
+         |    SELECT query_id, qv, cent_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, cent_id) AS rn
+         |    FROM pd) t WHERE rn <= 8),
+         |sc AS (SELECT p.query_id, a.vec_id,
+         |    CAST(aggregate(zip_with(p.qv, a.cv, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS qdot
+         |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+         |  WHERE a.vec_id <> p.query_id),
+         |cand AS (SELECT query_id, vec_id, rnk AS cand_rank FROM (
+         |    SELECT query_id, vec_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+         |    FROM sc) t WHERE rnk <= 10),
+         |truth AS (SELECT query_id, vec_id FROM (
+         |${basePorts("ann_quantized")}) tq),
+         |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY query_id),
+         |ha AS (SELECT c.query_id, CAST(count(*) AS BIGINT) AS n_hit, min(c.cand_rank) AS first_rel
+         |  FROM cand c JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+         |  GROUP BY c.query_id)
+         |SELECT nt.query_id, n_truth,
+         |  COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+         |  COALESCE(n_hit, CAST(0 AS BIGINT)) * 1000000 DIV n_truth AS recall_ppm,
+         |  CASE WHEN first_rel IS NULL THEN CAST(0 AS BIGINT)
+         |       ELSE 1000000 DIV first_rel END AS rr_micros
+         |FROM nt LEFT JOIN ha USING (query_id) ORDER BY nt.query_id""".stripMargin,
+
     "dedup_paragraph_apply" -> {
       val w = operators.TrainOps5.PARA_W
       s"""WITH base AS (SELECT doc_id,

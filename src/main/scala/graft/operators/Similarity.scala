@@ -425,7 +425,9 @@ object Similarity {
     * Spark's ContextCleaner reclaims them; persisted index files on
     * disk are left for the owner to delete.
     */
-  def clearTrainedState(): Unit = { centCache.clear(); builtIndexes.clear() }
+  def clearTrainedState(): Unit = {
+    centCache.clear(); builtIndexes.clear(); builtIvfExact.clear()
+  }
 
   val annIvfIndex: Q = (s, d) => {
     // full sanitized path (no hashCode collisions) + process id (two
@@ -559,10 +561,10 @@ object Similarity {
   // composes the ann_quantized and ann_lsh_exact conformance texts as
   // nested CTE blocks — the eval can never drift from the heads it
   // grades).
-  val evalRetrieval: Q = (s, d) => {
-    val truth = annQuantized(s, d).select(col("query_id"), col("vec_id"))
-    val cand = annLshExact(s, d)
-      .select(col("query_id"), col("vec_id"), col("rank").as("cand_rank"))
+  /** Shared recall@k / MRR metric block over TopK-bounded truth and
+    * candidate frames — metadata-sized at any corpus scale, all-integer.
+    */
+  private def retrievalMetrics(truth: DataFrame, cand: DataFrame): DataFrame = {
     val hits = cand.join(truth, Seq("query_id", "vec_id"), "left_semi")
     val nTruth = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
     val hitAgg = hits.groupBy(col("query_id")).agg(
@@ -579,6 +581,179 @@ object Similarity {
         col("recall_ppm"), col("rr_micros"))
       .orderBy(col("query_id"))
   }
+
+  val evalRetrieval: Q = (s, d) => {
+    val truth = annQuantized(s, d).select(col("query_id"), col("vec_id"))
+    val cand = annLshExact(s, d)
+      .select(col("query_id"), col("vec_id"), col("rank").as("cand_rank"))
+    retrievalMetrics(truth, cand)
+  }
+
+  // --- eval_retrieval_ivf: IR-quality eval of the PERSISTED IVF head --
+  // eval_retrieval grades the LSH head; this key grades the index shape
+  // a deployment actually SERVES — a persisted, cent_id-partitioned IVF
+  // index maintained under the frozen-quantizer append (the
+  // ann_ivf_index_incr posture: build on the %7<>3 slice, append the
+  // held-out slice under the frozen centroids, serve, grade). It is the
+  // gated measurement behind the documented re-train policy ("rebuild
+  // when held-out recall drops below target"), which previously had no
+  // oracle-checked operator computing it. To put the whole
+  // build → append → serve → eval path under the DuckDB hash gate, the
+  // graded head is the EXACT-arithmetic IVF variant: the coarse
+  // quantizer is a deterministic md5-sampled subset of the build
+  // slice's own vectors (sampling corpus points as the coarse quantizer
+  // is the standard IVF bootstrap), with the sampling modulus
+  // m = floor(√n/2) so nCent ≈ 2√n — the float head's deployment
+  // geometry; vectors are int64-quantized (quantVec) and assignment,
+  // probing, and scoring all run on the codegen'd long-dot kernel.
+  // Every step is integer-exact and engine-reproducible, so the oracle
+  // recomputes the identical index and the identical serve — the eval
+  // cannot drift from the head it grades. Expect honest recall numbers
+  // on the near-isotropic driver corpus, exactly like eval_retrieval:
+  // this is a measurement, not a vanity metric.
+  private[graft] val IVFX_NPROBE = 8
+
+  /** Sampling modulus: one centroid per m build vectors,
+    * m = floor(√n / 2), giving nCent ≈ n/m ≈ 2√n. sqrt/floor on
+    * integer-valued doubles are IEEE-exact, so both engines derive the
+    * same m from the same count.
+    */
+  private[graft] def ivfxModulus(nBuild: Long): Long =
+    math.max(1L, math.floor(math.sqrt(nBuild.toDouble) / 2.0).toLong)
+
+  private def md5Mod(c: Column, m: Long): Column =
+    pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long"), lit(m))
+
+  private val ivfxCentSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "cent_id BIGINT, cvec ARRAY<BIGINT>")
+  private val ivfxCorpusSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, cv ARRAY<BIGINT>, cent_id BIGINT")
+
+  /** Build the exact-IVF index: frozen quantizer = the md5-sampled
+    * build vectors, corpus partitioned by assigned cell — the same
+    * write-once one-file-per-cell layout as buildIvfIndex.
+    */
+  private[graft] def buildIvfExactIndex(build: DataFrame, path: String): Unit = {
+    val s = build.sparkSession
+    val q = build.select(col("vec_id"), Expr.quantVec(col("embedding")).as("cv"))
+    val m = ivfxModulus(q.count())
+    q.filter(md5Mod(col("vec_id"), m) === 0)
+      .select(col("vec_id").as("cent_id"), col("cv").as("cvec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    // a rebuild must not stack on a stale corpus (appends are
+    // append-mode): clear the corpus root first
+    val root = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    appendIvfExactIndex(build, path)
+  }
+
+  /** Assign a batch under the persisted frozen quantizer and append it
+    * into the cell partitioning (exact-arithmetic twin of
+    * appendIvfIndex).
+    */
+  private[graft] def appendIvfExactIndex(batch: DataFrame, path: String): Unit = {
+    val s = batch.sparkSession
+    val cents = s.read.schema(ivfxCentSchema).parquet(s"$path/centroids")
+    val q = batch.select(col("vec_id"), Expr.quantVec(col("embedding")).as("cv"))
+    val assigned = TopK.topKPerGroup(
+        q.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cv"), col("cent_id"),
+            Expr.longDot(col("cv"), col("cvec")).as("cdot")),
+        Seq("vec_id"), Seq(("cdot", true), ("cent_id", false)), 1)
+      .select(col("vec_id"), col("cv"), col("cent_id"))
+    assigned.repartition(col("cent_id"))
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/corpus")
+  }
+
+  /** Serve the standard query set against the persisted exact-IVF
+    * index: probe-cell selection and in-cell scoring on the long-dot
+    * kernel, dynamic partition pruning on cent_id (same plan family as
+    * queryIvfIndex).
+    */
+  private[graft] def queryIvfExactIndex(s: SparkSession, path: String,
+      qs: DataFrame): DataFrame = {
+    val cents = s.read.schema(ivfxCentSchema).parquet(s"$path/centroids")
+    val indexed = s.read.schema(ivfxCorpusSchema).parquet(s"$path/corpus")
+    val probes = TopK.topKPerGroup(
+        qs.crossJoin(broadcast(cents))
+          .select(col("query_id"), col("qv"), col("cent_id"),
+            Expr.longDot(col("qv"), col("cvec")).as("cdot")),
+        Seq("query_id"), Seq(("cdot", true), ("cent_id", false)), IVFX_NPROBE)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+    val scored = indexed.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Expr.longDot(col("qv"), col("cv")).as("qdot"))
+    val top = TopK.topKPerGroup(scored, Seq("query_id"),
+      Seq(("qdot", true), ("vec_id", false)), TOPK)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Session-memoized exact-IVF builds (write-once per path+process). */
+  private val builtIvfExact =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  val evalRetrievalIvf: Q = (s, d) => {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_ivfx_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    builtIvfExact.computeIfAbsent(path, { _ =>
+      val emb = Tables.embeddings(s, d)
+      buildIvfExactIndex(emb.filter(col("vec_id") % 7 =!= 3), path)
+      appendIvfExactIndex(emb.filter(col("vec_id") % 7 === 3), path)
+      java.lang.Boolean.TRUE
+    })
+    val qs = Tables.embeddings(s, d).filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), Expr.quantVec(col("embedding")).as("qv"))
+    val cand = queryIvfExactIndex(s, path, qs)
+      .select(col("query_id"), col("vec_id"), col("rank").as("cand_rank"))
+    val truth = annQuantized(s, d).select(col("query_id"), col("vec_id"))
+    retrievalMetrics(truth, cand)
+  }
+
+  val evalRetrievalIvfSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    [CAST(floor(least(greatest(x, -256), 256)*1e6) AS BIGINT) FOR x IN embedding] AS cv
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, cv FROM e WHERE vec_id % 7 <> 3),
+       |mm AS (SELECT greatest(1, CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM b),
+       |cents AS (SELECT vec_id AS cent_id, cv AS cvec FROM b, mm
+       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % m = 0),
+       |ad AS (SELECT e.vec_id, e.cv, c.cent_id,
+       |    CAST(list_sum([e.cv[i] * c.cvec[i] FOR i IN range(1, len(e.cv) + 1)]) AS BIGINT) AS cdot
+       |  FROM e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, cv, cent_id FROM (
+       |    SELECT vec_id, cv, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rn
+       |    FROM ad) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, cv AS qv FROM e WHERE vec_id < $NQUERIES),
+       |pd AS (SELECT q.query_id, q.qv, c.cent_id,
+       |    CAST(list_sum([q.qv[i] * c.cvec[i] FOR i IN range(1, len(q.qv) + 1)]) AS BIGINT) AS cdot
+       |  FROM q CROSS JOIN cents c),
+       |probes AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT query_id, qv, cent_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, cent_id) AS rn
+       |    FROM pd) t WHERE rn <= $IVFX_NPROBE),
+       |sc AS (SELECT p.query_id, a.vec_id,
+       |    CAST(list_sum([p.qv[i] * a.cv[i] FOR i IN range(1, len(a.cv) + 1)]) AS BIGINT) AS qdot
+       |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+       |  WHERE a.vec_id <> p.query_id),
+       |cand AS (SELECT query_id, vec_id, rnk AS cand_rank FROM (
+       |    SELECT query_id, vec_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+       |    FROM sc) t WHERE rnk <= $TOPK),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |${annQuantizedSql}) tq),
+       |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY query_id),
+       |ha AS (SELECT c.query_id, CAST(count(*) AS BIGINT) AS n_hit, min(c.cand_rank) AS first_rel
+       |  FROM cand c JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+       |  GROUP BY c.query_id)
+       |SELECT nt.query_id, n_truth,
+       |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(n_hit, 0) * 1000000 // n_truth AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN first_rel IS NULL THEN 0
+       |       ELSE 1000000 // first_rel END AS BIGINT) AS rr_micros
+       |FROM nt LEFT JOIN ha USING (query_id) ORDER BY nt.query_id""".stripMargin
 
   val evalRetrievalSql: String =
     s"""WITH truth AS (SELECT query_id, vec_id FROM (
@@ -605,7 +780,8 @@ object Similarity {
     "ann_ivf_index" -> annIvfIndex,
     "ann_ivf_index_incr" -> annIvfIndexIncr,
     "ann_quantized" -> annQuantized,
-    "eval_retrieval" -> evalRetrieval)
+    "eval_retrieval" -> evalRetrieval,
+    "eval_retrieval_ivf" -> evalRetrievalIvf)
 
   /** Float-cosine variants are rows-only: DuckDB's float accumulation
     * order differs at the last ulp; exactness there is covered by
@@ -615,5 +791,6 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_quantized" -> annQuantizedSql,
     "ann_lsh_exact" -> annLshExactSql,
-    "eval_retrieval" -> evalRetrievalSql)
+    "eval_retrieval" -> evalRetrievalSql,
+    "eval_retrieval_ivf" -> evalRetrievalIvfSql)
 }

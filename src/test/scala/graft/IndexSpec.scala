@@ -184,6 +184,49 @@ class IndexSpec extends AnyFunSuite {
       "staging directory must be swapped away")
   }
 
+  test("eval_retrieval_ivf grades the persisted exact-IVF head; metrics recompute from its own serve") {
+    val got = Similarity.queries("eval_retrieval_ivf")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == (0L until 5L).toSet)
+    got.values.foreach { case (nTruth, nHit, recall, rr) =>
+      assert(nTruth == 10L, "truth is the exact int64 top-10")
+      assert(nHit >= 0 && nHit <= nTruth)
+      assert(recall == nHit * 1000000L / nTruth)
+      assert(rr >= 0 && rr <= 1000000L)
+    }
+    // driver-side recomputation from the two heads it composes
+    val truth = Similarity.queries("ann_quantized")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfx_" +
+      sf.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    val qs = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.Expr.quantVec(col("embedding")).as("qv"))
+    val cand = Similarity.queryIvfExactIndex(spark, path, qs).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("rank")))
+    truth.groupBy(_._1).foreach { case (q, ts) =>
+      val rel = cand.filter(c => c._1 == q && truth((c._1, c._2)))
+      val rr = if (rel.isEmpty) 0L else 1000000L / rel.map(_._3).min
+      assert(got(q) == ((ts.size.toLong, rel.size.toLong,
+        rel.size.toLong * 1000000L / ts.size, rr)), s"query $q metric mismatch")
+    }
+  }
+
+  test("exact-IVF serve plan prunes cent_id partitions dynamically, like the float head") {
+    // ensure the memoized index exists at the key's path
+    Similarity.queries("eval_retrieval_ivf")(spark, sf).count()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfx_" +
+      sf.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    val qs = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.Expr.quantVec(col("embedding")).as("qv"))
+    val plan = Similarity.queryIvfExactIndex(spark, path, qs)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"exact-IVF probe must prune cent_id partitions:\n${plan.take(2000)}")
+    assert(plan.contains("long_dot_product"), "scoring must be the codegen'd kernel")
+  }
+
   test("index probe plan uses dynamic partition pruning on cent_id") {
     val qs = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
