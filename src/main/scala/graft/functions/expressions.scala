@@ -261,6 +261,7 @@ object Expr {
   def sigAgree(a: Column, b: Column): Column = c(SigAgreeCount(e(a), e(b)))
   def rollingHash(tokens: Column): Column = c(RollingHash(e(tokens)))
   def md5PolyFingerprint(tokens: Column): Column = c(Md5PolyFingerprint(e(tokens)))
+  def charEntropy(chars: Column): Column = c(CharEntropy(e(chars)))
   def md5Simhash60(tokens: Column): Column = c(Md5Simhash60(e(tokens)))
   def md5MinhashSig(tokens: Column, k: Int): Column = c(Md5MinhashSig(e(tokens), k))
   def hyperplaneBucket(vec: Column, planes: Array[Array[Float]]): Column = {
@@ -300,6 +301,17 @@ object Expr {
     * contract; NaN components clamp to +256 (SQL least/greatest
     * ordering), matching both engines' SQL mirror.
     */
+  /** One-pass sorted-run character entropy (see Kernels.charEntropy). */
+  case class CharEntropy(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "char_entropy"
+    override def nullSafeEval(v: Any): Any =
+      Kernels.charEntropy(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"$K.charEntropy($a)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class QuantVec(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "quant_vec"

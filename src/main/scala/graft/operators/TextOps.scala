@@ -155,43 +155,24 @@ object TextOps {
   // Shannon entropy of the per-doc character distribution — the
   // standard cheap detector for low-information text (keyboard mash,
   // repeated boilerplate, base64 blobs score far from prose's ~4.2
-  // bits/char). Shuffle-free per-row array math in ONE sorted-run
-  // pass: sort the char array once, then a single aggregate() walks it
-  // accumulating run lengths and flushing a -p·log2(p) term at every
-  // run boundary — O(n log n) per doc, vs the naive
-  // O(distinct × n) per-distinct-char rescan (measured ~10x out of
-  // family at sf0.1 full materialization before the rewrite). Run
-  // boundaries of the sorted array appear in sorted-distinct order, so
-  // the summation order — and therefore the IEEE result — is
-  // IDENTICAL to the oracle's sorted-distinct fold; the final entropy
-  // is quantized floor(x*1e6+0.5)/1e6 on both sides (SURVEY §6 rule:
-  // never compare raw transcendentals). Empty-string chars are
-  // filtered because Spark's split("", "") yields [""] while DuckDB
-  // yields [].
+  // bits/char). Shuffle-free per-row math in ONE codegen'd sorted-run
+  // pass (Expr.charEntropy / Kernels.charEntropy): sort the char array
+  // once, accumulate run lengths, flush a -p·log2(p) term at every run
+  // boundary — O(n log n) per doc in compiled code, vs the naive
+  // O(distinct × n) per-distinct-char lambda rescan (measured ~10x out
+  // of family at sf0.1 full materialization before the rewrite; the
+  // QuantVec/LongDotProduct precedent — interpreted higher-order
+  // lambdas cost 5x+ on the same plan). Run boundaries of the sorted
+  // array appear in sorted-distinct order and the kernel mirrors
+  // Spark's Log2 arithmetic (StrictMath.log ratio), so the summation
+  // order — and the IEEE result — is IDENTICAL to the oracle's
+  // sorted-distinct fold; the final entropy is quantized
+  // floor(x*1e6+0.5)/1e6 on both sides (SURVEY §6 rule: never compare
+  // raw transcendentals). Empty-string chars are filtered because
+  // Spark's split("", "") yields [""] while DuckDB yields [].
   val textEntropy: Q = (s, d) => {
     val chars = filter(split(col("text"), ""), c => c =!= "")
-    val n = size(chars).cast("double")
-    val sorted = array_sort(chars)
-    val termOf = (run: Column) => {
-      val p = run.cast("double") / n
-      -p * log2(p)
-    }
-    // state: (acc entropy so far, current run's char, current run len);
-    // the finish lambda flushes the trailing run.
-    val init = struct(
-      lit(0.0d).as("acc"), lit(null).cast("string").as("cur"), lit(0L).as("run"))
-    val flush = (st: Column) =>
-      st.getField("acc") +
-        when(st.getField("run") > 0, termOf(st.getField("run"))).otherwise(lit(0.0d))
-    val ent = aggregate(
-      sorted,
-      init,
-      (st, c) => when(st.getField("cur").isNotNull && c === st.getField("cur"),
-          struct(st.getField("acc").as("acc"), st.getField("cur").as("cur"),
-            (st.getField("run") + 1L).as("run")))
-        .otherwise(
-          struct(flush(st).as("acc"), c.as("cur"), lit(1L).as("run"))),
-      flush)
+    val ent = graft.functions.Expr.charEntropy(chars)
     Tables.documents(s, d)
       .select(col("doc_id"),
         size(chars).cast("long").as("n_chars_tot"),

@@ -284,6 +284,30 @@ class KernelPropertySpec extends AnyFunSuite {
     * bpe_apply_batch's token accounting (fertility, OOV) trustworthy
     * regardless of which merges training produced.
     */
+  test("charEntropy: equals the sorted-distinct -p·log2(p) fold; order-invariant; bounds") {
+    val chars: Gen[List[String]] = Gen.listOf(
+      Gen.oneOf("a", "b", "c", " ", "é", "字", "!", "0", " ", "😀"))
+    check(Prop.forAll(chars) { cs =>
+      val got = Kernels.charEntropy(arr(cs))
+      // reference: the exact fold the Column formulation ran — terms in
+      // sorted-distinct order (UTF8String binary order = code point
+      // order for valid strings), StrictMath log ratio, left fold
+      val n = cs.size.toDouble
+      val want = cs.groupBy(identity).toSeq
+        .sortBy(x => UTF8String.fromString(x._1))(
+          Ordering.comparatorToOrdering(
+            java.util.Comparator.naturalOrder[UTF8String]()))
+        .foldLeft(0.0) { case (acc, (_, occ)) =>
+          val p = occ.size.toDouble / n
+          acc + -p * (StrictMath.log(p) / StrictMath.log(2.0))
+        }
+      val orderInv = Kernels.charEntropy(arr(scala.util.Random.shuffle(cs)))
+      got == want && got == orderInv &&
+        (cs.isEmpty || (got >= 0.0 &&
+          got <= StrictMath.log(cs.distinct.size.toDouble) / StrictMath.log(2.0) + 1e-9))
+    })
+  }
+
   test("bpe padded-replace fold reconstructs the word for any merge chain") {
     def padReplace(s: String, pair: String, merged: String): String = {
       val (pat, rep) = (" " + pair + " ", " " + merged + " ")
