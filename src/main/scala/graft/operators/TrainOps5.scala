@@ -531,6 +531,18 @@ object TrainOps5 {
     priorCompact.foreach { k =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"compact_v$k"), true)
     }
+    // superseded dictionary/stats versions are dead weight too: readers
+    // resolve only the newest committed version, and the df chain needs
+    // only df_v{v} for the next append — retire everything below v
+    // (64 files per df version on a long chain is most of the index's
+    // file count after the deltas are gone)
+    fs.listStatus(root)
+      .map(_.getPath.getName)
+      .collect {
+        case n if n.matches("df_v\\d+") && n.stripPrefix("df_v").toInt < v    => n
+        case n if n.matches("stats_v\\d+") && n.stripPrefix("stats_v").toInt < v => n
+      }
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
   }
 
   /** bm25_index_incr: the maintenance path under the SAME oracle —

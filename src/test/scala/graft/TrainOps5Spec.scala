@@ -365,8 +365,8 @@ class TrainOps5Spec extends AnyFunSuite {
     // layout: delta roots retired, one committed compact at v3, bounded
     // at one file per bucket
     val rootNames = new java.io.File(path).listFiles().map(_.getName).toSet
-    assert(!rootNames.exists(_.startsWith("delta_v")), s"deltas not retired: $rootNames")
-    assert(rootNames.contains("compact_v3"))
+    assert(rootNames == Set("compact_v3", "df_v3", "stats_v3"),
+      s"compaction must retire subsumed deltas AND superseded df/stats: $rootNames")
     assert(new java.io.File(s"$path/compact_v3/_SUCCESS").exists())
     val bucketDirs = new java.io.File(s"$path/compact_v3").listFiles()
       .filter(_.getName.startsWith("bucket="))
