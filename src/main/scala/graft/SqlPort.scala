@@ -1781,6 +1781,10 @@ object SqlPort {
     // lossless ranking contract.
     "bm25_index_incr" -> bm25SparkPort,
 
+    // bm25_index_compact: build→append→compact→vacuum→serve — the
+    // compaction rewrite is lossless, so the same recomputed ranking.
+    "bm25_index_compact" -> bm25SparkPort,
+
     // rag_context_pack: same scoring chain as bm25_retrieval's port,
     // candidate cut at 16 then the budget running sum.
     "rag_context_pack" -> {

@@ -259,6 +259,36 @@ object Similarity {
   // of an inverted-list seek. IndexSpec asserts the pruning is in the
   // plan, not just hoped for.
 
+  // VERSIONED CORPUS ROOT: the assigned corpus lives at corpus_vN and a
+  // version is committed by its own parquet _SUCCESS (bm25-style).
+  // Builds write corpus_v0; appends land files INSIDE the newest
+  // committed version (per-vector assignment reads no corpus-level
+  // state, so partially-landed append files are just a smaller corpus —
+  // see the consistency note below); compaction writes corpus_v{N+1}
+  // and retires vN, so readers either resolve the old root (and can
+  // finish scanning it under a retirement grace period) or the new one
+  // — never a half-swapped directory. This is what makes compaction an
+  // ONLINE maintenance op instead of a serve-blocking swap.
+
+  /** Newest committed corpus version at an index root. */
+  private[graft] def committedCorpusVersion(s: SparkSession, path: String): Option[Int] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val vs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("corpus_v\\d+")
+        && !IndexMaintenance.isRetired(fs, st.getPath))
+      .map(_.getPath.getName.stripPrefix("corpus_v").toInt)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(root, s"corpus_v$v/_SUCCESS")))
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private def liveCorpusPath(s: SparkSession, path: String): String = {
+    val v = committedCorpusVersion(s, path).getOrElse(
+      throw new IllegalStateException(s"no committed ivf corpus at $path"))
+    s"$path/corpus_v$v"
+  }
+
   /** Train + assign + persist + calibrate. Returns (nCent, nProbe):
     * nProbe is the build-time-calibrated default (see calibrateNProbe),
     * measured against the PERSISTED assignment so the number describes
@@ -280,6 +310,13 @@ object Similarity {
             Expr.dotProduct(col("embedding"), col("cvec")).as("cdist")),
         Seq("vec_id"), Seq(("cdist", true), ("cent_id", false)), 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
+    // a rebuild replaces the whole index: retire every prior corpus
+    // version so a stale root cannot shadow the new assignment
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(root)) fs.listStatus(root)
+      .filter(_.getPath.getName.matches("corpus(_v\\d+|_compacting)?"))
+      .foreach(st => fs.delete(st.getPath, true))
     // One file per cell: without the repartition every task holds rows
     // of ~all cells and partitionBy explodes into tasks × cells small
     // files (measured ~28k files at 896 cells / 32 partitions — serve
@@ -287,8 +324,8 @@ object Similarity {
     // by cent_id first bounds the layout at one file per cell, the
     // inverted-list shape a 100 TB index needs for probe-only reads.
     toWrite.repartition(col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/corpus")
-    val assigned = s.read.schema(toWrite.schema).parquet(s"$path/corpus")
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/corpus_v0")
+    val assigned = s.read.schema(toWrite.schema).parquet(s"$path/corpus_v0")
     (nCent, calibrateNProbe(corpus, trained, assigned, n, nCent))
   }
 
@@ -305,7 +342,7 @@ object Similarity {
     val corpusSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, embedding ARRAY<FLOAT>, cent_id BIGINT")
     val cents = s.read.schema(centSchema).parquet(s"$path/centroids")
-    val indexed = s.read.schema(corpusSchema).parquet(s"$path/corpus")
+    val indexed = s.read.schema(corpusSchema).parquet(liveCorpusPath(s, path))
     val probes = TopK.topKPerGroup(
         queriesDf.crossJoin(broadcast(cents))
           .select(col("query_id"), col("qvec"), col("cent_id"),
@@ -337,8 +374,10 @@ object Similarity {
   // append sees the old index plus whichever of the batch's cell files
   // have landed, which is a correct index over a subset of the evolving
   // corpus (the contract an ANN serve already has). Plain append-mode
-  // files therefore suffice where bm25's stats write needed the
-  // versioned commit point.
+  // files INSIDE the committed corpus version therefore suffice where
+  // bm25's stats write needed a per-batch commit point; the corpus_vN
+  // versioning exists for COMPACTION (which rewrites history and does
+  // need old-or-new atomicity), not for appends.
   //
   // RE-TRAIN POLICY (when appending must stop): quantizer drift shows
   // up as cell skew — when the max cell's share of the corpus exceeds
@@ -364,8 +403,13 @@ object Similarity {
             Expr.dotProduct(col("embedding"), col("cvec")).as("cdist")),
         Seq("vec_id"), Seq(("cdist", true), ("cent_id", false)), 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
+    // first append into a centroids-only root bootstraps corpus_v0
+    // (append into an empty index IS the assignment pass — IndexSpec's
+    // losslessness reference path builds its index exactly this way)
+    val target = committedCorpusVersion(s, path)
+      .map(v => s"$path/corpus_v$v").getOrElse(s"$path/corpus_v0")
     assigned.repartition(col("cent_id"))
-      .write.mode("append").partitionBy("cent_id").parquet(s"$path/corpus")
+      .write.mode("append").partitionBy("cent_id").parquet(target)
   }
 
   /** Compact a long-appended IVF index back to one file per cell.
@@ -374,24 +418,42 @@ object Similarity {
     * — compaction coalesces every cell to a single file (the build's
     * layout) without touching assignments, so serve output is
     * IDENTICAL before and after (IndexSpec asserts the equality and
-    * the per-cell file bound). Unlike BM25 (whose versioned stats give
-    * an online commit point), the IVF corpus is one partitioned root,
-    * so this is an OFFLINE maintenance op: consolidate into a staging
-    * directory, then swap — run it in the same maintenance window as a
-    * quantizer rebuild, not under concurrent serves.
+    * the per-cell file bound). ONLINE via the versioned corpus root:
+    * the consolidated corpus lands at corpus_v{N+1} (its parquet
+    * _SUCCESS is the commit), readers resolve the newest committed
+    * version, and the subsumed corpus_vN is retired — deleted
+    * immediately at `retireGraceMs == 0`, or marked for a later
+    * vacuumIvfIndex pass so in-flight serves that resolved vN can
+    * finish their scans. Same single-writer contract as bm25: one
+    * append or compact at a time per index root.
     */
-  def compactIvfIndex(s: SparkSession, path: String): Unit = {
+  def compactIvfIndex(s: SparkSession, path: String,
+      retireGraceMs: Long = 0L): Unit = {
     val corpusSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, embedding ARRAY<FLOAT>, cent_id BIGINT")
-    val staging = s"$path/corpus_compacting"
-    s.read.schema(corpusSchema).parquet(s"$path/corpus")
+    val v = committedCorpusVersion(s, path).getOrElse(
+      throw new IllegalStateException(s"no committed ivf corpus at $path"))
+    s.read.schema(corpusSchema).parquet(s"$path/corpus_v$v")
       .repartition(col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(staging)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/corpus_v${v + 1}")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(root, "corpus"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(root, "corpus_compacting"),
-      new org.apache.hadoop.fs.Path(root, "corpus"))
+    // retire EVERYTHING below the new commit (not just vN) so a crash
+    // between a previous compact's commit and its retire converges on
+    // the next run instead of leaking an orphan version
+    fs.listStatus(root)
+      .filter(st => st.getPath.getName.matches("corpus_v\\d+")
+        && st.getPath.getName.stripPrefix("corpus_v").toInt <= v)
+      .foreach(st => IndexMaintenance.retireOrDelete(fs, st.getPath, retireGraceMs))
+  }
+
+  /** Delete retired corpus versions whose grace period has elapsed;
+    * returns the deleted directory names (see compactIvfIndex).
+    */
+  def vacuumIvfIndex(s: SparkSession, path: String, graceMs: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    IndexMaintenance.vacuum(fs, root, graceMs)
   }
 
   /** ann_ivf_index_incr: build the index from the vec_id % 7 <> 3

@@ -251,7 +251,8 @@ object TrainOps5 {
     val (fs, root) = indexFs(path)
     if (!fs.exists(root)) return None
     val vs = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.matches("stats_v\\d+"))
+      .filter(st => st.isDirectory && st.getPath.getName.matches("stats_v\\d+")
+        && !IndexMaintenance.isRetired(fs, st.getPath))
       .map(_.getPath.getName.stripPrefix("stats_v").toInt)
       .filter(v => fs.exists(new org.apache.hadoop.fs.Path(root, s"stats_v$v/_SUCCESS")))
     if (vs.isEmpty) None else Some(vs.max)
@@ -265,7 +266,8 @@ object TrainOps5 {
     val (fs, root) = indexFs(path)
     if (!fs.exists(root)) return None
     val ks = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.matches("compact_v\\d+"))
+      .filter(st => st.isDirectory && st.getPath.getName.matches("compact_v\\d+")
+        && !IndexMaintenance.isRetired(fs, st.getPath))
       .map(_.getPath.getName.stripPrefix("compact_v").toInt)
       .filter(k => k <= v &&
         fs.exists(new org.apache.hadoop.fs.Path(root, s"compact_v$k/_SUCCESS")))
@@ -510,12 +512,19 @@ object TrainOps5 {
     * compacted rows are a pure reshuffle of the same postings), so
     * serve output is IDENTICAL before and after — TrainOps5Spec
     * asserts the equality. Same single-writer contract as append.
-    * Subsumed deltas are deleted after the compact commits; a
-    * deployment with long-running concurrent readers would retire them
-    * after a grace period instead (a reader that resolved its roots
-    * before the compact landed may still be scanning them).
+    *
+    * Subsumed roots: with `retireGraceMs == 0` they are deleted as
+    * soon as the compact commits (single-reader / test posture). A
+    * deployment with long-running concurrent readers passes a grace
+    * period instead — subsumed roots are then only MARKED retired
+    * (IndexMaintenance.retire; readers resolving the current version
+    * never touch them, but a reader that resolved its roots before
+    * the compact landed can finish its scan) and a later
+    * vacuumBm25Index pass deletes them once the marker has aged past
+    * the grace period.
     */
-  def compactBm25Index(s: SparkSession, path: String): Unit = {
+  def compactBm25Index(s: SparkSession, path: String,
+      retireGraceMs: Long = 0L): Unit = {
     val v = committedVersion(path).getOrElse(
       throw new IllegalStateException(s"no committed bm25 index at $path"))
     val priorCompact = committedCompact(path, v)
@@ -524,12 +533,13 @@ object TrainOps5 {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/compact_v$v")
     val (fs, root) = indexFs(path)
+    def sub(n: String) = new org.apache.hadoop.fs.Path(root, n)
     val first = priorCompact.map(_ + 1).getOrElse(0)
     (first to v).foreach { i =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"delta_v$i"), true)
+      IndexMaintenance.retireOrDelete(fs, sub(s"delta_v$i"), retireGraceMs)
     }
     priorCompact.foreach { k =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"compact_v$k"), true)
+      IndexMaintenance.retireOrDelete(fs, sub(s"compact_v$k"), retireGraceMs)
     }
     // superseded dictionary/stats versions are dead weight too: readers
     // resolve only the newest committed version, and the df chain needs
@@ -542,7 +552,18 @@ object TrainOps5 {
         case n if n.matches("df_v\\d+") && n.stripPrefix("df_v").toInt < v    => n
         case n if n.matches("stats_v\\d+") && n.stripPrefix("stats_v").toInt < v => n
       }
-      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+      .foreach(n => IndexMaintenance.retireOrDelete(fs, sub(n), retireGraceMs))
+  }
+
+  /** Delete retired index roots whose grace period has elapsed (see
+    * compactBm25Index); returns the deleted directory names. Run it on
+    * the maintenance cadence with graceMs ≥ the deployment's longest
+    * query — everything it deletes has been invisible to version
+    * resolution since its compact committed.
+    */
+  def vacuumBm25Index(path: String, graceMs: Long): Seq[String] = {
+    val (fs, root) = indexFs(path)
+    IndexMaintenance.vacuum(fs, root, graceMs)
   }
 
   /** bm25_index_incr: the maintenance path under the SAME oracle —
@@ -564,14 +585,53 @@ object TrainOps5 {
     queryBm25Index(s, path)
   }
 
+  /** bm25_index_compact: the full index lifecycle under the SAME
+    * oracle — build on the doc_id % 7 <> 3 slice, append the held-out
+    * batch, COMPACT the two-delta chain under a retirement grace
+    * period, vacuum the aged-out roots, serve. The serve must equal a
+    * fresh whole-corpus retrieval bit-for-bit (shared oracle with
+    * bm25_retrieval): compaction and vacuum are lossless REWRITES, and
+    * this puts that claim under the gated battery — DuckDB recomputes
+    * the retrieval from the raw corpus, so any row the rewrite
+    * drops/duplicates/re-scores fails the hash gate, not just a spec.
+    */
+  val bm25IndexCompact: Q = (s, d) => {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_bm25c_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    builtBm25.computeIfAbsent(path, { _ =>
+      buildBm25Index(
+        Tables.documents(s, d).filter(col("doc_id") % 7 =!= 3), path)
+      val nd = appendBm25Index(
+        Tables.documents(s, d).filter(col("doc_id") % 7 === 3), path,
+        checkDisjoint = true)
+      // grace-marked retirement, then a vacuum pass whose grace has
+      // elapsed (0 ms) — the deployment sequence, compressed in time
+      compactBm25Index(s, path, retireGraceMs = 24L * 3600 * 1000)
+      vacuumBm25Index(path, 0L)
+      nd
+    })
+    queryBm25Index(s, path)
+  }
+
   /** Session-memoized builds (write-once semantics in a query fn). */
   private val builtBm25 =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
+  /** Invalidation hooks run by clearIndexState — downstream caches
+    * keyed by index path/version (Streaming's gate dictionary cache)
+    * register here so an in-place corpus rewrite drops them too.
+    */
+  private val invalidationHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+  def onClearIndexState(hook: () => Unit): Unit = invalidationHooks.add(hook)
+
   /** Drop memoized index records (mirrors Similarity.clearTrainedState;
     * called by ScaleData writers that overwrite a corpus in place).
     */
-  def clearIndexState(): Unit = builtBm25.clear()
+  def clearIndexState(): Unit = {
+    builtBm25.clear()
+    invalidationHooks.forEach(h => h())
+  }
 
   val bm25Index: Q = (s, d) => {
     val path = System.getProperty("java.io.tmpdir") + "/graft_bm25_" +
@@ -939,6 +999,7 @@ object TrainOps5 {
     "bm25_retrieval" -> bm25Retrieval,
     "bm25_index" -> bm25Index,
     "bm25_index_incr" -> bm25IndexIncr,
+    "bm25_index_compact" -> bm25IndexCompact,
     "rag_context_pack" -> ragContextPack,
     "dedup_paragraph" -> dedupParagraph,
     "dedup_paragraph_apply" -> dedupParagraphApply,
@@ -953,6 +1014,7 @@ object TrainOps5 {
     // ...and the same oracle gates the APPEND path: serve-after-append
     // must equal a fresh whole-corpus retrieval bit-for-bit
     "bm25_index_incr" -> bm25RetrievalSql,
+    "bm25_index_compact" -> bm25RetrievalSql,
     "rag_context_pack" -> ragContextPackSql,
     "dedup_paragraph" -> dedupParagraphSql,
     "dedup_paragraph_apply" -> dedupParagraphApplySql,

@@ -13,8 +13,10 @@ class IndexSpec extends AnyFunSuite {
     val corpus = Tables.embeddings(spark, sf)
     val (nCent, nProbe) = Similarity.buildIvfIndex(corpus, path)
     assert(nCent >= 16 && nProbe >= 2)
-    // corpus is laid out as one directory per cell
-    val cells = new java.io.File(s"$path/corpus").listFiles()
+    // corpus is laid out as one directory per cell at the committed
+    // version root
+    val cv = Similarity.committedCorpusVersion(spark, path).get
+    val cells = new java.io.File(s"$path/corpus_v$cv").listFiles()
       .filter(_.getName.startsWith("cent_id=")).length
     assert(cells > 0 && cells <= nCent)
     val qs = corpus.filter(col("vec_id") < 5)
@@ -160,7 +162,9 @@ class IndexSpec extends AnyFunSuite {
       Similarity.appendIvfIndex(
         corpus.filter(col("vec_id") % 7 === g.head || col("vec_id") % 7 === g.last), cpath)
     }
-    val someCell = new java.io.File(s"$cpath/corpus").listFiles()
+    assert(Similarity.committedCorpusVersion(spark, cpath).contains(0),
+      "build commits corpus_v0")
+    val someCell = new java.io.File(s"$cpath/corpus_v0").listFiles()
       .filter(_.getName.startsWith("cent_id="))
     assert(someCell.nonEmpty)
     assert(someCell.map(_.listFiles().count(_.getName.endsWith(".parquet"))).max > 1,
@@ -171,17 +175,34 @@ class IndexSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
       .toSet
     val before = serve()
-    Similarity.compactIvfIndex(spark, cpath)
+    // ONLINE compaction: a reader that resolved corpus_v0 before the
+    // compact keeps a scannable root under the retirement grace period
+    val preCompactRoot = s"$cpath/corpus_v0"
+    Similarity.compactIvfIndex(spark, cpath, retireGraceMs = 60 * 60 * 1000L)
     assert(serve() == before, "compaction changed serve output")
-    val cells = new java.io.File(s"$cpath/corpus").listFiles()
+    assert(Similarity.committedCorpusVersion(spark, cpath).contains(1),
+      "compaction commits corpus_v1 and retires v0")
+    assert(new java.io.File(s"$preCompactRoot/_RETIRED").exists(),
+      "subsumed corpus version carries the retirement marker")
+    assert(new java.io.File(preCompactRoot).exists(),
+      "grace-period compaction must leave the old root for in-flight serves")
+    val cells = new java.io.File(s"$cpath/corpus_v1").listFiles()
       .filter(_.getName.startsWith("cent_id="))
     assert(cells.nonEmpty)
     cells.foreach { c =>
       val parts = c.listFiles().count(_.getName.endsWith(".parquet"))
       assert(parts == 1, s"${c.getName}: $parts files after compaction")
     }
-    assert(!new java.io.File(s"$cpath/corpus_compacting").exists(),
-      "staging directory must be swapped away")
+    // vacuum inside the grace window keeps the retired root; past it
+    // (0 ms) the root goes and serve is unchanged
+    assert(Similarity.vacuumIvfIndex(spark, cpath, 60 * 60 * 1000L).isEmpty)
+    assert(Similarity.vacuumIvfIndex(spark, cpath, 0L) == Seq("corpus_v0"))
+    assert(!new java.io.File(preCompactRoot).exists())
+    assert(serve() == before, "serve must be unchanged after vacuum")
+    // appends keep working against the compacted version (and a
+    // zero-row append must still resolve the live root, not throw)
+    Similarity.appendIvfIndex(corpus.limit(0), cpath)
+    assert(Similarity.committedCorpusVersion(spark, cpath).contains(1))
   }
 
   test("eval_retrieval_ivf grades the persisted exact-IVF head; metrics recompute from its own serve") {

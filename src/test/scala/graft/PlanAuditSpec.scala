@@ -364,9 +364,14 @@ class PlanAuditSpec extends AnyFunSuite {
           case h: HadoopFsRelation => h.location.rootPaths.exists(_.toString.contains(frag))
           case _ => false
         }
+        // the version-keyed dictionary cache surfaces as an
+        // InMemoryRelation whose cached plan scans df_vN
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          m.cacheBuilder.cachedPlan.toString.contains(frag)
         case _ => false
       }
-    // the df dictionary read must be in the plan at all...
+    // the df dictionary read must be in the plan at all (directly or
+    // through the per-committed-version cache)...
     assert(scansPath(lp, "/df_v"),
       "gate must read the persisted df_vN dictionary, not rederive df")
     // ...and every aggregation that consumes postings must sit ABOVE a

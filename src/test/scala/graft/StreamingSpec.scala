@@ -588,6 +588,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(matches(101L) == -1L, "no indexed term -> sentinel match")
   }
 
+  test("gate dictionary cache: one frame per committed version, invalidated by append and clearIndexState") {
+    val spark2 = spark
+    import spark2.implicits._
+    val idxPath = java.nio.file.Files.createTempDirectory("bm25gd").toString + "/index"
+    graft.operators.TrainOps5.buildBm25Index(
+      Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "text"), idxPath)
+    def view = graft.operators.TrainOps5.openBm25View(spark, idxPath)
+    val d0 = Streaming.gateDictionary(spark, idxPath, view)
+    // a second trigger at the same committed version reuses the SAME
+    // persisted frame — zero dictionary IO in steady state
+    assert(Streaming.gateDictionary(spark, idxPath, view) eq d0)
+    assert(d0.storageLevel.useMemory, "the steady-state frame is persisted")
+    // an append commits a new version -> new frame, old one unpersisted
+    graft.operators.TrainOps5.appendBm25Index(
+      Seq((2L, "gamma delta")).toDF("doc_id", "text"), idxPath)
+    val v1 = view
+    assert(v1.version == 1)
+    val d1 = Streaming.gateDictionary(spark, idxPath, v1)
+    assert(!(d1 eq d0))
+    assert(!d0.storageLevel.useMemory, "superseded dictionary must be unpersisted")
+    assert(d1.collect().map(_.getString(0)).toSet ==
+      Set("alpha", "beta", "gamma", "delta"))
+    // the in-place-rewrite contract drops the cache entirely
+    graft.operators.TrainOps5.clearIndexState()
+    assert(!d1.storageLevel.useMemory)
+    assert(!(Streaming.gateDictionary(spark, idxPath, view) eq d1))
+  }
+
   test("qualityGate runs UNCHANGED on a stream; per-trigger union equals the batch twin") {
     val spark2 = spark
     import spark2.implicits._

@@ -393,6 +393,43 @@ class TrainOps5Spec extends AnyFunSuite {
       TrainOps5.queryBm25Index(spark, ref).collect().toSeq)
   }
 
+  test("grace-period compaction: subsumed roots survive for in-flight readers until vacuum ages them out") {
+    import org.apache.spark.sql.functions._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_grace_spec"
+    val full = Tables.documents(spark, sf).filter(col("doc_id") < 300)
+    TrainOps5.buildBm25Index(full.filter(col("doc_id") % 3 === 0), path)
+    TrainOps5.appendBm25Index(full.filter(col("doc_id") % 3 =!= 0), path,
+      checkDisjoint = true)
+    // a long-running reader resolves its roots BEFORE the compact lands
+    val preCompactView = TrainOps5.openBm25View(spark, path)
+    val preCompactServe = TrainOps5.queryBm25Index(spark, path).collect().toSeq
+    TrainOps5.compactBm25Index(spark, path, retireGraceMs = 60 * 60 * 1000L)
+    val names = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(Set("delta_v0", "delta_v1", "df_v0", "stats_v0").subsetOf(names),
+      s"grace compaction must not delete subsumed roots: $names")
+    assert(names.contains("compact_v1"))
+    assert(new java.io.File(s"$path/delta_v0/_RETIRED").exists()
+      && new java.io.File(s"$path/stats_v0/_RETIRED").exists(),
+      "subsumed roots must carry retirement markers")
+    // the in-flight reader's already-resolved plan still executes
+    // against the retired roots — the point of deferred deletion
+    assert(preCompactView.postings.count() > 0)
+    // NEW readers resolve only the live compact — serve output unchanged
+    assert(TrainOps5.queryBm25Index(spark, path).collect().toSeq == preCompactServe)
+    // vacuum inside the grace period deletes nothing
+    assert(TrainOps5.vacuumBm25Index(path, 60 * 60 * 1000L).isEmpty)
+    assert(new java.io.File(s"$path/delta_v0").exists())
+    // past the grace period (0 ms: every marker has aged >= 0) the
+    // retired roots go; live ones survive and serve is unchanged
+    val deleted = TrainOps5.vacuumBm25Index(path, 0L).toSet
+    assert(deleted == Set("delta_v0", "delta_v1", "df_v0", "stats_v0"),
+      s"vacuumed: $deleted")
+    val names2 = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(names2 == Set("compact_v1", "df_v1", "stats_v1"),
+      s"post-vacuum layout: $names2")
+    assert(TrainOps5.queryBm25Index(spark, path).collect().toSeq == preCompactServe)
+  }
+
   test("buildBm25Index refuses to clear a directory holding non-index entries") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("bm25guard").toString
