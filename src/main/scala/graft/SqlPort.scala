@@ -1785,6 +1785,10 @@ object SqlPort {
     // compaction rewrite is lossless, so the same recomputed ranking.
     "bm25_index_compact" -> bm25SparkPort,
 
+    // stream_bm25_ingest: the four-trigger streamed chain serves the
+    // identical ranking as a never-streamed index.
+    "stream_bm25_ingest" -> bm25SparkPort,
+
     // rag_context_pack: same scoring chain as bm25_retrieval's port,
     // candidate cut at 16 then the budget running sum.
     "rag_context_pack" -> {

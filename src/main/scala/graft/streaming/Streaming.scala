@@ -522,6 +522,7 @@ object Streaming {
   graft.operators.TrainOps5.onClearIndexState { () =>
     gateDict.values.forEach(df => df.unpersist())
     gateDict.clear()
+    ingested.clear()
   }
 
   private[graft] def gateDictionary(s: SparkSession, indexPath: String,
@@ -612,6 +613,82 @@ object Streaming {
           .otherwise(lit("pass")))
   }
 
+  // --- stream_bm25_ingest: streaming ingest INTO the index ------------
+  // The write side of the serving story: a document stream maintains
+  // the persisted BM25 index itself — each micro-batch lands under the
+  // commit protocol as one atomic version bump (foreachBatch →
+  // append), so a concurrent serve (queryBm25Index, bm25GateBatch)
+  // always reads a committed prefix of triggers. Crash semantics
+  // compose from the two layers: a trigger that dies mid-append leaves
+  // an orphan delta the retry overwrites (protocol idempotence), and a
+  // trigger that committed but wasn't checkpoint-acked is detected by
+  // its epoch marker and skipped (EXACTLY-ONCE ingest, not just
+  // at-least-once) — Structured Streaming retries only the latest
+  // unacked epoch and epochs are ordered, so checking the newest
+  // committed version's marker suffices.
+
+  /** Ingest one micro-batch: bootstrap the index on the first trigger,
+    * append on every later one, and stamp the committed version with
+    * the epoch id so a replayed epoch is a no-op instead of a
+    * double-ingest. The epoch marker lands INSIDE the already-committed
+    * stats directory (underscore-prefixed: invisible to parquet), so it
+    * cannot race the commit point it annotates.
+    */
+  def bm25IngestBatch(batch: DataFrame, indexPath: String, epochId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val s = batch.sparkSession
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    def marker(v: Int) = new Path(root, s"stats_v$v/_EPOCH_$epochId")
+    val committed = graft.operators.TrainOps5.committedVersion(indexPath)
+    if (committed.exists(v => fs.exists(marker(v)))) return // replayed epoch
+    committed match {
+      case None    => graft.operators.TrainOps5.buildBm25Index(batch, indexPath)
+      case Some(_) => graft.operators.TrainOps5.appendBm25Index(batch, indexPath)
+    }
+    val v = graft.operators.TrainOps5.committedVersion(indexPath).get
+    fs.create(marker(v), true).close()
+  }
+
+  /** The stream face: wire a doc stream into the index via foreachBatch.
+    * Returned writer is ready to `.start()`; the caller owns checkpoint
+    * location and trigger policy. Single-writer contract: this stream
+    * must be the index's only writer (the protocol's standing rule).
+    */
+  def bm25IngestStream(docs: DataFrame, indexPath: String) =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        bm25IngestBatch(b, indexPath, epochId)
+      }
+
+  /** Memoized multi-trigger ingests (write-once per path+process). */
+  private val ingested =
+    new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+
+  /** stream_bm25_ingest: the oracle-gated batch twin — the corpus
+    * arrives as four triggers (doc_id % 4 arrival order), each
+    * ingested through bm25IngestBatch (trigger 0 bootstraps, 1-3 are
+    * atomic appends), then the standard query set is served. The
+    * DuckDB oracle recomputes retrieval over the WHOLE corpus, so the
+    * gate asserts the full streamed chain — bootstrap, three version
+    * bumps, epoch markers — is lossless against a never-streamed
+    * index. StreamingSpec drives the same sink from a real
+    * MemoryStream (equality with this twin) and replays an epoch to
+    * assert exactly-once.
+    */
+  val streamBm25Ingest: Q = (s, d) => {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_bm25si_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    ingested.computeIfAbsent(path, { _ =>
+      (0 to 3).foreach { i =>
+        bm25IngestBatch(
+          Tables.documents(s, d).filter(col("doc_id") % 4 === i)
+            .select(col("doc_id"), col("text")), path, epochId = i.toLong)
+      }
+    })
+    graft.operators.TrainOps5.queryBm25Index(s, path)
+  }
+
   /** stream_bm25_gate: the oracle-gated batch twin — index the
     * doc_id % 7 <> 3 corpus slice (the already-ingested corpus),
     * gate the held-out % 7 = 3 slice as the incoming stream.
@@ -678,6 +755,7 @@ object Streaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "stream_bm25_ingest" -> streamBm25Ingest,
     "stream_bm25_gate" -> streamBm25Gate,
     "stream_quality_gate" -> streamQualityGate,
     "stream_upsert_sink" -> streamUpsertSink,
@@ -688,6 +766,7 @@ object Streaming {
     "stream_dup_gate" -> streamDupGate,
     "stream_dup_gate_exact" -> streamDupGateExact)
   val oracles: Map[String, String] = Map(
+    "stream_bm25_ingest" -> graft.operators.TrainOps5.bm25RetrievalSql,
     "stream_bm25_gate" -> streamBm25GateSql,
     "stream_quality_gate" -> streamQualityGateSql,
     "stream_upsert_sink" -> streamUpsertSinkSql,

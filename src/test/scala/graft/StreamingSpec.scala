@@ -588,6 +588,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(matches(101L) == -1L, "no indexed term -> sentinel match")
   }
 
+  test("bm25 ingest stream: each trigger is an atomic version bump; final serve equals a one-shot build; replayed epochs are no-ops") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, "solar inverter efficiency curve under partial shading"),
+      (1L, "thermal derating of the output stage at high ambient"),
+      (2L, "gate driver timing margins for the half bridge"),
+      (3L, "electrolytic capacitor ripple current lifetime model"),
+      (4L, "inverter output stage timing under ripple current"),
+      (5L, "ambient thermal model of the gate driver bridge"))
+    val base = java.nio.file.Files.createTempDirectory("bm25si").toString
+    val idxPath = s"$base/index"
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.bm25IngestStream(mem.toDF().toDF("doc_id", "text"), idxPath)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      docs.grouped(2).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // three triggers -> versions 0..2, each carrying its epoch marker
+    assert(graft.operators.TrainOps5.committedVersion(idxPath).contains(2))
+    (0 to 2).foreach { v =>
+      assert(new java.io.File(s"$idxPath/stats_v$v/_EPOCH_$v").exists(),
+        s"version $v missing its epoch stamp")
+    }
+    // the streamed index serves exactly what a one-shot build serves
+    val ref = s"$base/ref"
+    graft.operators.TrainOps5.buildBm25Index(docs.toDF("doc_id", "text"), ref)
+    val streamed = graft.operators.TrainOps5.queryBm25Index(spark, idxPath).collect().toSeq
+    assert(streamed == graft.operators.TrainOps5.queryBm25Index(spark, ref).collect().toSeq,
+      "streamed ingest chain diverged from the one-shot build")
+    // exactly-once: replaying a committed-but-unacked epoch must not
+    // double-ingest (the failure window between commit and checkpoint)
+    Streaming.bm25IngestBatch(docs.takeRight(2).toDF("doc_id", "text"), idxPath, epochId = 2L)
+    assert(graft.operators.TrainOps5.committedVersion(idxPath).contains(2),
+      "replayed epoch bumped the version — double-ingest")
+    assert(graft.operators.TrainOps5.queryBm25Index(spark, idxPath).collect().toSeq == streamed)
+    // a genuinely new epoch still appends
+    Streaming.bm25IngestBatch(Seq((6L, "novel capacitor lifetime analysis"))
+      .toDF("doc_id", "text"), idxPath, epochId = 3L)
+    assert(graft.operators.TrainOps5.committedVersion(idxPath).contains(3))
+  }
+
   test("gate dictionary cache: one frame per committed version, invalidated by append and clearIndexState") {
     val spark2 = spark
     import spark2.implicits._
