@@ -680,6 +680,11 @@ object Streaming {
     val path = System.getProperty("java.io.tmpdir") + "/graft_bm25si_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
     ingested.computeIfAbsent(path, { _ =>
+      // a memo miss with files on disk means the registry was
+      // invalidated (clearIndexState after an in-place corpus rewrite)
+      // — restart the stream from scratch rather than appending onto
+      // the previous run's chain
+      graft.operators.TrainOps5.clearIndexRoot(path)
       (0 to 3).foreach { i =>
         bm25IngestBatch(
           Tables.documents(s, d).filter(col("doc_id") % 4 === i)

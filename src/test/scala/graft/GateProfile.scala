@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling main (test scope, not shipped): per-trigger wall
+  * of the bm25 ingest gate with the version-keyed dictionary cache.
+  * Builds (or reuses) an index over `corpusDir`'s documents, then
+  * fires the SAME fixed trigger `n` times — trigger 1 pays the
+  * dictionary parquet read (cache miss for the committed version),
+  * triggers 2+ must hit the cache, so their wall isolates the
+  * steady-state serving cost (batch-sized joins only).
+  *
+  * Usage: Test/runMain graft.GateProfile <corpusDir> [n]
+  */
+object GateProfile {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val n = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val idx = System.getProperty("java.io.tmpdir") + "/graft_gateprof_" +
+      corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    if (graft.operators.TrainOps5.committedVersion(idx).isEmpty)
+      time(s"build index over $corpusDir")(
+        graft.operators.TrainOps5.buildBm25Index(
+          Tables.documents(spark, corpusDir), idx))
+    // fixed 71-doc trigger (the round-12/13 measurement shape): the
+    // sf0.001 held-out slice, independent of the index corpus size
+    val trigger = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    println(s"[profile] trigger rows: ${trigger.count()}")
+    (1 to n).foreach { i =>
+      time(s"trigger $i${if (i == 1) " (dictionary cache miss)" else " (cached)"}")(
+        graft.streaming.Streaming.bm25GateBatch(trigger, idx).count())
+    }
+    spark.stop()
+  }
+}

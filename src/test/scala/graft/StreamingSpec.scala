@@ -633,6 +633,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.TrainOps5.committedVersion(idxPath).contains(3))
   }
 
+  test("stream_bm25_ingest survives registry invalidation: re-invocation after clearIndexState rebuilds, never re-appends") {
+    // the failure mode: clearIndexState drops the ingest memo while the
+    // index files persist at the pid-keyed path; a naive re-invocation
+    // would append the four trigger slices AGAIN onto the committed
+    // chain (postings doubled, ~2x scores). The re-entry must rebuild
+    // from scratch instead.
+    val a = Streaming.queries("stream_bm25_ingest")(spark, sf).collect().toSeq
+    graft.operators.TrainOps5.clearIndexState()
+    val b = Streaming.queries("stream_bm25_ingest")(spark, sf).collect().toSeq
+    assert(a == b, "re-ingest after registry invalidation diverged (double-ingest)")
+  }
+
   test("gate dictionary cache: one frame per committed version, invalidated by append and clearIndexState") {
     val spark2 = spark
     import spark2.implicits._
