@@ -298,7 +298,14 @@ object TrainOps5 {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .withColumn("bucket", tokenBucket(col("token")))
+    // token-sorted within each bucket file: parquet row-group min/max
+    // stats become tight on token, so a serving probe's pushed
+    // token-IN filter skips row groups instead of decoding the bucket.
+    // bucket leads the sort so the partitioned writer's required
+    // ordering is already satisfied and no order-destroying re-sort is
+    // inserted above it.
     postings.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("token"))
       .write.mode("overwrite").partitionBy("bucket").parquet(deltaPath)
     (a.getLong(0), if (a.isNullAt(1)) 0L else a.getLong(1))
   }
@@ -531,6 +538,7 @@ object TrainOps5 {
     if (priorCompact.contains(v)) return // already compacted at v
     readDeltas(s, path, v)
       .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("token"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/compact_v$v")
     val (fs, root) = indexFs(path)
     def sub(n: String) = new org.apache.hadoop.fs.Path(root, n)

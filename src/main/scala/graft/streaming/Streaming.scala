@@ -554,12 +554,18 @@ object Streaming {
     * distinct tokens, never corpus-sized); the final top-1 is the
     * bounded-heap TopKPerGroup.
     */
+  /** Above this many distinct probed terms the token-literal filter is
+    * skipped (expression bloat outweighs row-group skipping); the
+    * bucket-literal partition filter (≤ 64 values) always applies.
+    */
+  private[graft] val GATE_TERM_LITERALS_MAX = 2048
+
   def bm25GateBatch(docs: DataFrame, indexPath: String): DataFrame = {
     val s = docs.sparkSession
     val view = graft.operators.TrainOps5.openBm25View(s, indexPath)
     val stats = view.stats
-    val postings = view.postings.select(col("doc_id").as("match_id"),
-      col("token"), col("tf"), col("dl"))
+    val postings0 = view.postings.select(col("doc_id").as("match_id"),
+      col("token"), col("tf"), col("dl"), col("bucket"))
     val k1 = graft.operators.TrainOps5.BM25_K1
     val b = graft.operators.TrainOps5.BM25_B
     // document frequency comes from the PERSISTED term dictionary
@@ -581,9 +587,30 @@ object Streaming {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= GATE_TERMS)
       .select(col("in_id"), col("term"), col("df"))
-    // restrict postings to the batch's probed term set, then truncate
-    // each term's posting list to its top-GATE_POSTINGS_CAP entries by
-    // impact (see the cap note above) via the bounded-heap operator
+    // restrict postings to the batch's probed term set BEFORE the scan
+    // runs: the probed terms are trigger-sized (≤ GATE_TERMS × |batch|
+    // after the rarest-term cut), so collecting them to the driver is
+    // metadata-sized, and turning them into LITERAL filters is what
+    // lets the scan prune instead of reading the whole index —
+    // bucket ∈ literals is a plan-time PartitionFilter (directory
+    // elimination, ≤ 64 values however large the batch), token ∈
+    // literals pushes into parquet where the token-sorted row groups
+    // skip (applied below GATE_TERM_LITERALS_MAX terms; above it the
+    // broadcast term join alone restricts rows, same output). Without
+    // this the gate re-scanned every posting per trigger — measured
+    // ~3 s/trigger at the 500k-doc index even for a 1-doc batch,
+    // cost tracking the INDEX rather than the trigger.
+    val probedTerms = qterms.select(col("term")).distinct()
+      .collect().map(_.getString(0))
+    val probedBuckets =
+      probedTerms.map(graft.operators.TrainOps5.tokenBucketLocal).distinct
+    val postings1 = postings0.filter(col("bucket").isin(probedBuckets: _*))
+    val postings =
+      (if (probedTerms.length <= GATE_TERM_LITERALS_MAX)
+        postings1.filter(col("token").isin(probedTerms.toSeq: _*))
+      else postings1).drop("bucket")
+    // truncate each term's posting list to its top-GATE_POSTINGS_CAP
+    // entries by impact (see the cap note above) via the bounded heap
     val pterms = qterms.select(col("term").as("pterm")).distinct()
     val capped = graft.plans.TopK.topKPerGroup(
       postings.join(pterms, col("token") === col("pterm")).drop("pterm"),

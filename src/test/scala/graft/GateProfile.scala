@@ -35,10 +35,13 @@ object GateProfile {
         graft.operators.TrainOps5.buildBm25Index(
           Tables.documents(spark, corpusDir), idx))
     // fixed 71-doc trigger (the round-12/13 measurement shape): the
-    // sf0.001 held-out slice, independent of the index corpus size
+    // sf0.001 held-out slice, independent of the index corpus size;
+    // argv(2) caps it lower to separate scan-bound from term-bound cost
+    val cap = if (args.length > 2) args(2).toInt else Int.MaxValue
     val trigger = Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") % 7 === 3)
       .select(col("doc_id"), col("text"))
+      .limit(cap)
       .localCheckpoint(true)
     println(s"[profile] trigger rows: ${trigger.count()}")
     (1 to n).foreach { i =>

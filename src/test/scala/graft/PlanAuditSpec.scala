@@ -387,4 +387,31 @@ class PlanAuditSpec extends AnyFunSuite {
           s"not the trigger):\n${a.toString.take(1200)}")
     }
   }
+
+  test("stream_bm25_gate postings scans carry the literal bucket partition filter (no full-index read per trigger)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val pp = SparkEntry.queries("stream_bm25_gate")(spark, sf)
+      .queryExecution.executedPlan
+    // AQE wraps the physical tree; unwrap adaptively-planned subtrees
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.inputPlan)
+        case q: QueryStageExec => allNodes(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(allNodes) ++ inner)
+    }
+    val postingScans = allNodes(pp).collect {
+      case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(p =>
+            p.toString.contains("/delta_v") || p.toString.contains("/compact_v")) => sc
+    }
+    assert(postingScans.nonEmpty, "no postings scan found in the gate plan")
+    postingScans.foreach { sc =>
+      assert(sc.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+        s"postings scan without a bucket PartitionFilter — the trigger reads " +
+          s"the whole index:\n${sc.toString.take(600)}")
+    }
+  }
 }
