@@ -28,11 +28,18 @@ private[graft] object IndexMaintenance {
   val RetiredMarker = "_RETIRED"
 
   /** Mark `dir` retired (idempotent). The marker's mtime is the
-    * retirement instant vacuum measures the grace period from.
+    * retirement instant, and its CONTENT is the grace period (ms) the
+    * compactor promised in-flight readers — vacuum enforces it even if
+    * the vacuum caller passes a smaller grace, so the promise cannot
+    * be voided by a mis-configured maintenance job.
     */
-  def retire(fs: FileSystem, dir: Path): Unit = {
+  def retire(fs: FileSystem, dir: Path, graceMs: Long): Unit = {
     val marker = new Path(dir, RetiredMarker)
-    if (fs.exists(dir) && !fs.exists(marker)) fs.create(marker, true).close()
+    if (fs.exists(dir) && !fs.exists(marker)) {
+      val out = fs.create(marker, true)
+      out.write(graceMs.toString.getBytes("UTF-8"))
+      out.close()
+    }
   }
 
   /** Retire or delete `dir`: graceMs == 0 keeps the synchronous-delete
@@ -40,16 +47,28 @@ private[graft] object IndexMaintenance {
     * delete to a vacuum pass after the grace period.
     */
   def retireOrDelete(fs: FileSystem, dir: Path, graceMs: Long): Unit =
-    if (graceMs > 0L) retire(fs, dir) else fs.delete(dir, true)
+    if (graceMs > 0L) retire(fs, dir, graceMs) else fs.delete(dir, true)
 
   def isRetired(fs: FileSystem, dir: Path): Boolean =
     fs.exists(new Path(dir, RetiredMarker))
 
-  /** Delete every retired child of `root` whose marker is older than
-    * `graceMs`; returns the deleted directory names. Safe to run
-    * concurrently with readers and appends: only roots already
-    * invisible to version resolution carry markers, and the age check
-    * means any reader that could still hold them has finished.
+  /** The grace recorded at retirement time (0 for an empty or
+    * unreadable marker).
+    */
+  private def markerGrace(fs: FileSystem, marker: Path): Long =
+    try {
+      val in = fs.open(marker)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      s.trim.toLong
+    } catch { case _: Exception => 0L }
+
+  /** Delete every retired child of `root` whose marker has aged past
+    * BOTH the caller's grace and the grace recorded at retirement;
+    * returns the deleted directory names. Safe to run concurrently
+    * with readers and appends: only roots already invisible to version
+    * resolution carry markers, and the age check means any reader that
+    * could still hold them has finished.
     */
   def vacuum(fs: FileSystem, root: Path, graceMs: Long): Seq[String] = {
     if (!fs.exists(root)) return Seq.empty
@@ -58,8 +77,10 @@ private[graft] object IndexMaintenance {
       .filter(_.isDirectory)
       .filter { st =>
         val marker = new Path(st.getPath, RetiredMarker)
-        fs.exists(marker) &&
-          (now - fs.getFileStatus(marker).getModificationTime) >= graceMs
+        fs.exists(marker) && {
+          val eff = math.max(graceMs, markerGrace(fs, marker))
+          (now - fs.getFileStatus(marker).getModificationTime) >= eff
+        }
       }
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
   }

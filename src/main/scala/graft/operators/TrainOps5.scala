@@ -612,9 +612,12 @@ object TrainOps5 {
       val nd = appendBm25Index(
         Tables.documents(s, d).filter(col("doc_id") % 7 === 3), path,
         checkDisjoint = true)
-      // grace-marked retirement, then a vacuum pass whose grace has
-      // elapsed (0 ms) — the deployment sequence, compressed in time
-      compactBm25Index(s, path, retireGraceMs = 24L * 3600 * 1000)
+      // grace-marked retirement, then a vacuum pass after the (1 ms)
+      // grace has elapsed — the deployment sequence, compressed in
+      // time; the serve below is correct whether or not the vacuum
+      // deleted (retired roots are invisible to version resolution)
+      compactBm25Index(s, path, retireGraceMs = 1L)
+      Thread.sleep(5)
       vacuumBm25Index(path, 0L)
       nd
     })

@@ -517,16 +517,30 @@ object Streaming {
   // corpus rewrite that reuses version numbers must call
   // TrainOps5.clearIndexState() (the existing contract), which drops
   // this cache through the registered hook.
+  /** LRU bound: one persisted frame per gated index is the expected
+    * posture; a process gating against many indexes evicts (and
+    * unpersists) the least-recently-used beyond this.
+    */
+  private[graft] val GATE_DICT_MAX = 8
   private val gateDict =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+    new java.util.LinkedHashMap[(String, Int), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), DataFrame]): Boolean = {
+        val evict = size() > GATE_DICT_MAX
+        if (evict) e.getValue.unpersist()
+        evict
+      }
+    }
   graft.operators.TrainOps5.onClearIndexState { () =>
-    gateDict.values.forEach(df => df.unpersist())
-    gateDict.clear()
+    gateDict.synchronized {
+      gateDict.values.forEach(df => df.unpersist())
+      gateDict.clear()
+    }
     ingested.clear()
   }
 
   private[graft] def gateDictionary(s: SparkSession, indexPath: String,
-      view: graft.operators.TrainOps5.Bm25View): DataFrame = {
+      view: graft.operators.TrainOps5.Bm25View): DataFrame = gateDict.synchronized {
     val key = (indexPath, view.version)
     val hit = gateDict.get(key)
     if (hit != null && (hit.sparkSession eq s)) return hit

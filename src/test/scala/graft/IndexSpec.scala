@@ -177,8 +177,10 @@ class IndexSpec extends AnyFunSuite {
     val before = serve()
     // ONLINE compaction: a reader that resolved corpus_v0 before the
     // compact keeps a scannable root under the retirement grace period
+    // (1 ms here so the deletion path is testable without waiting; the
+    // marker-enforcement path is covered in TrainOps5Spec)
     val preCompactRoot = s"$cpath/corpus_v0"
-    Similarity.compactIvfIndex(spark, cpath, retireGraceMs = 60 * 60 * 1000L)
+    Similarity.compactIvfIndex(spark, cpath, retireGraceMs = 1L)
     assert(serve() == before, "compaction changed serve output")
     assert(Similarity.committedCorpusVersion(spark, cpath).contains(1),
       "compaction commits corpus_v1 and retires v0")
@@ -193,9 +195,11 @@ class IndexSpec extends AnyFunSuite {
       val parts = c.listFiles().count(_.getName.endsWith(".parquet"))
       assert(parts == 1, s"${c.getName}: $parts files after compaction")
     }
-    // vacuum inside the grace window keeps the retired root; past it
-    // (0 ms) the root goes and serve is unchanged
+    // vacuum inside the caller's grace window keeps the retired root;
+    // past both graces (marker 1 ms, caller 0) the root goes and serve
+    // is unchanged
     assert(Similarity.vacuumIvfIndex(spark, cpath, 60 * 60 * 1000L).isEmpty)
+    Thread.sleep(10)
     assert(Similarity.vacuumIvfIndex(spark, cpath, 0L) == Seq("corpus_v0"))
     assert(!new java.io.File(preCompactRoot).exists())
     assert(serve() == before, "serve must be unchanged after vacuum")

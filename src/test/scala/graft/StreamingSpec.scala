@@ -673,6 +673,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(!(Streaming.gateDictionary(spark, idxPath, view) eq d1))
   }
 
+  test("gate dictionary LRU: beyond GATE_DICT_MAX paths the eldest frame is evicted and unpersisted") {
+    val spark2 = spark
+    import spark2.implicits._
+    graft.operators.TrainOps5.clearIndexState()
+    // gateDictionary only touches view.dfreq, so synthetic views with
+    // tiny frames exercise the cache without building real indexes
+    def mkView = graft.operators.TrainOps5.Bm25View(
+      null, null, Seq(("t", 1L)).toDF("token", "df"), 0)
+    val first = Streaming.gateDictionary(spark, "/lru_spec/p0", mkView)
+    assert(first.storageLevel.useMemory)
+    (1 to Streaming.GATE_DICT_MAX).foreach { i =>
+      Streaming.gateDictionary(spark, s"/lru_spec/p$i", mkView)
+    }
+    assert(!first.storageLevel.useMemory,
+      "eldest frame must be unpersisted when the LRU bound evicts it")
+    graft.operators.TrainOps5.clearIndexState()
+  }
+
   test("qualityGate runs UNCHANGED on a stream; per-trigger union equals the batch twin") {
     val spark2 = spark
     import spark2.implicits._

@@ -416,11 +416,25 @@ class TrainOps5Spec extends AnyFunSuite {
     assert(preCompactView.postings.count() > 0)
     // NEW readers resolve only the live compact — serve output unchanged
     assert(TrainOps5.queryBm25Index(spark, path).collect().toSeq == preCompactServe)
-    // vacuum inside the grace period deletes nothing
+    // vacuum cannot void the grace the compactor promised: the marker
+    // records it, and a caller grace of 0 is overridden by the
+    // recorded 1h — nothing is deleted
+    assert(TrainOps5.vacuumBm25Index(path, 0L).isEmpty,
+      "vacuum must honor the retirement-time grace, not just the caller's")
     assert(TrainOps5.vacuumBm25Index(path, 60 * 60 * 1000L).isEmpty)
     assert(new java.io.File(s"$path/delta_v0").exists())
-    // past the grace period (0 ms: every marker has aged >= 0) the
-    // retired roots go; live ones survive and serve is unchanged
+    // re-mark with a 1 ms grace (test-only rewrite of the markers) and
+    // let it elapse: vacuum now deletes exactly the retired set
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
+    Seq("delta_v0", "delta_v1", "df_v0", "stats_v0").foreach { n =>
+      val d = new org.apache.hadoop.fs.Path(root, n)
+      fs.delete(new org.apache.hadoop.fs.Path(d, "_RETIRED"), false)
+      graft.operators.IndexMaintenance.retire(fs, d, 1L)
+    }
+    Thread.sleep(10)
     val deleted = TrainOps5.vacuumBm25Index(path, 0L).toSet
     assert(deleted == Set("delta_v0", "delta_v1", "df_v0", "stats_v0"),
       s"vacuumed: $deleted")
