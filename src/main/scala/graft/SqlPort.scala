@@ -2481,7 +2481,103 @@ object SqlPort {
     * dedup_paragraph_apply mirrors the engine's md5-key keeper with
     * the ordered rebuild as array_sort over (idx, chunk) structs.
     */
+  /** Spark-dialect image of Similarity.ivfxAssignCtes (the exact-IVF
+    * index recomputed in SQL) — shared by eval_retrieval_ivf and
+    * ivf_skew_report so the SQL surface grades/measures the same
+    * index definition the oracle does.
+    */
+  private val ivfxAssignSparkCtes: String =
+    """e AS (SELECT vec_id,
+      |    transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS cv
+      |  FROM embeddings),
+      |b AS (SELECT vec_id, cv FROM e WHERE vec_id % 7 <> 3),
+      |mm AS (SELECT greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM b),
+      |cents AS (SELECT vec_id AS cent_id, cv AS cvec FROM b CROSS JOIN mm
+      |  WHERE CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % m = 0),
+      |ad AS (SELECT e.vec_id, e.cv, c.cent_id,
+      |    CAST(aggregate(zip_with(e.cv, c.cvec, (x, y) -> x * y),
+      |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cdot
+      |  FROM e CROSS JOIN cents c),
+      |assigned AS (SELECT vec_id, cv, cent_id FROM (
+      |    SELECT vec_id, cv, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rn
+      |    FROM ad) t WHERE rn = 1)""".stripMargin
+
+  /** One Lloyd round of the kmeans_train port (the Spark-dialect image
+    * of Retrain.kmRoundSql — unrolled below like the oracle).
+    */
+  private def kmRoundSpark(i: Int): String = {
+    val prev = if (i == 1) "c0" else s"c${i - 1}"
+    s"""a${i}p AS (SELECT v.vec_id, v.kv, v.vv, c.cent_id,
+       |    CAST(aggregate(zip_with(c.cvec, v.kv, (cc, kx) -> cc * cc - 2 * kx * cc),
+       |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cost
+       |  FROM v CROSS JOIN $prev c),
+       |a$i AS (SELECT vec_id, kv, vv, cent_id, cost FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cost, cent_id) AS rn FROM a${i}p) t WHERE rn = 1),
+       |r$i AS (SELECT CAST($i AS BIGINT) AS iter, cent_id,
+       |    CAST(count(*) AS BIGINT) AS n_vecs,
+       |    sum(CAST(vv + cost AS DECIMAL(38,0))) AS inertia_dec
+       |  FROM a$i GROUP BY cent_id),
+       |s$i AS (SELECT cent_id, dim, sum(x) AS sx, count(*) AS c
+       |  FROM a$i LATERAL VIEW posexplode(kv) t AS dim, x
+       |  GROUP BY cent_id, dim),
+       |c$i AS (SELECT cent_id,
+       |    transform(array_sort(collect_list(named_struct('dim', dim, 'mean', sx DIV c))), z -> z.mean) AS cvec
+       |  FROM s$i GROUP BY cent_id)""".stripMargin
+  }
+
   val sparkSql: Map[String, String] = basePorts ++ Map(
+    "corpus_diff" ->
+      """WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |old AS (SELECT doc_id, md5(text) AS old_hash,
+        |    CAST(length(text) AS BIGINT) AS old_len
+        |  FROM d0 WHERE doc_id % 7 <> 3),
+        |neu AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS new_hash,
+        |    CAST(length(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS BIGINT) AS new_len
+        |  FROM d0 WHERE doc_id % 13 <> 5)
+        |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash <> new_hash THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  COALESCE(old_len, CAST(-1 AS BIGINT)) AS old_len,
+        |  COALESCE(new_len, CAST(-1 AS BIGINT)) AS new_len
+        |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "ivf_skew_report" ->
+      s"""WITH $ivfxAssignSparkCtes,
+         |counts AS (SELECT c.cent_id, CAST(count(a.vec_id) AS BIGINT) AS n_vecs
+         |  FROM cents c LEFT JOIN assigned a ON a.cent_id = c.cent_id
+         |  GROUP BY c.cent_id),
+         |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total, max(n_vecs) AS mx,
+         |  CAST(count(*) AS BIGINT) AS k FROM counts)
+         |SELECT cent_id, n_vecs,
+         |  n_vecs * 1000000 DIV total AS share_ppm,
+         |  (mx * k > 8 * total) AS rebuild
+         |FROM counts CROSS JOIN t ORDER BY cent_id""".stripMargin,
+
+    "kmeans_train" -> {
+      val rounds = (1 to operators.Retrain.KM_ITERS).map(kmRoundSpark).mkString(",\n")
+      val union = (1 to operators.Retrain.KM_ITERS)
+        .map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id,
+         |    transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -1D), 1D) * 1e6) AS BIGINT)
+         |      + CAST(1000000 AS BIGINT)) AS kv
+         |  FROM embeddings),
+         |v AS (SELECT vec_id, kv,
+         |    CAST(aggregate(zip_with(kv, kv, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS vv
+         |  FROM e),
+         |mm AS (SELECT greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM v),
+         |c0 AS (SELECT vec_id AS cent_id, kv AS cvec FROM v CROSS JOIN mm
+         |  WHERE CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % m = 0),
+         |$rounds
+         |SELECT iter, cent_id, n_vecs, CAST(inertia_dec AS DOUBLE) AS inertia
+         |FROM ($union) u ORDER BY iter, cent_id""".stripMargin
+    },
     "eval_retrieval" ->
       s"""WITH truth AS (SELECT query_id, vec_id FROM (
          |${basePorts("ann_quantized")}) tq),
@@ -2500,21 +2596,7 @@ object SqlPort {
          |FROM nt LEFT JOIN ha USING (query_id) ORDER BY nt.query_id""".stripMargin,
 
     "eval_retrieval_ivf" ->
-      s"""WITH e AS (SELECT vec_id,
-         |    transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS cv
-         |  FROM embeddings),
-         |b AS (SELECT vec_id, cv FROM e WHERE vec_id % 7 <> 3),
-         |mm AS (SELECT greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM b),
-         |cents AS (SELECT vec_id AS cent_id, cv AS cvec FROM b CROSS JOIN mm
-         |  WHERE CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % m = 0),
-         |ad AS (SELECT e.vec_id, e.cv, c.cent_id,
-         |    CAST(aggregate(zip_with(e.cv, c.cvec, (x, y) -> x * y),
-         |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cdot
-         |  FROM e CROSS JOIN cents c),
-         |assigned AS (SELECT vec_id, cv, cent_id FROM (
-         |    SELECT vec_id, cv, cent_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rn
-         |    FROM ad) t WHERE rn = 1),
+      s"""WITH $ivfxAssignSparkCtes,
          |q AS (SELECT vec_id AS query_id, cv AS qv FROM e WHERE vec_id < 5),
          |pd AS (SELECT q.query_id, q.qv, c.cent_id,
          |    CAST(aggregate(zip_with(q.qv, c.cvec, (x, y) -> x * y),

@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Expr
+import graft.plans.TopK
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** §2C index re-training operators: the two faces of the documented
+  * IVF re-train policy ("rebuild when max cell share exceeds ~8x the
+  * mean, or held-out recall drops below target") that were previously
+  * prose, as oracle-gated dataflows.
+  *
+  *   - ivf_skew_report: the TRIGGER — per-cell occupancy of the
+  *     persisted exact-IVF index (the one eval_retrieval_ivf grades)
+  *     with the 8x-mean rebuild verdict, all-integer math.
+  *   - kmeans_train: the REBUILD — deterministic Lloyd iterations in
+  *     exact int64 arithmetic (the quantizer-training loop behind
+  *     buildIvfIndex's float k-means), whole training trajectory
+  *     reproduced bit-for-bit by the DuckDB oracle.
+  *
+  * Part of the beyond-the-reference training-data surface (like the
+  * rest of §2C): the trigger measurement and each Lloyd round are one
+  * shuffle each, and the centroid state stays a ≤ √n-row frame that
+  * broadcasts at any corpus size.
+  */
+object Retrain {
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- ivf_skew_report: the re-train trigger measurement --------------
+  // Reads the SAME persisted index eval_retrieval_ivf serves (memoized
+  // build+append under the frozen quantizer), so the verdict describes
+  // the index a deployment actually has on disk. Zero-member cells
+  // stay visible (a dead cell is signal too — the quantizer wasted a
+  // centroid). One groupBy over the corpus (cell-count-sized output),
+  // one scalar cross join; rebuild fires when max·K > 8·total — the
+  // integer-exact form of max > 8×mean, no division drift.
+  val ivfSkewReport: Q = (s, d) => {
+    val path = Similarity.ensureIvfxIndex(s, d)
+    val cents = s.read.schema(Similarity.ivfxCentSchema)
+      .parquet(s"$path/centroids").select(col("cent_id"))
+    val corpus = s.read.schema(Similarity.ivfxCorpusSchema)
+      .parquet(Similarity.liveCorpusPath(s, path))
+    val counts = corpus.groupBy(col("cent_id"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    val full = cents.join(counts, Seq("cent_id"), "left")
+      .select(col("cent_id"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+    val tot = full.agg(sum(col("n_vecs")).as("total"),
+      max(col("n_vecs")).as("mx"), count(lit(1)).as("k"))
+    full.crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("n_vecs"),
+        expr("n_vecs * 1000000 div total").as("share_ppm"),
+        (col("mx") * col("k") > lit(8L) * col("total")).as("rebuild"))
+      .orderBy(col("cent_id"))
+  }
+
+  val ivfSkewReportSql: String =
+    s"""WITH ${Similarity.ivfxAssignCtes},
+       |counts AS (SELECT c.cent_id, CAST(count(a.vec_id) AS BIGINT) AS n_vecs
+       |  FROM cents c LEFT JOIN assigned a ON a.cent_id = c.cent_id
+       |  GROUP BY c.cent_id),
+       |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total, max(n_vecs) AS mx,
+       |  CAST(count(*) AS BIGINT) AS k FROM counts)
+       |SELECT cent_id, n_vecs,
+       |  CAST(n_vecs * 1000000 // total AS BIGINT) AS share_ppm,
+       |  (mx * k > 8 * total) AS rebuild
+       |FROM counts, t ORDER BY cent_id""".stripMargin
+
+  // --- kmeans_train: deterministic Lloyd iterations, exact math -------
+  // The quantizer REBUILD as a gated dataflow. Everything that makes
+  // float k-means unreproducible is pinned:
+  //   - components quantize once to int64 (floor(clamp(x,±1)·1e6)),
+  //     then OFFSET to non-negative so the centroid mean's integer
+  //     division truncates identically in both engines (trunc == floor
+  //     on non-negative operands; the offset is a translation, and L2
+  //     assignment is translation-invariant);
+  //   - seeds are the md5-sampled corpus vectors (m = floor(√n), so
+  //     K ≈ √n — the standard sample-as-seed bootstrap);
+  //   - assignment is argmin of |c|² − 2v·c (the |v|² term is constant
+  //     per vector) on the codegen'd long-dot kernel, ties to the
+  //     lower cent_id; empty clusters drop (standard practical Lloyd);
+  //   - per-cell inertia (Σ|v−c|² against the ENTERING centroids)
+  //     accumulates in DECIMAL(38,0) — order-independent, so the
+  //     trajectory row set is bit-stable.
+  // Scale shape: each of the KM_ITERS rounds is one broadcast
+  // assignment pass (corpus × K-row centroid frame, TopKPerGroup k=1 —
+  // never a corpus-sized sort) plus one (cell,dim)-keyed aggregation
+  // whose output is K×64 rows; the centroid state localCheckpoints
+  // per round (pagerank-style loop, lineage stays flat). K = √n keeps
+  // the broadcast ≤ tens of MB at 10⁹ vectors.
+  private[graft] val KM_ITERS = 3
+  private val KM_OFFSET = 1000000L
+
+  private def kq(v: Column): Column =
+    transform(v, x =>
+      floor(least(greatest(x.cast("double"), lit(-1d)), lit(1d)) * lit(1e6))
+        .cast("long") + lit(KM_OFFSET))
+
+  private def md5Mod(c: Column, m: Column): Column =
+    pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long"), m)
+
+  val kmeansTrain: Q = (s, d) => {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), kq(col("embedding")).as("kv"))
+      .withColumn("vv", Expr.longDot(col("kv"), col("kv")))
+      .localCheckpoint(true)
+    val n = v.count()
+    val m = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+    var cents = v.filter(md5Mod(col("vec_id"), lit(m)) === 0)
+      .select(col("vec_id").as("cent_id"), col("kv").as("cvec"))
+      .localCheckpoint(true)
+    var reports = Seq.empty[DataFrame]
+    for (iter <- 1 to KM_ITERS) {
+      val cost = Expr.longDot(col("cvec"), col("cvec")) -
+        lit(2L) * Expr.longDot(col("kv"), col("cvec"))
+      val assign = TopK.topKPerGroup(
+          v.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("kv"), col("vv"), col("cent_id"),
+              cost.as("cost")),
+          Seq("vec_id"), Seq(("cost", false), ("cent_id", false)), 1)
+        .localCheckpoint(true)
+      reports = reports :+ assign.groupBy(col("cent_id"))
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum((col("vv") + col("cost")).cast(DecimalType(38, 0))).as("inertia_dec"))
+        .select(lit(iter.toLong).as("iter"), col("cent_id"), col("n_vecs"),
+          col("inertia_dec"))
+      val next = assign
+        .select(col("cent_id"), posexplode(col("kv")).as(Seq("dim", "x")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+        .withColumn("mean", expr("sx div c"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("z"))
+        .select(col("cent_id"), transform(col("z"), e => e("mean")).as("cvec"))
+        .localCheckpoint(true)
+      cents.unpersist()
+      cents = next
+    }
+    reports.reduce(_ union _)
+      .select(col("iter"), col("cent_id"), col("n_vecs"),
+        col("inertia_dec").cast("double").as("inertia"))
+      .orderBy(col("iter"), col("cent_id"))
+  }
+
+  /** One Lloyd round as CTEs over the previous round's centroid CTE —
+    * the oracle unrolls KM_ITERS of these (the bpe_train_merges
+    * discipline: a training LOOP is gateable when each round is a
+    * deterministic dataflow).
+    */
+  private def kmRoundSql(i: Int): String = {
+    val prev = if (i == 1) "c0" else s"c${i - 1}"
+    s"""a${i}p AS (SELECT v.vec_id, v.kv, v.vv, c.cent_id,
+       |    CAST(list_sum([c.cvec[j]*c.cvec[j] - 2*v.kv[j]*c.cvec[j]
+       |      FOR j IN range(1, len(v.kv) + 1)]) AS BIGINT) AS cost
+       |  FROM v CROSS JOIN $prev c),
+       |a$i AS (SELECT vec_id, kv, vv, cent_id, cost FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cost, cent_id) AS rn FROM a${i}p) t WHERE rn = 1),
+       |r$i AS (SELECT CAST($i AS BIGINT) AS iter, cent_id,
+       |    CAST(count(*) AS BIGINT) AS n_vecs,
+       |    sum(CAST(vv + cost AS DECIMAL(38,0))) AS inertia_dec
+       |  FROM a$i GROUP BY cent_id),
+       |x$i AS (SELECT cent_id, generate_subscripts(kv, 1) AS dim,
+       |    unnest(kv) AS x FROM a$i),
+       |s$i AS (SELECT cent_id, dim, sum(x) AS sx, count(*) AS c
+       |  FROM x$i GROUP BY cent_id, dim),
+       |c$i AS (SELECT cent_id, list(sx // c ORDER BY dim) AS cvec
+       |  FROM s$i GROUP BY cent_id)""".stripMargin
+  }
+
+  val kmeansTrainSql: String = {
+    val rounds = (1 to KM_ITERS).map(kmRoundSql).mkString(",\n")
+    val union = (1 to KM_ITERS).map(i => s"SELECT * FROM r$i")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id,
+       |    [CAST(floor(least(greatest(CAST(x AS DOUBLE), -1), 1) * 1e6) AS BIGINT)
+       |       + $KM_OFFSET FOR x IN embedding] AS kv
+       |  FROM embeddings),
+       |v AS (SELECT vec_id, kv,
+       |    CAST(list_sum([kv[j]*kv[j] FOR j IN range(1, len(kv) + 1)]) AS BIGINT) AS vv
+       |  FROM e),
+       |mm AS (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM v),
+       |c0 AS (SELECT vec_id AS cent_id, kv AS cvec FROM v, mm
+       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % m = 0),
+       |$rounds
+       |SELECT iter, cent_id, n_vecs, CAST(inertia_dec AS DOUBLE) AS inertia
+       |FROM ($union) u ORDER BY iter, cent_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ivf_skew_report" -> ivfSkewReport,
+    "kmeans_train" -> kmeansTrain)
+
+  val oracles: Map[String, String] = Map(
+    "ivf_skew_report" -> ivfSkewReportSql,
+    "kmeans_train" -> kmeansTrainSql)
+}

@@ -283,7 +283,7 @@ object Similarity {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private def liveCorpusPath(s: SparkSession, path: String): String = {
+  private[graft] def liveCorpusPath(s: SparkSession, path: String): String = {
     val v = committedCorpusVersion(s, path).getOrElse(
       throw new IllegalStateException(s"no committed ivf corpus at $path"))
     s"$path/corpus_v$v"
@@ -428,9 +428,10 @@ object Similarity {
     * append or compact at a time per index root.
     */
   def compactIvfIndex(s: SparkSession, path: String,
-      retireGraceMs: Long = 0L): Unit = {
-    val corpusSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "vec_id BIGINT, embedding ARRAY<FLOAT>, cent_id BIGINT")
+      retireGraceMs: Long = 0L,
+      corpusSchema: org.apache.spark.sql.types.StructType =
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, embedding ARRAY<FLOAT>, cent_id BIGINT")): Unit = {
     val v = committedCorpusVersion(s, path).getOrElse(
       throw new IllegalStateException(s"no committed ivf corpus at $path"))
     s.read.schema(corpusSchema).parquet(s"$path/corpus_v$v")
@@ -683,12 +684,12 @@ object Similarity {
   private[graft] def ivfxModulus(nBuild: Long): Long =
     math.max(1L, math.floor(math.sqrt(nBuild.toDouble) / 2.0).toLong)
 
-  private def md5Mod(c: Column, m: Long): Column =
+  private[graft] def md5Mod(c: Column, m: Long): Column =
     pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long"), lit(m))
 
-  private val ivfxCentSchema = org.apache.spark.sql.types.StructType.fromDDL(
+  private[graft] val ivfxCentSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "cent_id BIGINT, cvec ARRAY<BIGINT>")
-  private val ivfxCorpusSchema = org.apache.spark.sql.types.StructType.fromDDL(
+  private[graft] val ivfxCorpusSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "vec_id BIGINT, cv ARRAY<BIGINT>, cent_id BIGINT")
 
   /** Build the exact-IVF index: frozen quantizer = the md5-sampled
@@ -702,10 +703,15 @@ object Similarity {
     q.filter(md5Mod(col("vec_id"), m) === 0)
       .select(col("vec_id").as("cent_id"), col("cv").as("cvec"))
       .write.mode("overwrite").parquet(s"$path/centroids")
-    // a rebuild must not stack on a stale corpus (appends are
-    // append-mode): clear the corpus root first
-    val root = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    // same layout discipline as buildIvfIndex: a rebuild replaces the
+    // whole index, so retire every prior versioned corpus root before
+    // the append below bootstraps corpus_v0 (appends are append-mode
+    // and must not stack on a stale assignment)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(root)) fs.listStatus(root)
+      .filter(_.getPath.getName.matches("corpus(_v\\d+|_compacting)?"))
+      .foreach(st => fs.delete(st.getPath, true))
     appendIvfExactIndex(build, path)
   }
 
@@ -723,8 +729,14 @@ object Similarity {
             Expr.longDot(col("cv"), col("cvec")).as("cdot")),
         Seq("vec_id"), Seq(("cdot", true), ("cent_id", false)), 1)
       .select(col("vec_id"), col("cv"), col("cent_id"))
+    // versioned corpus root, uniform with the float head: first append
+    // bootstraps corpus_v0 (its parquet _SUCCESS is the commit), later
+    // appends land inside the newest committed version, and
+    // compactIvfIndex/vacuumIvfIndex apply unchanged
+    val target = committedCorpusVersion(s, path)
+      .map(v => s"$path/corpus_v$v").getOrElse(s"$path/corpus_v0")
     assigned.repartition(col("cent_id"))
-      .write.mode("append").partitionBy("cent_id").parquet(s"$path/corpus")
+      .write.mode("append").partitionBy("cent_id").parquet(target)
   }
 
   /** Serve the standard query set against the persisted exact-IVF
@@ -735,7 +747,7 @@ object Similarity {
   private[graft] def queryIvfExactIndex(s: SparkSession, path: String,
       qs: DataFrame): DataFrame = {
     val cents = s.read.schema(ivfxCentSchema).parquet(s"$path/centroids")
-    val indexed = s.read.schema(ivfxCorpusSchema).parquet(s"$path/corpus")
+    val indexed = s.read.schema(ivfxCorpusSchema).parquet(liveCorpusPath(s, path))
     val probes = TopK.topKPerGroup(
         qs.crossJoin(broadcast(cents))
           .select(col("query_id"), col("qv"), col("cent_id"),
@@ -756,7 +768,13 @@ object Similarity {
   private val builtIvfExact =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  val evalRetrievalIvf: Q = (s, d) => {
+  /** Build-once-per-process exact-IVF index for a data dir (the
+    * ann_ivf_index_incr posture: build on the %7<>3 slice, append the
+    * held-out slice under the frozen quantizer); returns the index
+    * path. Shared by eval_retrieval_ivf and ivf_skew_report so both
+    * measure the SAME persisted index.
+    */
+  private[graft] def ensureIvfxIndex(s: SparkSession, d: String): String = {
     val path = System.getProperty("java.io.tmpdir") + "/graft_ivfx_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
     builtIvfExact.computeIfAbsent(path, { _ =>
@@ -765,6 +783,11 @@ object Similarity {
       appendIvfExactIndex(emb.filter(col("vec_id") % 7 === 3), path)
       java.lang.Boolean.TRUE
     })
+    path
+  }
+
+  val evalRetrievalIvf: Q = (s, d) => {
+    val path = ensureIvfxIndex(s, d)
     val qs = Tables.embeddings(s, d).filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), Expr.quantVec(col("embedding")).as("qv"))
     val cand = queryIvfExactIndex(s, path, qs)
@@ -773,21 +796,31 @@ object Similarity {
     retrievalMetrics(truth, cand)
   }
 
+  /** The exact-IVF index recomputed in SQL — quantize, sample the
+    * frozen quantizer from the build slice, assign the FULL corpus
+    * (the state of the persisted index after build + held-out append).
+    * Shared prefix of every oracle that grades or measures that index
+    * (eval_retrieval_ivf, ivf_skew_report), so they can never drift
+    * from the same index definition.
+    */
+  private[graft] val ivfxAssignCtes: String =
+    """e AS (SELECT vec_id,
+      |    [CAST(floor(least(greatest(x, -256), 256)*1e6) AS BIGINT) FOR x IN embedding] AS cv
+      |  FROM embeddings),
+      |b AS (SELECT vec_id, cv FROM e WHERE vec_id % 7 <> 3),
+      |mm AS (SELECT greatest(1, CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM b),
+      |cents AS (SELECT vec_id AS cent_id, cv AS cvec FROM b, mm
+      |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % m = 0),
+      |ad AS (SELECT e.vec_id, e.cv, c.cent_id,
+      |    CAST(list_sum([e.cv[i] * c.cvec[i] FOR i IN range(1, len(e.cv) + 1)]) AS BIGINT) AS cdot
+      |  FROM e CROSS JOIN cents c),
+      |assigned AS (SELECT vec_id, cv, cent_id FROM (
+      |    SELECT vec_id, cv, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rn
+      |    FROM ad) t WHERE rn = 1)""".stripMargin
+
   val evalRetrievalIvfSql: String =
-    s"""WITH e AS (SELECT vec_id,
-       |    [CAST(floor(least(greatest(x, -256), 256)*1e6) AS BIGINT) FOR x IN embedding] AS cv
-       |  FROM embeddings),
-       |b AS (SELECT vec_id, cv FROM e WHERE vec_id % 7 <> 3),
-       |mm AS (SELECT greatest(1, CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM b),
-       |cents AS (SELECT vec_id AS cent_id, cv AS cvec FROM b, mm
-       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % m = 0),
-       |ad AS (SELECT e.vec_id, e.cv, c.cent_id,
-       |    CAST(list_sum([e.cv[i] * c.cvec[i] FOR i IN range(1, len(e.cv) + 1)]) AS BIGINT) AS cdot
-       |  FROM e CROSS JOIN cents c),
-       |assigned AS (SELECT vec_id, cv, cent_id FROM (
-       |    SELECT vec_id, cv, cent_id,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rn
-       |    FROM ad) t WHERE rn = 1),
+    s"""WITH $ivfxAssignCtes,
        |q AS (SELECT vec_id AS query_id, cv AS qv FROM e WHERE vec_id < $NQUERIES),
        |pd AS (SELECT q.query_id, q.qv, c.cent_id,
        |    CAST(list_sum([q.qv[i] * c.cvec[i] FOR i IN range(1, len(q.qv) + 1)]) AS BIGINT) AS cdot

@@ -440,7 +440,63 @@ object TrainOps4 {
       |       END AS BIGINT) AS est_distinct
       |FROM kmin CROSS JOIN truth""".stripMargin
 
+  // --- corpus_diff: snapshot diff for dataset versioning --------------
+  // The ops primitive behind corpus version bumps ("what changed
+  // between v1 and v2 of the training set?"): per-doc disposition
+  // added / removed / changed / unchanged by CONTENT HASH, never by
+  // text equality at the join — each side reduces to (doc_id, md5,
+  // len) BEFORE the full-outer join, so the one shuffle carries
+  // fixed-width rows regardless of document size (at 100 TB the diff
+  // of two corpus snapshots is doc-count-sized, not byte-sized).
+  // Snapshots are deterministic slices of the documents table: old =
+  // doc_id % 7 <> 3 with original text; new drops doc_id % 13 = 5 and
+  // revises doc_id % 11 = 0 (upper-cased) — so all four dispositions
+  // occur and the oracle rebuilds both snapshots exactly. Absent-side
+  // lengths surface as -1 (a sentinel both engines emit identically;
+  // NULL would hash engine-dependently).
+  val corpusDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val old = docs.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("old_hash"),
+        length(col("text")).cast("long").as("old_len"))
+    val neu = docs.filter(col("doc_id") % 13 =!= 5)
+      .withColumn("text2",
+        when(col("doc_id") % 11 === 0, upper(col("text"))).otherwise(col("text")))
+      .select(col("doc_id"), md5(col("text2")).as("new_hash"),
+        length(col("text2")).cast("long").as("new_len"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("old_len"), lit(-1L)).as("old_len"),
+        coalesce(col("new_len"), lit(-1L)).as("new_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusDiffSql: String =
+    """WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+      |old AS (SELECT doc_id, md5(text) AS old_hash,
+      |    CAST(len(text) AS BIGINT) AS old_len
+      |  FROM d0 WHERE doc_id % 7 <> 3),
+      |neu AS (SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS new_hash,
+      |    CAST(len(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS BIGINT) AS new_len
+      |  FROM d0 WHERE doc_id % 13 <> 5)
+      |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+      |  CASE WHEN old_hash IS NULL THEN 'added'
+      |       WHEN new_hash IS NULL THEN 'removed'
+      |       WHEN old_hash <> new_hash THEN 'changed'
+      |       ELSE 'unchanged' END AS status,
+      |  COALESCE(old_len, -1) AS old_len,
+      |  COALESCE(new_len, -1) AS new_len
+      |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "corpus_diff" -> corpusDiff,
     "shuffle_epoch" -> shuffleEpoch,
     "budget_select" -> budgetSelect,
     "corpus_report" -> corpusReport,
@@ -450,6 +506,7 @@ object TrainOps4 {
     "sketch_kmv_exact" -> sketchKmvExact)
 
   val oracles: Map[String, String] = Map(
+    "corpus_diff" -> corpusDiffSql,
     "shuffle_epoch" -> shuffleEpochSql,
     "budget_select" -> budgetSelectSql,
     "corpus_report" -> corpusReportSql,

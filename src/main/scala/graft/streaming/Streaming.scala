@@ -674,6 +674,17 @@ object Streaming {
     * double-ingest. The epoch marker lands INSIDE the already-committed
     * stats directory (underscore-prefixed: invisible to parquet), so it
     * cannot race the commit point it annotates.
+    *
+    * The newest committed version additionally carries a CUMULATIVE
+    * `_EPOCHS` ledger (every epoch id the chain has ever ingested, one
+    * per line, carried forward on each commit). Structured Streaming
+    * itself only ever replays the latest unacked epoch, which the
+    * per-version marker already catches — the ledger is what makes the
+    * dedup hold beyond that contract: a writer reusing an OLD epoch id
+    * against a longer chain is detected, and the check survives
+    * compaction/vacuum (which retire old stats versions together with
+    * their markers, but always keep the newest version and thus the
+    * full ledger). One small-file read per trigger, O(epochs) bytes.
     */
   def bm25IngestBatch(batch: DataFrame, indexPath: String, epochId: Long): Unit = {
     import org.apache.hadoop.fs.Path
@@ -682,12 +693,30 @@ object Streaming {
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
     def marker(v: Int) = new Path(root, s"stats_v$v/_EPOCH_$epochId")
     val committed = graft.operators.TrainOps5.committedVersion(indexPath)
-    if (committed.exists(v => fs.exists(marker(v)))) return // replayed epoch
+    val prior: Set[Long] = committed.map { v =>
+      val ledger = new Path(root, s"stats_v$v/_EPOCHS")
+      val fromLedger =
+        if (fs.exists(ledger)) {
+          val in = fs.open(ledger)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).map(_.toLong).toSet
+          finally in.close()
+        } else Set.empty[Long]
+      fromLedger ++ fs.listStatus(new Path(root, s"stats_v$v"))
+        .map(_.getPath.getName).collect {
+          case n if n.startsWith("_EPOCH_") => n.stripPrefix("_EPOCH_").toLong
+        }
+    }.getOrElse(Set.empty)
+    if (prior.contains(epochId)) return // replayed epoch — no-op
     committed match {
       case None    => graft.operators.TrainOps5.buildBm25Index(batch, indexPath)
       case Some(_) => graft.operators.TrainOps5.appendBm25Index(batch, indexPath)
     }
     val v = graft.operators.TrainOps5.committedVersion(indexPath).get
+    val out = fs.create(new Path(root, s"stats_v$v/_EPOCHS"), true)
+    try out.write(((prior + epochId).toSeq.sorted.mkString("\n") + "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
     fs.create(marker(v), true).close()
   }
 

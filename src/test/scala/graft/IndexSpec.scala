@@ -252,6 +252,45 @@ class IndexSpec extends AnyFunSuite {
     assert(plan.contains("long_dot_product"), "scoring must be the codegen'd kernel")
   }
 
+  test("exact-IVF index shares the versioned corpus lifecycle: build commits corpus_v0, compact/vacuum serve-identical") {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    val xpath = s"${System.getProperty("java.io.tmpdir")}/graft_ivfx_lifecycle_spec"
+    rm(new java.io.File(xpath))
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.buildIvfExactIndex(emb.filter(col("vec_id") % 7 =!= 3), xpath)
+    assert(Similarity.committedCorpusVersion(spark, xpath).contains(0),
+      "exact build bootstraps corpus_v0 under the same commit protocol")
+    assert(!new java.io.File(s"$xpath/corpus").exists(),
+      "no legacy unversioned corpus root")
+    Similarity.appendIvfExactIndex(emb.filter(col("vec_id") % 7 === 3), xpath)
+    assert(Similarity.committedCorpusVersion(spark, xpath).contains(0),
+      "appends land inside the committed version")
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.Expr.quantVec(col("embedding")).as("qv"))
+    def serve() = Similarity.queryIvfExactIndex(spark, xpath, qs).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
+      .toSet
+    val before = serve()
+    assert(before.nonEmpty)
+    Similarity.compactIvfIndex(spark, xpath, retireGraceMs = 1L,
+      corpusSchema = Similarity.ivfxCorpusSchema)
+    assert(Similarity.committedCorpusVersion(spark, xpath).contains(1))
+    assert(serve() == before, "compaction changed exact-head serve output")
+    Thread.sleep(10)
+    assert(Similarity.vacuumIvfIndex(spark, xpath, 0L) == Seq("corpus_v0"))
+    assert(serve() == before, "serve must be unchanged after vacuum")
+    // a rebuild replaces the whole versioned history, leaving exactly
+    // one live version (stale-root shadowing is the failure this
+    // layout exists to prevent)
+    Similarity.buildIvfExactIndex(emb, xpath)
+    assert(Similarity.committedCorpusVersion(spark, xpath).contains(0))
+    assert(new java.io.File(xpath).listFiles()
+      .count(_.getName.matches("corpus_v\\d+")) == 1)
+  }
+
   test("index probe plan uses dynamic partition pruning on cent_id") {
     val qs = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

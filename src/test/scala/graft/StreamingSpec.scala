@@ -631,6 +631,23 @@ class StreamingSpec extends AnyFunSuite {
     Streaming.bm25IngestBatch(Seq((6L, "novel capacitor lifetime analysis"))
       .toDF("doc_id", "text"), idxPath, epochId = 3L)
     assert(graft.operators.TrainOps5.committedVersion(idxPath).contains(3))
+    // the cumulative _EPOCHS ledger: reusing an OLD epoch id against the
+    // longer chain is also a no-op (not just the latest epoch — beyond
+    // Structured Streaming's own replay contract)
+    val afterNew = graft.operators.TrainOps5.queryBm25Index(spark, idxPath).collect().toSeq
+    Streaming.bm25IngestBatch(docs.take(2).toDF("doc_id", "text"), idxPath, epochId = 0L)
+    assert(graft.operators.TrainOps5.committedVersion(idxPath).contains(3),
+      "old-epoch reuse bumped the version — double-ingest")
+    // ...and the ledger survives compaction + vacuum, which retire the
+    // old stats versions together with their per-version markers
+    graft.operators.TrainOps5.compactBm25Index(spark, idxPath)
+    graft.operators.TrainOps5.vacuumBm25Index(idxPath, 0L)
+    assert(!new java.io.File(s"$idxPath/stats_v1").exists(),
+      "precondition: compaction retired the old stats version")
+    Streaming.bm25IngestBatch(docs.take(2).toDF("doc_id", "text"), idxPath, epochId = 1L)
+    assert(graft.operators.TrainOps5.committedVersion(idxPath).contains(3),
+      "old-epoch reuse after compaction double-ingested")
+    assert(graft.operators.TrainOps5.queryBm25Index(spark, idxPath).collect().toSeq == afterNew)
   }
 
   test("stream_bm25_ingest survives registry invalidation: re-invocation after clearIndexState rebuilds, never re-appends") {

@@ -111,4 +111,28 @@ class TrainOps4Spec extends AnyFunSuite {
       assert(cums.sameElements(byRank.map(_.getAs[Long]("tok")).scanLeft(0L)(_ + _).tail))
     }
   }
+
+  test("corpus_diff: dispositions partition the union of snapshots and recompute from the slices") {
+    val rows = TrainOps4.corpusDiff(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), r.getAs[Long]("old_len"), r.getAs[Long]("new_len"))))
+      .toMap
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = ids.filter(id => id % 7 != 3 || id % 13 != 5)
+    assert(rows.keySet == expected, "one row per doc in either snapshot")
+    rows.foreach { case (id, (status, ol, nl)) =>
+      val inOld = id % 7 != 3
+      val inNew = id % 13 != 5
+      val revised = id % 11 == 0
+      if (!inOld) assert(status == "added" && ol == -1L && nl >= 0)
+      else if (!inNew) assert(status == "removed" && nl == -1L && ol >= 0)
+      else if (revised) assert(status == "changed" || status == "unchanged",
+        s"doc $id: upper() may be identity on already-uppercase text")
+      else assert(status == "unchanged" && ol == nl)
+    }
+    // all four dispositions occur at this scale — the diff is non-vacuous
+    val statuses = rows.values.map(_._1).toSet
+    assert(statuses == Set("added", "removed", "changed", "unchanged"))
+  }
 }
