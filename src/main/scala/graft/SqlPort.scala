@@ -2547,6 +2547,39 @@ object SqlPort {
         |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    "ann_pq_exact" ->
+      """WITH e AS (SELECT vec_id,
+        |    transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS cv
+        |  FROM embeddings),
+        |mm AS (SELECT greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM e),
+        |sub AS (SELECT vec_id, s, slice(cv, s * 8 + 1, 8) AS sv
+        |  FROM e LATERAL VIEW explode(sequence(0, 7)) t AS s),
+        |cb AS (SELECT sub.s, sub.vec_id AS code_id, sub.sv AS cw
+        |  FROM sub CROSS JOIN mm
+        |  WHERE CAST(conv(substr(md5(CAST(sub.vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % m = 0),
+        |enc0 AS (SELECT sub.vec_id, sub.s, cb.code_id,
+        |    CAST(aggregate(zip_with(cb.cw, sub.sv, (cc, sx) -> cc * cc - 2 * sx * cc),
+        |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cost
+        |  FROM sub JOIN cb ON cb.s = sub.s),
+        |codes AS (SELECT vec_id, s, code_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |      ORDER BY cost, code_id) AS rn FROM enc0) t WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, s, slice(cv, s * 8 + 1, 8) AS qv
+        |  FROM e LATERAL VIEW explode(sequence(0, 7)) t AS s WHERE vec_id < 5),
+        |lut AS (SELECT q.query_id, cb.s, cb.code_id,
+        |    CAST(aggregate(zip_with(q.qv, cb.cw, (x, y) -> x * y),
+        |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS qdot
+        |  FROM qs q JOIN cb ON cb.s = q.s),
+        |sc AS (SELECT l.query_id, c.vec_id, CAST(sum(l.qdot) AS BIGINT) AS score
+        |  FROM codes c JOIN lut l ON l.s = c.s AND l.code_id = c.code_id
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY l.query_id, c.vec_id)
+        |SELECT query_id, vec_id, score, rank FROM (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+        |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "ivf_skew_report" ->
       s"""WITH $ivfxAssignSparkCtes,
          |counts AS (SELECT c.cent_id, CAST(count(a.vec_id) AS BIGINT) AS n_vecs

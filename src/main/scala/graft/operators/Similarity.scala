@@ -768,6 +768,108 @@ object Similarity {
   private val builtIvfExact =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  // --- ann_pq_exact: product quantization with exact integer ADC -----
+  // The COMPRESSED serve face of the ANN family (FAISS's PQ role): a
+  // 64-dim vector becomes PQ_M=8 one-byte-ish codes — each 8-dim
+  // subvector snaps to its nearest codeword in a per-subspace codebook
+  // — and queries score candidates by Asymmetric Distance Computation:
+  // the query stays exact, each candidate contributes the PRECOMPUTED
+  // dot of the query subvector with its codeword, summed over
+  // subspaces. What makes it gateable (the ann_quantized discipline):
+  // components quantize once to int64, codebooks are the md5-sampled
+  // corpus subvectors (code id = donor vec_id; sampling corpus points
+  // is the standard bootstrap — kmeans_train is the trained upgrade),
+  // encoding argmin |cw|²−2·sv·cw ties to the lower code id, and every
+  // score is an exact int64 sum — so DuckDB reproduces codebooks,
+  // codes, and the full ADC ranking bit-for-bit.
+  //
+  // Scale shape: codebooks ≈ √n × 8 rows (metadata, broadcast);
+  // encoding is a broadcast join + bounded TopK (map-side, one pass,
+  // write-once in production); the LUT is queries × √n × 8 rows
+  // (broadcast); serve is ONE map-side-combinable aggregation keyed
+  // (query_id, vec_id) over the codes — the corpus is never joined
+  // against itself and candidates travel as 8 small ints, the 32x
+  // memory story that makes billion-scale ANN fit RAM.
+  private[graft] val PQ_M = 8
+  private[graft] val PQ_SUBD = 8
+
+  /** Per-subspace codebooks + per-vector codes for a quantized corpus
+    * frame (vec_id, cv). Returned as (codebook, codes).
+    */
+  private[graft] def pqEncode(e: DataFrame, m: Long): (DataFrame, DataFrame) = {
+    val sub = e
+      .select(col("vec_id"), col("cv"),
+        explode(sequence(lit(0), lit(PQ_M - 1))).as("s"))
+      .select(col("vec_id"), col("s"),
+        expr(s"slice(cv, s * $PQ_SUBD + 1, $PQ_SUBD)").as("sv"))
+    val cb = sub.filter(md5Mod(col("vec_id"), m) === 0)
+      .select(col("s"), col("vec_id").as("code_id"), col("sv").as("cw"))
+    val cost = Expr.longDot(col("cw"), col("cw")) -
+      lit(2L) * Expr.longDot(col("sv"), col("cw"))
+    val codes = TopK.topKPerGroup(
+        sub.join(broadcast(cb), Seq("s"))
+          .select(col("vec_id"), col("s"), col("code_id"), cost.as("cost")),
+        Seq("vec_id", "s"), Seq(("cost", false), ("code_id", false)), 1)
+      .select(col("vec_id"), col("s"), col("code_id"))
+    (cb, codes)
+  }
+
+  val annPqExact: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), Expr.quantVec(col("embedding")).as("cv"))
+    val m = math.max(1L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+    val (cb, codes) = pqEncode(e, m)
+    val qs = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("cv"),
+        explode(sequence(lit(0), lit(PQ_M - 1))).as("s"))
+      .select(col("query_id"), col("s"),
+        expr(s"slice(cv, s * $PQ_SUBD + 1, $PQ_SUBD)").as("qv"))
+    val lut = qs.join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code_id"),
+        Expr.longDot(col("qv"), col("cw")).as("qdot"))
+    val scored = codes.join(broadcast(lut), Seq("s", "code_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdot")).as("score"))
+    val top = TopK.topKPerGroup(scored, Seq("query_id"),
+      Seq(("score", true), ("vec_id", false)), TOPK)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annPqExactSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    [CAST(floor(least(greatest(x, -256), 256)*1e6) AS BIGINT) FOR x IN embedding] AS cv
+       |  FROM embeddings),
+       |mm AS (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM e),
+       |sub AS (SELECT vec_id, s, cv[s*$PQ_SUBD+1 : s*$PQ_SUBD+$PQ_SUBD] AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS s)),
+       |cb AS (SELECT s.s, s.vec_id AS code_id, s.sv AS cw
+       |  FROM sub s, mm
+       |  WHERE CAST(concat('0x', substr(md5(CAST(s.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % m = 0),
+       |enc0 AS (SELECT sub.vec_id, sub.s, cb.code_id,
+       |    CAST(list_sum([cb.cw[j]*cb.cw[j] - 2*sub.sv[j]*cb.cw[j]
+       |      FOR j IN range(1, $PQ_SUBD + 1)]) AS BIGINT) AS cost
+       |  FROM sub JOIN cb ON cb.s = sub.s),
+       |codes AS (SELECT vec_id, s, code_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY cost, code_id) AS rn FROM enc0) t WHERE rn = 1),
+       |qs AS (SELECT vec_id AS query_id, s, cv[s*$PQ_SUBD+1 : s*$PQ_SUBD+$PQ_SUBD] AS qv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS s) WHERE vec_id < $NQUERIES),
+       |lut AS (SELECT q.query_id, cb.s, cb.code_id,
+       |    CAST(list_sum([q.qv[j]*cb.cw[j] FOR j IN range(1, $PQ_SUBD + 1)]) AS BIGINT) AS qdot
+       |  FROM qs q JOIN cb ON cb.s = q.s),
+       |sc AS (SELECT l.query_id, c.vec_id, CAST(sum(l.qdot) AS BIGINT) AS score
+       |  FROM codes c JOIN lut l ON l.s = c.s AND l.code_id = c.code_id
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c.vec_id)
+       |SELECT query_id, vec_id, score, rank FROM (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sc) t WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
+
   /** Build-once-per-process exact-IVF index for a data dir (the
     * ann_ivf_index_incr posture: build on the %7<>3 slice, append the
     * held-out slice under the frozen quantizer); returns the index
@@ -874,6 +976,7 @@ object Similarity {
     "ann_ivf" -> annIvf,
     "ann_ivf_index" -> annIvfIndex,
     "ann_ivf_index_incr" -> annIvfIndexIncr,
+    "ann_pq_exact" -> annPqExact,
     "ann_quantized" -> annQuantized,
     "eval_retrieval" -> evalRetrieval,
     "eval_retrieval_ivf" -> evalRetrievalIvf)
@@ -884,6 +987,7 @@ object Similarity {
     * integer scores are drift-free by construction.
     */
   val oracles: Map[String, String] = Map(
+    "ann_pq_exact" -> annPqExactSql,
     "ann_quantized" -> annQuantizedSql,
     "ann_lsh_exact" -> annLshExactSql,
     "eval_retrieval" -> evalRetrievalSql,

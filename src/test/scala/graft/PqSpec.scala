@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** ann_pq_exact beyond the oracle gate: structural invariants of the
+  * encoding, ADC self-consistency (the score IS the dot against the
+  * reconstruction), and cluster-level serving quality on a corpus
+  * with real structure (fine ranking is what PQ trades away; finding
+  * the right REGION is what it must keep).
+  */
+class PqSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("pq codes: one code per (vector, subspace); code ids come from the sampled donors") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.functions.Expr.quantVec(col("embedding")).as("cv"))
+    val n = e.count()
+    val m = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+    val (cb, codes) = Similarity.pqEncode(e, m)
+    assert(codes.count() == n * Similarity.PQ_M)
+    assert(codes.groupBy("vec_id", "s").count().filter(col("count") > 1).count() == 0)
+    val donors = cb.select("code_id").distinct().collect().map(_.getLong(0)).toSet
+    val used = codes.select("code_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(used.subsetOf(donors))
+    // codebooks are metadata-sized: PQ_M entries per donor
+    assert(cb.count() == donors.size.toLong * Similarity.PQ_M)
+  }
+
+  test("ADC score equals the exact dot against the PQ reconstruction") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.functions.Expr.quantVec(col("embedding")).as("cv"))
+    val m = math.max(1L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+    val (cb, codes) = Similarity.pqEncode(e, m)
+    val cwMap = cb.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    val codeMap = codes.collect()
+      .groupBy(_.getLong(0))
+      .map { case (v, rs) =>
+        v -> rs.sortBy(_.getInt(1)).flatMap(r => cwMap((r.getInt(1), r.getLong(2))))
+      }
+    val queries = e.filter(col("vec_id") < 5).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = Similarity.queries("ann_pq_exact")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case ((q, v), score) =>
+      val recon = codeMap(v)
+      val dot = queries(q).zip(recon).map { case (a, b) => a * b }.sum
+      assert(score == dot, s"ADC($q,$v)=$score != dot vs reconstruction $dot")
+    }
+  }
+
+  test("clustered corpus: PQ top-10 lands in the query's own cluster") {
+    import spark.implicits._
+    val rnd = new java.util.Random(7L)
+    val dim = 64
+    val nClusters = 40
+    val members = 50
+    val centers = Array.fill(nClusters) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / norm).toFloat)
+    }
+    val rows = for { c <- centers.indices; k <- 0 until members } yield {
+      val v = centers(c).map(x => x + 0.1 * rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      ((c.toLong * members + k), v.map(x => (x / norm).toFloat).toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), graft.functions.Expr.quantVec(col("embedding")).as("cv"))
+      .localCheckpoint(true)
+    val m = math.max(1L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+    val (cb, codes) = Similarity.pqEncode(e, m)
+    val qs = e.filter(col("vec_id") % (members * 4) === 0)
+      .select(col("vec_id").as("query_id"), col("cv"),
+        explode(sequence(lit(0), lit(Similarity.PQ_M - 1))).as("s"))
+      .select(col("query_id"), col("s"),
+        expr(s"slice(cv, s * ${Similarity.PQ_SUBD} + 1, ${Similarity.PQ_SUBD})").as("qv"))
+    val lut = qs.join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code_id"),
+        graft.functions.Expr.longDot(col("qv"), col("cw")).as("qdot"))
+    val scored = codes.join(broadcast(lut), Seq("s", "code_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id")).agg(sum(col("qdot")).as("score"))
+    val top = graft.plans.TopK.topKPerGroup(scored, Seq("query_id"),
+      Seq(("score", true), ("vec_id", false)), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hit = top.count { case (q, v) => q / members == v / members }
+    val rate = hit.toDouble / top.length
+    assert(rate >= 0.9,
+      s"PQ top-10 same-cluster rate $rate below 0.9 — compression lost the region structure")
+  }
+}
