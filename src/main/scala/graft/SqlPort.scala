@@ -2527,31 +2527,14 @@ object SqlPort {
        |  FROM s$i GROUP BY cent_id)""".stripMargin
   }
 
-  val sparkSql: Map[String, String] = basePorts ++ Map(
-    "corpus_diff" ->
-      """WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
-        |old AS (SELECT doc_id, md5(text) AS old_hash,
-        |    CAST(length(text) AS BIGINT) AS old_len
-        |  FROM d0 WHERE doc_id % 7 <> 3),
-        |neu AS (SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS new_hash,
-        |    CAST(length(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS BIGINT) AS new_len
-        |  FROM d0 WHERE doc_id % 13 <> 5)
-        |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
-        |  CASE WHEN old_hash IS NULL THEN 'added'
-        |       WHEN new_hash IS NULL THEN 'removed'
-        |       WHEN old_hash <> new_hash THEN 'changed'
-        |       ELSE 'unchanged' END AS status,
-        |  COALESCE(old_len, CAST(-1 AS BIGINT)) AS old_len,
-        |  COALESCE(new_len, CAST(-1 AS BIGINT)) AS new_len
-        |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
-        |ORDER BY doc_id""".stripMargin,
-
-    "ann_pq_exact" ->
-      """WITH e AS (SELECT vec_id,
+  /** Spark-dialect image of annPqExactSql — also composed into the
+    * eval_retrieval_pq port below.
+    */
+  private val annPqExactSpark: String =
+    """WITH e AS (SELECT vec_id,
         |    transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS cv
         |  FROM embeddings),
-        |mm AS (SELECT greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM e),
+        |mm AS (SELECT greatest(CAST(1 AS BIGINT), count(*) DIV least(CAST(256 AS BIGINT), greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(count(*))) AS BIGINT)))) AS m FROM e),
         |sub AS (SELECT vec_id, s, slice(cv, s * 8 + 1, 8) AS sv
         |  FROM e LATERAL VIEW explode(sequence(0, 7)) t AS s),
         |cb AS (SELECT sub.s, sub.vec_id AS code_id, sub.sv AS cw
@@ -2578,7 +2561,30 @@ object SqlPort {
         |  SELECT query_id, vec_id, score,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
-        |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  val sparkSql: Map[String, String] = basePorts ++ Map(
+    "corpus_diff" ->
+      """WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |old AS (SELECT doc_id, md5(text) AS old_hash,
+        |    CAST(length(text) AS BIGINT) AS old_len
+        |  FROM d0 WHERE doc_id % 7 <> 3),
+        |neu AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS new_hash,
+        |    CAST(length(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS BIGINT) AS new_len
+        |  FROM d0 WHERE doc_id % 13 <> 5)
+        |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash <> new_hash THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  COALESCE(old_len, CAST(-1 AS BIGINT)) AS old_len,
+        |  COALESCE(new_len, CAST(-1 AS BIGINT)) AS new_len
+        |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "ann_pq_exact" -> annPqExactSpark,
+
 
     "ivf_skew_report" ->
       s"""WITH $ivfxAssignSparkCtes,
@@ -2616,6 +2622,23 @@ object SqlPort {
          |${basePorts("ann_quantized")}) tq),
          |cand AS (SELECT query_id, vec_id, rank AS cand_rank FROM (
          |${basePorts("ann_lsh_exact")}) tc),
+         |hits AS (SELECT c.query_id, c.cand_rank
+         |  FROM cand c JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id),
+         |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY query_id),
+         |ha AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit, min(cand_rank) AS first_rel
+         |  FROM hits GROUP BY query_id)
+         |SELECT nt.query_id, n_truth,
+         |  COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+         |  COALESCE(n_hit, CAST(0 AS BIGINT)) * 1000000 DIV n_truth AS recall_ppm,
+         |  CASE WHEN first_rel IS NULL THEN CAST(0 AS BIGINT)
+         |       ELSE 1000000 DIV first_rel END AS rr_micros
+         |FROM nt LEFT JOIN ha USING (query_id) ORDER BY nt.query_id""".stripMargin,
+
+    "eval_retrieval_pq" ->
+      s"""WITH truth AS (SELECT query_id, vec_id FROM (
+         |${basePorts("ann_quantized")}) tq),
+         |cand AS (SELECT query_id, vec_id, rank AS cand_rank FROM (
+         |$annPqExactSpark) tc),
          |hits AS (SELECT c.query_id, c.cand_rank
          |  FROM cand c JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id),
          |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY query_id),

@@ -792,6 +792,19 @@ object Similarity {
   // memory story that makes billion-scale ANN fit RAM.
   private[graft] val PQ_M = 8
   private[graft] val PQ_SUBD = 8
+  private[graft] val PQ_KMAX = 256
+
+  /** Donor-sampling modulus targeting K = min(256, floor(sqrt(n)))
+    * codewords per subspace: K grows with the corpus until the
+    * production-PQ codebook bound (256, one byte per code), after
+    * which encode cost is O(n * M * 256) — never O(n * M * sqrt(n)).
+    * Below the bound this is exactly m = floor(sqrt(n)) (the gated
+    * scales), so the cap changes no gated output.
+    */
+  private[graft] def pqModulus(n: Long): Long = {
+    val k = math.min(PQ_KMAX.toLong, math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong))
+    math.max(1L, n / k)
+  }
 
   /** Per-subspace codebooks + per-vector codes for a quantized corpus
     * frame (vec_id, cv). Returned as (codebook, codes).
@@ -817,7 +830,7 @@ object Similarity {
   val annPqExact: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), Expr.quantVec(col("embedding")).as("cv"))
-    val m = math.max(1L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+    val m = pqModulus(e.count())
     val (cb, codes) = pqEncode(e, m)
     val qs = e.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("cv"),
@@ -842,7 +855,7 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id,
        |    [CAST(floor(least(greatest(x, -256), 256)*1e6) AS BIGINT) FOR x IN embedding] AS cv
        |  FROM embeddings),
-       |mm AS (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM e),
+       |mm AS (SELECT greatest(1, count(*) // least($PQ_KMAX, greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS m FROM e),
        |sub AS (SELECT vec_id, s, cv[s*$PQ_SUBD+1 : s*$PQ_SUBD+$PQ_SUBD] AS sv
        |  FROM e CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS s)),
        |cb AS (SELECT s.s, s.vec_id AS code_id, s.sv AS cw
@@ -869,6 +882,39 @@ object Similarity {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
        |  FROM sc) t WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
+
+  // --- eval_retrieval_pq: grade the compressed head ------------------
+  // Same recall@10/MRR composition as eval_retrieval (LSH head) and
+  // eval_retrieval_ivf (served index): PQ candidates vs the exact
+  // int64 truth. This is the measurement that tells a deployment what
+  // the 32x compression COSTS in retrieval quality — the number that
+  // decides between PQ-only serve and PQ-then-exact-rerank. Expect
+  // honestly low recall on the near-isotropic driver corpus (every
+  // approximate head scores low there by construction); the
+  // cluster-structure quality PQ must keep is asserted in PqSpec.
+  val evalRetrievalPq: Q = (s, d) => {
+    val truth = annQuantized(s, d).select(col("query_id"), col("vec_id"))
+    val cand = annPqExact(s, d)
+      .select(col("query_id"), col("vec_id"), col("rank").as("cand_rank"))
+    retrievalMetrics(truth, cand)
+  }
+
+  val evalRetrievalPqSql: String =
+    s"""WITH truth AS (SELECT query_id, vec_id FROM (
+       |${annQuantizedSql}) tq),
+       |cand AS (SELECT query_id, vec_id, rank AS cand_rank FROM (
+       |${annPqExactSql}) tc),
+       |hits AS (SELECT c.query_id, c.cand_rank
+       |  FROM cand c JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id),
+       |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY query_id),
+       |ha AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit, min(cand_rank) AS first_rel
+       |  FROM hits GROUP BY query_id)
+       |SELECT nt.query_id, n_truth,
+       |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(n_hit, 0) * 1000000 // n_truth AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN first_rel IS NULL THEN 0
+       |       ELSE 1000000 // first_rel END AS BIGINT) AS rr_micros
+       |FROM nt LEFT JOIN ha USING (query_id) ORDER BY nt.query_id""".stripMargin
 
   /** Build-once-per-process exact-IVF index for a data dir (the
     * ann_ivf_index_incr posture: build on the %7<>3 slice, append the
@@ -979,6 +1025,7 @@ object Similarity {
     "ann_pq_exact" -> annPqExact,
     "ann_quantized" -> annQuantized,
     "eval_retrieval" -> evalRetrieval,
+    "eval_retrieval_pq" -> evalRetrievalPq,
     "eval_retrieval_ivf" -> evalRetrievalIvf)
 
   /** Float-cosine variants are rows-only: DuckDB's float accumulation
@@ -991,5 +1038,6 @@ object Similarity {
     "ann_quantized" -> annQuantizedSql,
     "ann_lsh_exact" -> annLshExactSql,
     "eval_retrieval" -> evalRetrievalSql,
+    "eval_retrieval_pq" -> evalRetrievalPqSql,
     "eval_retrieval_ivf" -> evalRetrievalIvfSql)
 }

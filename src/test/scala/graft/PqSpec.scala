@@ -17,7 +17,7 @@ class PqSpec extends AnyFunSuite {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), graft.functions.Expr.quantVec(col("embedding")).as("cv"))
     val n = e.count()
-    val m = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+    val m = Similarity.pqModulus(n)
     val (cb, codes) = Similarity.pqEncode(e, m)
     assert(codes.count() == n * Similarity.PQ_M)
     assert(codes.groupBy("vec_id", "s").count().filter(col("count") > 1).count() == 0)
@@ -31,7 +31,7 @@ class PqSpec extends AnyFunSuite {
   test("ADC score equals the exact dot against the PQ reconstruction") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), graft.functions.Expr.quantVec(col("embedding")).as("cv"))
-    val m = math.max(1L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+    val m = Similarity.pqModulus(e.count())
     val (cb, codes) = Similarity.pqEncode(e, m)
     val cwMap = cb.collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
@@ -49,6 +49,22 @@ class PqSpec extends AnyFunSuite {
       val recon = codeMap(v)
       val dot = queries(q).zip(recon).map { case (a, b) => a * b }.sum
       assert(score == dot, s"ADC($q,$v)=$score != dot vs reconstruction $dot")
+    }
+  }
+
+  test("eval_retrieval_pq recomputes from the two heads it composes") {
+    val got = Similarity.queries("eval_retrieval_pq")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == (0L until 5L).toSet)
+    val truth = Similarity.queries("ann_quantized")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val cand = Similarity.queries("ann_pq_exact")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    truth.groupBy(_._1).foreach { case (q, ts) =>
+      val rel = cand.filter(c => c._1 == q && truth((c._1, c._2)))
+      val rr = if (rel.isEmpty) 0L else 1000000L / rel.map(_._3).min
+      assert(got(q) == ((ts.size.toLong, rel.size.toLong,
+        rel.size.toLong * 1000000L / ts.size, rr)), s"query $q metric mismatch")
     }
   }
 
@@ -71,7 +87,7 @@ class PqSpec extends AnyFunSuite {
     val e = rows.toDF("vec_id", "embedding")
       .select(col("vec_id"), graft.functions.Expr.quantVec(col("embedding")).as("cv"))
       .localCheckpoint(true)
-    val m = math.max(1L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+    val m = Similarity.pqModulus(e.count())
     val (cb, codes) = Similarity.pqEncode(e, m)
     val qs = e.filter(col("vec_id") % (members * 4) === 0)
       .select(col("vec_id").as("query_id"), col("cv"),
