@@ -100,6 +100,22 @@ object Retrain {
   private def md5Mod(c: Column, m: Column): Column =
     pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long"), m)
 
+  /** One Lloyd assignment pass: broadcast the centroid frame against
+    * the quantized corpus, argmin of |c|²−2v·c on the long-dot kernel
+    * via the bounded-heap TopKPerGroup (k=1 — never a corpus sort).
+    * Factored out so PlanAuditSpec can assert the pass's physical
+    * shape (broadcast + TopK reduction, no cartesian sort).
+    */
+  private[graft] def kmAssign(v: DataFrame, cents: DataFrame): DataFrame = {
+    val cost = Expr.longDot(col("cvec"), col("cvec")) -
+      lit(2L) * Expr.longDot(col("kv"), col("cvec"))
+    TopK.topKPerGroup(
+      v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("kv"), col("vv"), col("cent_id"),
+          cost.as("cost")),
+      Seq("vec_id"), Seq(("cost", false), ("cent_id", false)), 1)
+  }
+
   val kmeansTrain: Q = (s, d) => {
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), kq(col("embedding")).as("kv"))
@@ -112,14 +128,7 @@ object Retrain {
       .localCheckpoint(true)
     var reports = Seq.empty[DataFrame]
     for (iter <- 1 to KM_ITERS) {
-      val cost = Expr.longDot(col("cvec"), col("cvec")) -
-        lit(2L) * Expr.longDot(col("kv"), col("cvec"))
-      val assign = TopK.topKPerGroup(
-          v.crossJoin(broadcast(cents))
-            .select(col("vec_id"), col("kv"), col("vv"), col("cent_id"),
-              cost.as("cost")),
-          Seq("vec_id"), Seq(("cost", false), ("cent_id", false)), 1)
-        .localCheckpoint(true)
+      val assign = kmAssign(v, cents).localCheckpoint(true)
       reports = reports :+ assign.groupBy(col("cent_id"))
         .agg(count(lit(1)).cast("long").as("n_vecs"),
           sum((col("vv") + col("cost")).cast(DecimalType(38, 0))).as("inertia_dec"))

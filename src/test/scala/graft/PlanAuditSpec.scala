@@ -414,4 +414,55 @@ class PlanAuditSpec extends AnyFunSuite {
           s"the whole index:\n${sc.toString.take(600)}")
     }
   }
+
+  test("ann_pq_exact: codebook/LUT joins broadcast; ADC sum combines map-side; long-dot codegen kernel") {
+    val plan = executedPlan("ann_pq_exact")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"),
+      s"PQ serve must never sort-merge (codebook and LUT are metadata-sized broadcasts):\n${plan.take(1500)}")
+    assert("BroadcastHashJoin \\[s#\\d+L?, code_id#\\d+L?\\]".r.findFirstIn(plan).isDefined
+        || plan.contains("BroadcastHashJoin [s, code_id]"),
+      s"ADC lookup must be a broadcast join on (s, code_id):\n${plan.take(1500)}")
+    assert(plan.contains("partial_sum"),
+      "the (query, vector) score sum must partial-aggregate before its exchange")
+    assert(plan.contains("long_dot_product"), "scoring must be the codegen'd kernel")
+    assert(plan.contains("TopKPerGroup"), "top-k must be the bounded-heap operator")
+  }
+
+  test("corpus_diff: full-outer SMJ keyed on doc_id carries hashed fixed-width rows, never text") {
+    val plan = executedPlan("corpus_diff")
+    assert(plan.contains("SortMergeJoin [doc_id") && plan.contains("FullOuter"),
+      s"diff must be a full-outer merge on doc_id:\n${plan.take(1200)}")
+    // nodes ABOVE the join (printed before it) must not reference the
+    // text column: each side reduces to (doc_id, md5, len) below the
+    // join, so the one shuffle is fixed-width at any document size
+    val aboveJoin = plan.substring(0, plan.indexOf("SortMergeJoin"))
+    assert(!aboveJoin.contains("text#"),
+      s"document text crossed the diff join:\n${aboveJoin.take(1200)}")
+  }
+
+  test("ivf_skew_report: one cell-keyed aggregation; scalar totals broadcast, not joined") {
+    val plan = executedPlan("ivf_skew_report")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(plan.contains("hashpartitioning(cent_id"),
+      "per-cell counts must shuffle on cent_id")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row totals frame must broadcast:\n${plan.take(1500)}")
+  }
+
+  test("kmeans assignment pass: broadcast centroids + bounded-heap TopK, no corpus sort") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -1D), 1D) * 1e6) AS BIGINT) + 1000000L)").as("kv"))
+      .withColumn("vv", graft.functions.Expr.longDot(col("kv"), col("kv")))
+    val cents = e.limit(20).select(col("vec_id").as("cent_id"), col("kv").as("cvec"))
+    val plan = graft.operators.Retrain.kmAssign(e, cents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid frame must broadcast into the assignment pass:\n${plan.take(1500)}")
+    assert(plan.contains("TopKPerGroup"),
+      "per-vector argmin must be the bounded-heap TopK, not a window sort")
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    assert(plan.contains("long_dot_product"), "cost must be the codegen'd kernel")
+  }
 }
