@@ -2585,6 +2585,67 @@ object SqlPort {
 
     "ann_pq_exact" -> annPqExactSpark,
 
+    "quality_perceptron_train" -> {
+      val (w0, w1, w2, w3, w4) = operators.TrainOps5.QC_W
+      val sw = operators.TrainOps5.QC_STOPWORDS.map(w => s"'$w'").mkString(", ")
+      def ep(i: Int): String = {
+        val prev = s"wv${i - 1}"
+        s"""m$i AS (SELECT f.*, y * (w.w0 * CAST(x0 AS DECIMAL(38,0)) + w.w1 * CAST(x1 AS DECIMAL(38,0))
+           |      + w.w2 * CAST(x2 AS DECIMAL(38,0)) + w.w3 * CAST(x3 AS DECIMAL(38,0))
+           |      + w.w4 * CAST(x4 AS DECIMAL(38,0))) AS marg
+           |  FROM f CROSS JOIN $prev w),
+           |u$i AS (SELECT
+           |    greatest(1, CAST(COALESCE(sum(CASE WHEN marg <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT)) AS ne,
+           |    CAST(COALESCE(sum(CASE WHEN marg <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_err,
+           |    CAST(COALESCE(sum(CASE WHEN marg <= 0 THEN y * x0 ELSE 0 END), 0) AS BIGINT) AS u0,
+           |    CAST(COALESCE(sum(CASE WHEN marg <= 0 THEN y * x1 ELSE 0 END), 0) AS BIGINT) AS u1,
+           |    CAST(COALESCE(sum(CASE WHEN marg <= 0 THEN y * x2 ELSE 0 END), 0) AS BIGINT) AS u2,
+           |    CAST(COALESCE(sum(CASE WHEN marg <= 0 THEN y * x3 ELSE 0 END), 0) AS BIGINT) AS u3,
+           |    CAST(COALESCE(sum(CASE WHEN marg <= 0 THEN y * x4 ELSE 0 END), 0) AS BIGINT) AS u4
+           |  FROM m$i),
+           |wv$i AS (SELECT w.w0 + u.u0 DIV u.ne AS w0, w.w1 + u.u1 DIV u.ne AS w1,
+           |    w.w2 + u.u2 DIV u.ne AS w2, w.w3 + u.u3 DIV u.ne AS w3,
+           |    w.w4 + u.u4 DIV u.ne AS w4 FROM $prev w CROSS JOIN u$i u),
+           |r$i AS (SELECT CAST($i AS BIGINT) AS epoch, u.n_err AS n_errors,
+           |    w.w0, w.w1, w.w2, w.w3, w.w4
+           |  FROM u$i u CROSS JOIN wv$i w)""".stripMargin
+      }
+      val cut = operators.Retrain.PCT_CUT
+      val epochs = (1 to operators.Retrain.PCT_EPOCHS).map(ep).mkString(",\n")
+      val union = (1 to operators.Retrain.PCT_EPOCHS)
+        .map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+      s"""WITH base AS (SELECT doc_id,
+         |    filter(split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |feat AS (SELECT doc_id,
+         |    CAST(size(toks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN size(toks) = 0 THEN 0.0
+         |         ELSE CAST(aggregate(toks, 0L, (acc, x) -> acc + length(x)) AS DOUBLE) / size(toks) END AS mean_len,
+         |    CASE WHEN size(toks) = 0 THEN 0.0
+         |         ELSE CAST(size(filter(toks, x -> x IN ($sw))) AS DOUBLE) / size(toks) END AS stop_ratio,
+         |    CASE WHEN size(toks) = 0 THEN 0.0
+         |         ELSE CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) END AS distinct_ratio
+         |  FROM base),
+         |zz AS (SELECT doc_id, n_tokens,
+         |    CAST(floor(mean_len * 1e6 + 0.5) AS BIGINT) AS r2,
+         |    CAST(floor(stop_ratio * 1e6 + 0.5) AS BIGINT) AS r3,
+         |    CAST(floor(distinct_ratio * 1e6 + 0.5) AS BIGINT) AS r4,
+         |    ((($w0 + ($w1 * n_tokens)) + ($w2 * mean_len)) + (($w3 * stop_ratio) + ($w4 * distinct_ratio))) AS zv
+         |  FROM feat),
+         |raw AS (SELECT doc_id, n_tokens AS r1, r2, r3, r4,
+         |    CASE WHEN CAST(floor((1.0 / (1.0 + exp(-zv))) * 1e6 + 0.5) AS BIGINT) >= $cut
+         |         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+         |  FROM zz),
+         |mu AS (SELECT sum(r1) DIV greatest(1, count(*)) AS m1, sum(r2) DIV greatest(1, count(*)) AS m2,
+         |    sum(r3) DIV greatest(1, count(*)) AS m3, sum(r4) DIV greatest(1, count(*)) AS m4 FROM raw),
+         |f AS (SELECT doc_id, CAST(1 AS BIGINT) AS x0, r1 - m1 AS x1, r2 - m2 AS x2,
+         |    r3 - m3 AS x3, r4 - m4 AS x4, y FROM raw CROSS JOIN mu),
+         |wv0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+         |  CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4),
+         |$epochs
+         |SELECT * FROM ($union) u ORDER BY epoch""".stripMargin
+    },
+
 
     "ivf_skew_report" ->
       s"""WITH $ivfxAssignSparkCtes,

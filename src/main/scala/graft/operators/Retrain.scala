@@ -197,11 +197,144 @@ object Retrain {
        |FROM ($union) u ORDER BY iter, cent_id""".stripMargin
   }
 
+  // --- quality_perceptron_train: the quality filter's TRAINING loop ---
+  // quality_classifier serves a FROZEN linear model; this key is the
+  // training side — distilling the frozen logistic teacher into an
+  // integer linear model by normalized batch perceptron, every epoch a
+  // deterministic dataflow (the kmeans_train/bpe_train_merges
+  // discipline applied to supervised training):
+  //   - features are the teacher's own gated integer micros (token
+  //     count, mean-len, stop-ratio, distinct-ratio), mean-CENTERED in
+  //     integer arithmetic (sum div n — without centering the
+  //     near-constant large-scale features dominate every margin and
+  //     batch updates flip whole classes; measured: stuck at ~50%
+  //     errors uncentered vs ~15-20% centered);
+  //   - labels are the teacher's verdict at a frozen high-precision
+  //     cut (score_micros >= 614000, the corpus-median band — the
+  //     top-half curation posture; the plain keep flag is single-class
+  //     on the driver corpus, which would make training vacuous);
+  //   - update w += (Σ_misclassified y·x) / max(1, n_errors) — the
+  //     normalized (mean misclassified example) gradient, integer
+  //     division truncating toward zero in all three engines (Scala /,
+  //     Spark DIV, DuckDB //), margins in DECIMAL(38,0) so w·x cannot
+  //     overflow at any corpus size.
+  // Per epoch: ONE aggregate over the feature frame (map-side
+  // combined, weights travel as 5 driver-held longs — the bpe argmax
+  // discipline); the feature frame localCheckpoints once. Batch
+  // perceptron does not descend monotonically (reported honestly);
+  // the trajectory row set is bit-stable and the whole loop is
+  // oracle-gated via unrolled CTEs.
+  private[graft] val PCT_EPOCHS = 6
+  private[graft] val PCT_CUT = 614000L
+
+  val qualityPerceptronTrain: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val raw = TrainOps5.scoreQuality(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_tokens").as("r1"),
+        col("mean_len_micros").as("r2"), col("stop_ratio_micros").as("r3"),
+        col("distinct_ratio_micros").as("r4"),
+        when(col("score_micros") >= PCT_CUT, lit(1L)).otherwise(lit(-1L)).as("y"))
+    val mu = raw.agg(
+      expr("sum(r1) div greatest(1, count(*))").as("m1"),
+      expr("sum(r2) div greatest(1, count(*))").as("m2"),
+      expr("sum(r3) div greatest(1, count(*))").as("m3"),
+      expr("sum(r4) div greatest(1, count(*))").as("m4"))
+    val f = raw.crossJoin(broadcast(mu))
+      .select(col("doc_id"), lit(1L).as("x0"),
+        (col("r1") - col("m1")).as("x1"), (col("r2") - col("m2")).as("x2"),
+        (col("r3") - col("m3")).as("x3"), (col("r4") - col("m4")).as("x4"),
+        col("y"))
+      .localCheckpoint(true)
+    var w = Vector(0L, 0L, 0L, 0L, 0L)
+    val xs = (0 to 4).map(j => col(s"x$j"))
+    val rows = (1 to PCT_EPOCHS).map { epoch =>
+      val marg = xs.zipWithIndex
+        .map { case (x, j) => x.cast(dec) * lit(w(j)) }
+        .reduce(_ + _) * col("y")
+      val mis = (marg <= lit(0).cast(dec))
+      val aggs = coalesce(sum(when(mis, lit(1L)).otherwise(lit(0L))), lit(0L)).as("n_err") +:
+        xs.map(x => coalesce(sum(when(mis, col("y") * x).otherwise(lit(0L))), lit(0L)))
+      val u = f.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val nerr = u.getLong(0)
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj + u.getLong(j + 1) / math.max(1L, nerr)
+      }
+      (epoch.toLong, nerr, w(0), w(1), w(2), w(3), w(4))
+    }
+    val s2 = s
+    import s2.implicits._
+    rows.toDF("epoch", "n_errors", "w0", "w1", "w2", "w3", "w4")
+      .orderBy(col("epoch"))
+  }
+
+  /** One perceptron epoch as CTEs (oracle-side unrolled loop). */
+  private def pctEpochSql(i: Int): String = {
+    val prev = s"wv${i - 1}"
+    s"""m$i AS (SELECT f.*, y * (w.w0 * CAST(x0 AS DECIMAL(38,0)) + w.w1 * CAST(x1 AS DECIMAL(38,0))
+       |      + w.w2 * CAST(x2 AS DECIMAL(38,0)) + w.w3 * CAST(x3 AS DECIMAL(38,0))
+       |      + w.w4 * CAST(x4 AS DECIMAL(38,0))) AS marg
+       |  FROM f CROSS JOIN $prev w),
+       |u$i AS (SELECT
+       |    greatest(1, CAST(COALESCE(sum(CASE WHEN marg <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT)) AS ne,
+       |    CAST(COALESCE(sum(CASE WHEN marg <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_err,
+       |    CAST(COALESCE(sum(CASE WHEN marg <= 0 THEN y * x0 ELSE 0 END), 0) AS BIGINT) AS u0,
+       |    CAST(COALESCE(sum(CASE WHEN marg <= 0 THEN y * x1 ELSE 0 END), 0) AS BIGINT) AS u1,
+       |    CAST(COALESCE(sum(CASE WHEN marg <= 0 THEN y * x2 ELSE 0 END), 0) AS BIGINT) AS u2,
+       |    CAST(COALESCE(sum(CASE WHEN marg <= 0 THEN y * x3 ELSE 0 END), 0) AS BIGINT) AS u3,
+       |    CAST(COALESCE(sum(CASE WHEN marg <= 0 THEN y * x4 ELSE 0 END), 0) AS BIGINT) AS u4
+       |  FROM m$i),
+       |wv$i AS (SELECT w.w0 + u.u0 // u.ne AS w0, w.w1 + u.u1 // u.ne AS w1,
+       |    w.w2 + u.u2 // u.ne AS w2, w.w3 + u.u3 // u.ne AS w3,
+       |    w.w4 + u.u4 // u.ne AS w4 FROM $prev w, u$i u),
+       |r$i AS (SELECT CAST($i AS BIGINT) AS epoch, u.n_err AS n_errors,
+       |    w.w0, w.w1, w.w2, w.w3, w.w4
+       |  FROM u$i u, wv$i w)""".stripMargin
+  }
+
+  val qualityPerceptronTrainSql: String = {
+    val sw = TrainOps5.QC_STOPWORDS.map(w => s"'$w'").mkString(", ")
+    val (w0, w1, w2, w3, w4) = TrainOps5.QC_W
+    val epochs = (1 to PCT_EPOCHS).map(pctEpochSql).mkString(",\n")
+    val union = (1 to PCT_EPOCHS).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+    s"""WITH base AS (SELECT doc_id,
+       |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |feat AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mean_len,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(toks, x -> x IN ($sw))) AS DOUBLE) / len(toks) END AS stop_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS distinct_ratio
+       |  FROM base),
+       |zz AS (SELECT doc_id, n_tokens,
+       |    CAST(floor(mean_len * 1e6 + 0.5) AS BIGINT) AS r2,
+       |    CAST(floor(stop_ratio * 1e6 + 0.5) AS BIGINT) AS r3,
+       |    CAST(floor(distinct_ratio * 1e6 + 0.5) AS BIGINT) AS r4,
+       |    ((($w0 + ($w1 * n_tokens)) + ($w2 * mean_len)) + (($w3 * stop_ratio) + ($w4 * distinct_ratio))) AS zv
+       |  FROM feat),
+       |raw AS (SELECT doc_id, n_tokens AS r1, r2, r3, r4,
+       |    CASE WHEN CAST(floor((1.0 / (1.0 + exp(-zv))) * 1e6 + 0.5) AS BIGINT) >= $PCT_CUT
+       |         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+       |  FROM zz),
+       |mu AS (SELECT sum(r1) // greatest(1, count(*)) AS m1, sum(r2) // greatest(1, count(*)) AS m2,
+       |    sum(r3) // greatest(1, count(*)) AS m3, sum(r4) // greatest(1, count(*)) AS m4 FROM raw),
+       |f AS (SELECT doc_id, CAST(1 AS BIGINT) AS x0, r1 - m1 AS x1, r2 - m2 AS x2,
+       |    r3 - m3 AS x3, r4 - m4 AS x4, y FROM raw, mu),
+       |wv0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+       |  CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4),
+       |$epochs
+       |SELECT * FROM ($union) u ORDER BY epoch""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "ivf_skew_report" -> ivfSkewReport,
-    "kmeans_train" -> kmeansTrain)
+    "kmeans_train" -> kmeansTrain,
+    "quality_perceptron_train" -> qualityPerceptronTrain)
 
   val oracles: Map[String, String] = Map(
     "ivf_skew_report" -> ivfSkewReportSql,
-    "kmeans_train" -> kmeansTrainSql)
+    "kmeans_train" -> kmeansTrainSql,
+    "quality_perceptron_train" -> qualityPerceptronTrainSql)
 }

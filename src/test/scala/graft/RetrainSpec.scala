@@ -54,6 +54,25 @@ class RetrainSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_perceptron_train: epoch 1 sees every doc misclassified; training cuts errors; deterministic") {
+    val rows = Retrain.queries("quality_perceptron_train")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (2 to 6).map(r.getLong).toVector))
+    assert(rows.map(_._1).toSeq == (1L to Retrain.PCT_EPOCHS.toLong))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.head._2 == n, "w=0 gives margin 0 everywhere — epoch 1 updates on all docs")
+    // training must find real signal: best epoch ≤ 30% of the corpus
+    // misclassified (batch perceptron oscillates — asserted on the min,
+    // not monotonicity, which it does not guarantee)
+    assert(rows.map(_._2).min <= n * 3 / 10,
+      s"perceptron never got below 30% errors: ${rows.map(_._2).toSeq}")
+    // weights change across epochs (the loop is actually training)
+    assert(rows.map(_._3).distinct.size > 1)
+    val again = Retrain.queries("quality_perceptron_train")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), (2 to 6).map(r.getLong).toVector))
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("skew trigger fires on a collapsed corpus (the drifted-quantizer failure the policy exists for)") {
     val dir = java.nio.file.Files.createTempDirectory("skewemb").toString
     val s2 = spark
