@@ -428,13 +428,20 @@ object Similarity {
     * append or compact at a time per index root.
     */
   def compactIvfIndex(s: SparkSession, path: String,
-      retireGraceMs: Long = 0L,
-      corpusSchema: org.apache.spark.sql.types.StructType =
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "vec_id BIGINT, embedding ARRAY<FLOAT>, cent_id BIGINT")): Unit = {
+      retireGraceMs: Long = 0L): Unit = {
     val v = committedCorpusVersion(s, path).getOrElse(
       throw new IllegalStateException(s"no committed ivf corpus at $path"))
-    s.read.schema(corpusSchema).parquet(s"$path/corpus_v$v")
+    // the committed files are the schema authority: infer from the
+    // parquet footers (one footer read) rather than trusting a caller
+    // to know which head (float `embedding` vs exact `cv`) wrote the
+    // index — an explicit wrong schema would read the payload column
+    // as NULL and commit a corpus with the vectors silently dropped
+    val corpus = s.read.parquet(s"$path/corpus_v$v")
+    val cols = corpus.columns.toSet
+    require(cols.contains("vec_id") && cols.contains("cent_id"),
+      s"compactIvfIndex: $path/corpus_v$v is not an ivf corpus " +
+        s"(columns ${corpus.columns.mkString(", ")})")
+    corpus
       .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/corpus_v${v + 1}")
     val root = new org.apache.hadoop.fs.Path(path)

@@ -450,10 +450,13 @@ object TrainOps4 {
   // of two corpus snapshots is doc-count-sized, not byte-sized).
   // Snapshots are deterministic slices of the documents table: old =
   // doc_id % 7 <> 3 with original text; new drops doc_id % 13 = 5 and
-  // revises doc_id % 11 = 0 (upper-cased) — so all four dispositions
-  // occur and the oracle rebuilds both snapshots exactly. Absent-side
-  // lengths surface as -1 (a sentinel both engines emit identically;
-  // NULL would hash engine-dependently).
+  // revises doc_id % 11 = 0 (a ' [rev2]' suffix — a byte-appending
+  // transform both engines apply identically on ANY text; upper() was
+  // rejected because Java full case mapping and DuckDB simple mapping
+  // diverge on non-ASCII, e.g. ß) — so all four dispositions occur and
+  // the oracle rebuilds both snapshots exactly. Absent-side lengths
+  // surface as -1 (a sentinel both engines emit identically; NULL
+  // would hash engine-dependently).
   val corpusDiff: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
@@ -462,7 +465,8 @@ object TrainOps4 {
         length(col("text")).cast("long").as("old_len"))
     val neu = docs.filter(col("doc_id") % 13 =!= 5)
       .withColumn("text2",
-        when(col("doc_id") % 11 === 0, upper(col("text"))).otherwise(col("text")))
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
       .select(col("doc_id"), md5(col("text2")).as("new_hash"),
         length(col("text2")).cast("long").as("new_len"))
     old.join(neu, Seq("doc_id"), "full_outer")
@@ -482,8 +486,8 @@ object TrainOps4 {
       |    CAST(len(text) AS BIGINT) AS old_len
       |  FROM d0 WHERE doc_id % 7 <> 3),
       |neu AS (SELECT doc_id,
-      |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS new_hash,
-      |    CAST(len(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS BIGINT) AS new_len
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END) AS new_hash,
+      |    CAST(len(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END) AS BIGINT) AS new_len
       |  FROM d0 WHERE doc_id % 13 <> 5)
       |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
       |  CASE WHEN old_hash IS NULL THEN 'added'

@@ -334,12 +334,79 @@ object TrainOps5 {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df_v$v")
   }
 
-  /** Commit point: cumulative stats for version v. */
+  /** Commit point: cumulative stats for version v. The cumulative
+    * ingest-epoch ledger rides INSIDE the stats row (an `epochs`
+    * column), so the parquet _SUCCESS that commits the version is the
+    * single atomic point covering stats AND ledger — there is no
+    * window where a version is committed but its ledger is not, and a
+    * crashed writer can never leave a truncated ledger file (the old
+    * side-file design had both failure modes).
+    */
   private[graft] def writeStats(s: SparkSession, path: String, v: Int,
-      nDocs: Long, tTokens: Long): Unit = {
+      nDocs: Long, tTokens: Long, epochs: Seq[Long] = Nil): Unit = {
     import s.implicits._
-    Seq((nDocs, tTokens)).toDF("n_docs", "t_tokens")
+    Seq((nDocs, tTokens, epochs.distinct.sorted))
+      .toDF("n_docs", "t_tokens", "epochs")
       .write.mode("overwrite").parquet(s"$path/stats_v$v")
+  }
+
+  /** Stats schema with the ledger column; a legacy stats file that
+    * predates the column reads as NULL under this schema (Spark fills
+    * requested-but-absent parquet columns with null).
+    */
+  private val statsLedgerSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "n_docs BIGINT, t_tokens BIGINT, epochs ARRAY<BIGINT>")
+
+  /** Every ingest epoch the committed chain has ever absorbed.
+    * Resolution order per stats version: the in-commit `epochs` column
+    * (authoritative — atomic with the version), else the legacy
+    * side-file `_EPOCHS` (validated line-by-line; a torn write fails
+    * LOUDLY instead of silently re-opening the history). The newest
+    * committed version is read first; if it carries no ledger in
+    * either form (a legacy non-streaming append landed on top of a
+    * streamed chain), the walk falls back to the highest EARLIER
+    * stats version that has one — stats_v{v-1} still holds the full
+    * history until compaction retires it. Per-version `_EPOCH_<id>`
+    * markers (post-commit annotations) are unioned in from every
+    * still-live stats dir as a belt-and-braces floor.
+    */
+  private[graft] def committedEpochs(s: SparkSession, path: String): Set[Long] = {
+    val (fs, root) = indexFs(path)
+    val newest = committedVersion(path).getOrElse(return Set.empty)
+    def statsDir(v: Int) = new org.apache.hadoop.fs.Path(root, s"stats_v$v")
+    def ledgerOf(v: Int): Option[Set[Long]] = {
+      val row = s.read.schema(statsLedgerSchema)
+        .parquet(s"$path/stats_v$v").select(col("epochs")).collect()(0)
+      if (!row.isNullAt(0))
+        return Some(row.getSeq[Long](0).toSet)
+      val legacy = new org.apache.hadoop.fs.Path(statsDir(v), "_EPOCHS")
+      if (!fs.exists(legacy)) return None
+      val in = fs.open(legacy)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      val ids = lines.filter(_.nonEmpty)
+      val bad = ids.filterNot(_.matches("\\d{1,18}"))
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"corrupt epoch ledger $legacy: non-numeric line(s) " +
+          s"${bad.take(3).mkString("'", "', '", "'")} — a torn write; " +
+          "rebuild the ledger from the _EPOCH_ markers before ingesting")
+      Some(ids.map(_.toLong).toSet)
+    }
+    val liveVersions = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("stats_v\\d+")
+        && !IndexMaintenance.isRetired(fs, st.getPath))
+      .map(_.getPath.getName.stripPrefix("stats_v").toInt)
+      .filter(_ <= newest).sorted.reverse
+    val ledger = liveVersions.iterator.flatMap(ledgerOf).take(1).toSeq
+      .headOption.getOrElse(Set.empty[Long])
+    val markers = liveVersions.flatMap { v =>
+      fs.listStatus(statsDir(v)).map(_.getPath.getName).collect {
+        case n if n.startsWith("_EPOCH_") && n.stripPrefix("_EPOCH_").matches("\\d{1,18}") =>
+          n.stripPrefix("_EPOCH_").toLong
+      }
+    }
+    ledger ++ markers
   }
 
   /** The directory names this protocol owns at an index root. */
@@ -369,12 +436,13 @@ object TrainOps5 {
     * new corpus); the clear refuses directories holding anything the
     * protocol does not own.
     */
-  def buildBm25Index(docs0: DataFrame, path: String): (Long, Long) = {
+  def buildBm25Index(docs0: DataFrame, path: String,
+      epochs: Seq[Long] = Nil): (Long, Long) = {
     clearIndexRoot(path)
     val s = docs0.sparkSession
     val (nDocs, tTokens) = writeDelta(docs0, s"$path/delta_v0")
     writeDf(s, path, 0)
-    writeStats(s, path, 0, nDocs, tTokens)
+    writeStats(s, path, 0, nDocs, tTokens, epochs)
     (nDocs, tTokens)
   }
 
@@ -486,7 +554,7 @@ object TrainOps5 {
     * batches by arrival partition don't need to re-pay it).
     */
   def appendBm25Index(newDocs: DataFrame, path: String,
-      checkDisjoint: Boolean = false): (Long, Long) = {
+      checkDisjoint: Boolean = false, epochs: Seq[Long] = Nil): (Long, Long) = {
     val s = newDocs.sparkSession
     val v = committedVersion(path).getOrElse(
       throw new IllegalStateException(s"no committed bm25 index at $path"))
@@ -500,10 +568,14 @@ object TrainOps5 {
           "batches must partition documents")
     }
     val prev = s.read.schema(statsSchema).parquet(s"$path/stats_v$v").collect()(0)
+    // carry the ingest-epoch ledger forward on EVERY append (streamed
+    // or not), so a non-streaming append on top of a streamed chain
+    // can never orphan the history the next trigger dedups against
+    val carried = committedEpochs(s, path)
     val (bDocs, bTokens) = writeDelta(newDocs, s"$path/delta_v${v + 1}")
     writeDf(s, path, v + 1)
     val nd = (prev.getLong(0) + bDocs, prev.getLong(1) + bTokens)
-    writeStats(s, path, v + 1, nd._1, nd._2)
+    writeStats(s, path, v + 1, nd._1, nd._2, (carried ++ epochs).toSeq)
     nd
   }
 

@@ -669,55 +669,40 @@ object Streaming {
   // committed version's marker suffices.
 
   /** Ingest one micro-batch: bootstrap the index on the first trigger,
-    * append on every later one, and stamp the committed version with
-    * the epoch id so a replayed epoch is a no-op instead of a
-    * double-ingest. The epoch marker lands INSIDE the already-committed
-    * stats directory (underscore-prefixed: invisible to parquet), so it
-    * cannot race the commit point it annotates.
+    * append on every later one. The CUMULATIVE ingest-epoch ledger
+    * (every epoch id the chain has ever absorbed) travels INSIDE the
+    * stats_vN parquet row (TrainOps5.writeStats's `epochs` column), so
+    * the version's _SUCCESS is the single atomic point committing
+    * postings, stats, AND ledger — a writer that dies anywhere leaves
+    * either no new version (retry re-ingests, protocol-idempotent) or
+    * a fully-ledgered one (retry is a no-op). There is no committed-
+    * but-unledgered interleaving and no torn side-file to mis-parse.
     *
-    * The newest committed version additionally carries a CUMULATIVE
-    * `_EPOCHS` ledger (every epoch id the chain has ever ingested, one
-    * per line, carried forward on each commit). Structured Streaming
-    * itself only ever replays the latest unacked epoch, which the
-    * per-version marker already catches — the ledger is what makes the
-    * dedup hold beyond that contract: a writer reusing an OLD epoch id
-    * against a longer chain is detected, and the check survives
-    * compaction/vacuum (which retire old stats versions together with
-    * their markers, but always keep the newest version and thus the
-    * full ledger). One small-file read per trigger, O(epochs) bytes.
+    * Structured Streaming itself only ever replays the latest unacked
+    * epoch; the cumulative ledger makes the dedup hold beyond that
+    * contract — reusing an OLD epoch id against a longer chain is
+    * detected, and because compaction always keeps the newest stats
+    * version, the check survives compaction/vacuum. One stats-row read
+    * per trigger. The per-version `_EPOCH_<id>` marker is kept as a
+    * post-commit observability annotation (which trigger landed which
+    * version); correctness never depends on it.
     */
   def bm25IngestBatch(batch: DataFrame, indexPath: String, epochId: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val s = batch.sparkSession
     val root = new Path(indexPath)
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-    def marker(v: Int) = new Path(root, s"stats_v$v/_EPOCH_$epochId")
     val committed = graft.operators.TrainOps5.committedVersion(indexPath)
-    val prior: Set[Long] = committed.map { v =>
-      val ledger = new Path(root, s"stats_v$v/_EPOCHS")
-      val fromLedger =
-        if (fs.exists(ledger)) {
-          val in = fs.open(ledger)
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .filter(_.nonEmpty).map(_.toLong).toSet
-          finally in.close()
-        } else Set.empty[Long]
-      fromLedger ++ fs.listStatus(new Path(root, s"stats_v$v"))
-        .map(_.getPath.getName).collect {
-          case n if n.startsWith("_EPOCH_") => n.stripPrefix("_EPOCH_").toLong
-        }
-    }.getOrElse(Set.empty)
+    val prior = graft.operators.TrainOps5.committedEpochs(s, indexPath)
     if (prior.contains(epochId)) return // replayed epoch — no-op
     committed match {
-      case None    => graft.operators.TrainOps5.buildBm25Index(batch, indexPath)
-      case Some(_) => graft.operators.TrainOps5.appendBm25Index(batch, indexPath)
+      case None => graft.operators.TrainOps5.buildBm25Index(
+        batch, indexPath, epochs = Seq(epochId))
+      case Some(_) => graft.operators.TrainOps5.appendBm25Index(
+        batch, indexPath, epochs = Seq(epochId))
     }
     val v = graft.operators.TrainOps5.committedVersion(indexPath).get
-    val out = fs.create(new Path(root, s"stats_v$v/_EPOCHS"), true)
-    try out.write(((prior + epochId).toSeq.sorted.mkString("\n") + "\n")
-      .getBytes("UTF-8"))
-    finally out.close()
-    fs.create(marker(v), true).close()
+    fs.create(new Path(root, s"stats_v$v/_EPOCH_$epochId"), true).close()
   }
 
   /** The stream face: wire a doc stream into the index via foreachBatch.

@@ -275,8 +275,10 @@ class IndexSpec extends AnyFunSuite {
       .toSet
     val before = serve()
     assert(before.nonEmpty)
-    Similarity.compactIvfIndex(spark, xpath, retireGraceMs = 1L,
-      corpusSchema = Similarity.ivfxCorpusSchema)
+    // no schema argument: compaction infers the exact-head layout
+    // (vec_id, cv, cent_id) from the committed footers — the caller
+    // can't corrupt the rewrite by describing the wrong head
+    Similarity.compactIvfIndex(spark, xpath, retireGraceMs = 1L)
     assert(Similarity.committedCorpusVersion(spark, xpath).contains(1))
     assert(serve() == before, "compaction changed exact-head serve output")
     Thread.sleep(10)

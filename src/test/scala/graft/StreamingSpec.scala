@@ -650,6 +650,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.TrainOps5.queryBm25Index(spark, idxPath).collect().toSeq == afterNew)
   }
 
+  test("epoch ledger commits atomically with the version: no annotation file is load-bearing") {
+    // the interleaving the old side-file design could not survive: a
+    // writer dies after the version's _SUCCESS but before any
+    // post-commit file lands. With the ledger INSIDE the stats row
+    // there is nothing after the commit point to lose — simulate the
+    // worst case by deleting every _EPOCH_* annotation and replaying.
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("bm25at").toString
+    val idx = s"$base/index"
+    Streaming.bm25IngestBatch(Seq((0L, "alpha beta"), (1L, "gamma delta"))
+      .toDF("doc_id", "text"), idx, epochId = 0L)
+    Streaming.bm25IngestBatch(Seq((2L, "epsilon zeta"))
+      .toDF("doc_id", "text"), idx, epochId = 1L)
+    assert(graft.operators.TrainOps5.committedVersion(idx).contains(1))
+    // kill every post-commit annotation (and prove no legacy side-file
+    // is being written at all — the torn-write hazard is gone by
+    // construction, not by careful writing)
+    (0 to 1).foreach { v =>
+      assert(!new java.io.File(s"$idx/stats_v$v/_EPOCHS").exists(),
+        "atomic design must not write the legacy side-file ledger")
+      new java.io.File(s"$idx/stats_v$v").listFiles()
+        .filter(_.getName.startsWith("_EPOCH_")).foreach(f => assert(f.delete()))
+    }
+    Streaming.bm25IngestBatch(Seq((0L, "alpha beta"), (1L, "gamma delta"))
+      .toDF("doc_id", "text"), idx, epochId = 0L)
+    Streaming.bm25IngestBatch(Seq((2L, "epsilon zeta"))
+      .toDF("doc_id", "text"), idx, epochId = 1L)
+    assert(graft.operators.TrainOps5.committedVersion(idx).contains(1),
+      "replay after annotation loss double-ingested — ledger was not atomic")
+  }
+
+  test("legacy side-file ledgers: honored when valid, loud when torn, walked past when a version is ledger-less") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("bm25lg").toString
+    val idx = s"$base/index"
+    // a pre-migration chain: stats row has no epochs column, history
+    // lives in the _EPOCHS side-file
+    graft.operators.TrainOps5.buildBm25Index(
+      Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text"), idx)
+    Seq((2L, 4L)).toDF("n_docs", "t_tokens")
+      .write.mode("overwrite").parquet(s"$idx/stats_v0")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$idx/stats_v0/_EPOCHS"), "5\n6\n".getBytes("UTF-8"))
+    Streaming.bm25IngestBatch(Seq((9L, "eta theta"))
+      .toDF("doc_id", "text"), idx, epochId = 5L)
+    assert(graft.operators.TrainOps5.committedVersion(idx).contains(0),
+      "valid legacy ledger was ignored — replayed epoch re-ingested")
+    // a genuinely new epoch appends AND migrates the ledger into the
+    // committed stats row (5, 6 carried forward)
+    Streaming.bm25IngestBatch(Seq((9L, "eta theta"))
+      .toDF("doc_id", "text"), idx, epochId = 7L)
+    assert(graft.operators.TrainOps5.committedVersion(idx).contains(1))
+    assert(graft.operators.TrainOps5.committedEpochs(spark, idx) == Set(5L, 6L, 7L))
+    // a ledger-less newest version (legacy append that carried nothing)
+    // must fall back to the older version's ledger, not re-open history
+    Seq((3L, 6L)).toDF("n_docs", "t_tokens")
+      .write.mode("overwrite").parquet(s"$idx/stats_v2")
+    assert(graft.operators.TrainOps5.committedVersion(idx).contains(2))
+    assert(graft.operators.TrainOps5.committedEpochs(spark, idx) == Set(5L, 6L, 7L),
+      "ledger-less newest version re-opened the ingest history")
+    // a torn legacy ledger fails loudly with a descriptive error, never
+    // parses a truncated id as a different epoch
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$idx/stats_v2/_EPOCHS"), "12x4\n".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      graft.operators.TrainOps5.committedEpochs(spark, idx)
+    }
+    assert(ex.getMessage.contains("corrupt epoch ledger"))
+  }
+
   test("stream_bm25_ingest survives registry invalidation: re-invocation after clearIndexState rebuilds, never re-appends") {
     // the failure mode: clearIndexState drops the ingest memo while the
     // index files persist at the pid-keyed path; a naive re-invocation
