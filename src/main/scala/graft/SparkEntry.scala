@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, DiagramOps, EtlOps, EtlOps2, EtlOps3, ExtractPipeline, GraphOps, Inference, MultiModal, RegionOps, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Retrain, ScaleOps, Similarity, TableAssembly, TextOps, TrainOps, TrainOps2, TrainOps3, TrainOps4, TrainOps5}
+import graft.operators.{AsOf, Dedup, DiagramOps, EtlOps, EtlOps2, EtlOps3, ExtractPipeline, GraphOps, Inference, IvfPq, MultiModal, RegionOps, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Retrain, ScaleOps, Similarity, TableAssembly, TextOps, TrainOps, TrainOps2, TrainOps3, TrainOps4, TrainOps5}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -21,7 +21,7 @@ object SparkEntry {
       ExtractPipeline.queries ++ RegionOps.queries ++ ScaleOps.queries ++
       TrainOps.queries ++ TrainOps2.queries ++ TrainOps3.queries ++
       TrainOps4.queries ++ TrainOps5.queries ++ GraphOps.queries ++ Streaming.queries ++
-      Retrain.queries
+      Retrain.queries ++ IvfPq.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
       ExtractPipeline.oracles ++ RegionOps.oracles ++ ScaleOps.oracles ++
       TrainOps.oracles ++ TrainOps2.oracles ++ TrainOps3.oracles ++
       TrainOps4.oracles ++ TrainOps5.oracles ++ GraphOps.oracles ++ Streaming.oracles ++
-      Retrain.oracles
+      Retrain.oracles ++ IvfPq.oracles
 }

@@ -1,0 +1,390 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Expr
+import graft.plans.TopK
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2C ann_ivfpq: the IVFADC composition — coarse IVF pruning over the
+  * PERSISTED cell-partitioned index composed with product-quantized
+  * Asymmetric Distance Computation serve. This is the shape a
+  * billion-vector deployment actually runs (the FAISS IVFADC posture):
+  * the coarse quantizer routes a query to a handful of cells, and
+  * inside those cells candidates are scored from their 8-byte PQ codes
+  * against a broadcast query LUT — the corpus is touched only in the
+  * probed partitions and only as codes, never as full vectors.
+  *
+  * Both halves already exist gated in this library (ann_ivf_index /
+  * eval_retrieval_ivf for the IVF side; ann_pq_exact /
+  * eval_retrieval_pq for the PQ side); this operator is their
+  * composition over ONE persisted index:
+  *
+  *   - the coarse quantizer and cell assignment are EXACTLY the
+  *     persisted exact-IVF index eval_retrieval_ivf grades
+  *     (Similarity.ensureIvfxIndex: frozen md5-sampled quantizer,
+  *     build on the %7<>3 slice + held-out append, corpus partitioned
+  *     by cent_id under the versioned commit protocol);
+  *   - the PQ layer (per-subspace codebooks + per-vector codes) is
+  *     trained over the indexed corpus with ann_pq_exact's exact
+  *     int64 discipline (md5-sampled donor codebooks, K = min(256,
+  *     floor(√n)), argmin |cw|²−2·sv·cw encode with lower-code ties)
+  *     and PERSISTED next to the corpus, codes partitioned by the SAME
+  *     cent_id — so a probe prunes codes and vectors with one filter;
+  *   - serve = probe-cell selection (broadcast centroid frame, bounded
+  *     TopK) → literal cent_id partition pruning on the codes scan
+  *     (the stream_bm25_gate discipline: the probed-cell set is
+  *     queries × nProbe, metadata-sized at any corpus scale, and
+  *     literals give PLAN-TIME PartitionFilters) → broadcast LUT join
+  *     → ONE map-side-combinable aggregation summing the per-subspace
+  *     LUT entries per (query, candidate).
+  *
+  * Every step is integer-exact and engine-reproducible, so the whole
+  * composition — index build, append, PQ training, encode, probe, ADC
+  * ranking — sits under the DuckDB hash gate (the oracle recomputes
+  * the identical index and codes from the raw corpus). Scale shape:
+  * the per-query cost is nProbe cells × cell-size codes (8 small ints
+  * per candidate, the 32x memory story), the LUT is queries × K × M
+  * rows (broadcast), and nothing outside the probed partitions is
+  * read — PlanAuditSpec asserts the pruning and the partial ADC
+  * aggregation on the physical plan.
+  */
+object IvfPq {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val pqCodesSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, s BIGINT, code_id BIGINT, cent_id BIGINT")
+  private val pqCbSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "s BIGINT, code_id BIGINT, cw ARRAY<BIGINT>")
+
+  /** Session-memoized PQ layers (write-once per index path+process). */
+  private val builtPq =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Ensure the persisted IVF index at the standard path ALSO carries
+    * its PQ layer: per-subspace codebooks (metadata-sized, ≈ K×M rows)
+    * and per-vector codes partitioned by the corpus's own cent_id.
+    * Write-once per process, layered on the memoized exact-IVF index
+    * so ann_ivfpq_exact, eval_retrieval_ivfpq, eval_retrieval_ivf and
+    * ivf_skew_report all measure the SAME index.
+    */
+  private[graft] def ensureIvfxPqIndex(s: SparkSession, d: String): String = {
+    val path = Similarity.ensureIvfxIndex(s, d)
+    builtPq.computeIfAbsent(path, { _ =>
+      val corpus = s.read.schema(Similarity.ivfxCorpusSchema)
+        .parquet(Similarity.liveCorpusPath(s, path))
+      val e = corpus.select(col("vec_id"), col("cv"))
+      val m = Similarity.pqModulus(e.count())
+      val (cb, codes) = Similarity.pqEncode(e, m)
+      cb.select(col("s").cast("long").as("s"), col("code_id"), col("cw"))
+        .write.mode("overwrite").parquet(s"$path/pq/codebook")
+      codes.select(col("vec_id"), col("s").cast("long").as("s"), col("code_id"))
+        .join(corpus.select(col("vec_id"), col("cent_id")), Seq("vec_id"))
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/pq/codes")
+      java.lang.Boolean.TRUE
+    })
+    path
+  }
+
+  /** The query set's per-subspace slices (query_id, s, qsv). */
+  private def querySubvectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < Similarity.NQUERIES)
+      .select(col("vec_id").as("query_id"),
+        Expr.quantVec(col("embedding")).as("qv"))
+      .select(col("query_id"),
+        explode(sequence(lit(0L), lit(Similarity.PQ_M - 1L))).as("s"), col("qv"))
+      .select(col("query_id"), col("s"),
+        expr(s"slice(qv, s * ${Similarity.PQ_SUBD} + 1, ${Similarity.PQ_SUBD})")
+          .as("qsv"))
+
+  val annIvfpqExact: Q = (s, d) => {
+    val path = ensureIvfxPqIndex(s, d)
+    val cents = s.read.schema(Similarity.ivfxCentSchema)
+      .parquet(s"$path/centroids")
+    val qs = Tables.embeddings(s, d).filter(col("vec_id") < Similarity.NQUERIES)
+      .select(col("vec_id").as("query_id"),
+        Expr.quantVec(col("embedding")).as("qv"))
+    val probes = TopK.topKPerGroup(
+        qs.crossJoin(broadcast(cents))
+          .select(col("query_id"), col("cent_id"),
+            Expr.longDot(col("qv"), col("cvec")).as("cdot")),
+        Seq("query_id"), Seq(("cdot", true), ("cent_id", false)),
+        Similarity.IVFX_NPROBE)
+      .select(col("query_id"), col("cent_id"))
+    // the probed-cell set is queries × nProbe — metadata-sized at any
+    // corpus scale — so collecting it to literals is what turns the
+    // codes scan into a plan-time PartitionFilter (directory
+    // elimination; the unprobed bulk of a 100 TB index is never read)
+    val probedCells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    val codes = s.read.schema(pqCodesSchema).parquet(s"$path/pq/codes")
+      .filter(col("cent_id").isin(probedCells: _*))
+    val cb = s.read.schema(pqCbSchema).parquet(s"$path/pq/codebook")
+    val lut = querySubvectors(s, d).join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code_id"),
+        Expr.longDot(col("qsv"), col("cw")).as("qdot"))
+    val scored = codes.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "code_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdot")).as("score"))
+    val top = TopK.topKPerGroup(scored, Seq("query_id"),
+      Seq(("score", true), ("vec_id", false)), Similarity.TOPK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The full IVFADC recomputed in SQL: the exact-IVF assignment CTEs
+    * (shared verbatim with eval_retrieval_ivf / ivf_skew_report, so
+    * the composition can never drift from the index it serves) plus
+    * ann_pq_exact's codebook/encode CTEs over the same quantized
+    * corpus, probed and ADC-scored.
+    */
+  val annIvfpqExactSql: String = {
+    import Similarity.{PQ_M, PQ_SUBD, PQ_KMAX, IVFX_NPROBE, NQUERIES, TOPK}
+    s"""WITH ${Similarity.ivfxAssignCtes},
+       |pmm AS (SELECT greatest(1, count(*) // least($PQ_KMAX, greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS m FROM e),
+       |sub AS (SELECT vec_id, s, cv[s*$PQ_SUBD+1 : s*$PQ_SUBD+$PQ_SUBD] AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS s)),
+       |cb AS (SELECT s.s, s.vec_id AS code_id, s.sv AS cw
+       |  FROM sub s, pmm
+       |  WHERE CAST(concat('0x', substr(md5(CAST(s.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % m = 0),
+       |enc0 AS (SELECT sub.vec_id, sub.s, cb.code_id,
+       |    CAST(list_sum([cb.cw[j]*cb.cw[j] - 2*sub.sv[j]*cb.cw[j]
+       |      FOR j IN range(1, $PQ_SUBD + 1)]) AS BIGINT) AS cost
+       |  FROM sub JOIN cb ON cb.s = sub.s),
+       |codes AS (SELECT vec_id, s, code_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY cost, code_id) AS rn FROM enc0) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, cv AS qv FROM e WHERE vec_id < $NQUERIES),
+       |pd AS (SELECT q.query_id, c.cent_id,
+       |    CAST(list_sum([q.qv[i] * c.cvec[i] FOR i IN range(1, len(q.qv) + 1)]) AS BIGINT) AS cdot
+       |  FROM q CROSS JOIN cents c),
+       |probes AS (SELECT query_id, cent_id FROM (
+       |    SELECT query_id, cent_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, cent_id) AS rn
+       |    FROM pd) t WHERE rn <= $IVFX_NPROBE),
+       |qsub AS (SELECT vec_id AS query_id, s, cv[s*$PQ_SUBD+1 : s*$PQ_SUBD+$PQ_SUBD] AS qsv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS s) WHERE vec_id < $NQUERIES),
+       |lut AS (SELECT qsub.query_id, cb.s, cb.code_id,
+       |    CAST(list_sum([qsub.qsv[j]*cb.cw[j] FOR j IN range(1, $PQ_SUBD + 1)]) AS BIGINT) AS qdot
+       |  FROM qsub JOIN cb ON cb.s = qsub.s),
+       |sc AS (SELECT p.query_id, a.vec_id, CAST(sum(l.qdot) AS BIGINT) AS score
+       |  FROM probes p
+       |  JOIN assigned a ON a.cent_id = p.cent_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.s = c.s AND l.code_id = c.code_id
+       |  WHERE a.vec_id <> p.query_id
+       |  GROUP BY p.query_id, a.vec_id)
+       |SELECT query_id, vec_id, score, rank FROM (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sc) t WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --- eval_retrieval_ivfpq: grade the composed head ------------------
+  // The measurement that closes the IVFADC story: recall@10/MRR of the
+  // partition-pruned compressed serve against the exact int64 truth —
+  // the number a deployment compares against eval_retrieval_ivf
+  // (pruning-only) and eval_retrieval_pq (compression-only) to see
+  // what the COMPOSITION costs beyond each half alone. Same
+  // retrievalMetrics block, all-integer, hash-gated.
+  val evalRetrievalIvfpq: Q = (s, d) => {
+    val truth = Similarity.annQuantized(s, d).select(col("query_id"), col("vec_id"))
+    val cand = annIvfpqExact(s, d)
+      .select(col("query_id"), col("vec_id"), col("rank").as("cand_rank"))
+    Similarity.retrievalMetrics(truth, cand)
+  }
+
+  val evalRetrievalIvfpqSql: String =
+    s"""WITH truth AS (SELECT query_id, vec_id FROM (
+       |${Similarity.annQuantizedSql}) tq),
+       |cand AS (SELECT query_id, vec_id, rank AS cand_rank FROM (
+       |${annIvfpqExactSql}) tc),
+       |hits AS (SELECT c.query_id, c.cand_rank
+       |  FROM cand c JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id),
+       |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY query_id),
+       |ha AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit, min(cand_rank) AS first_rel
+       |  FROM hits GROUP BY query_id)
+       |SELECT nt.query_id, n_truth,
+       |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(n_hit, 0) * 1000000 // n_truth AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN first_rel IS NULL THEN 0
+       |       ELSE 1000000 // first_rel END AS BIGINT) AS rr_micros
+       |FROM nt LEFT JOIN ha USING (query_id) ORDER BY nt.query_id""".stripMargin
+
+  // --- ann_pq_trained: Lloyd-trained PQ codebooks ---------------------
+  // ann_pq_exact bootstraps its codebooks by md5-sampling corpus
+  // subvectors (the standard bootstrap; SURVEY §2C names kmeans_train
+  // as the trained upgrade). This key IS that upgrade: the same
+  // deterministic integer Lloyd that kmeans_train gates, run PER
+  // SUBSPACE over the corpus's subvector frame, with the sampled
+  // donors as seeds — then the trained codebooks feed the IDENTICAL
+  // encode + ADC serve plan. Exactness discipline (kmeans_train's,
+  // applied per subspace):
+  //   - training runs in OFFSET space (component + PQT_OFF > 0) so the
+  //     centroid mean's integer division truncates identically in both
+  //     engines (trunc == floor on non-negative operands; L2
+  //     assignment is translation-invariant, so offset-space argmin ==
+  //     raw-space argmin);
+  //   - assignment is argmin |c|²−2v·c on the codegen'd long-dot
+  //     kernel, ties to the lower code_id; empty cells drop (standard
+  //     practical Lloyd, deterministic);
+  //   - the ADC LUT uses the trained codewords translated BACK to raw
+  //     space (ADC is a dot product — NOT translation-invariant — so
+  //     the LUT must be computed where the query vectors live).
+  // Scale shape: each round is one broadcast assignment pass over the
+  // n×M subvector frame (cb ≤ 256×M rows broadcast) plus one
+  // (s, code_id, dim)-keyed aggregation whose output is K×M×SUBD rows;
+  // the subvector frame localCheckpoints once. PqSpec asserts the
+  // trained codebooks beat the sampled bootstrap on total quantization
+  // error (the thing Lloyd descends).
+  private[graft] val PQT_ITERS = 2
+  private[graft] val PQT_OFF = 257000000L
+
+  /** The corpus subvector frame in OFFSET space: (vec_id, s, sv). */
+  private[graft] def pqtSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("cv"),
+        explode(sequence(lit(0L), lit(Similarity.PQ_M - 1L))).as("s"))
+      .select(col("vec_id"), col("s"),
+        expr(s"transform(slice(cv, s * ${Similarity.PQ_SUBD} + 1, " +
+          s"${Similarity.PQ_SUBD}), x -> x + ${PQT_OFF}L)").as("sv"))
+
+  /** PQT_ITERS deterministic Lloyd rounds over all subspaces at once
+    * (keyed (s, code_id)); input and output codebooks in offset space.
+    */
+  private[graft] def pqTrain(sub: DataFrame, cb0: DataFrame): DataFrame = {
+    var cb = cb0.localCheckpoint(true)
+    for (_ <- 1 to PQT_ITERS) {
+      val cost = Expr.longDot(col("cw"), col("cw")) -
+        lit(2L) * Expr.longDot(col("sv"), col("cw"))
+      val assign = TopK.topKPerGroup(
+        sub.join(broadcast(cb), Seq("s"))
+          .select(col("vec_id"), col("s"), col("sv"), col("code_id"),
+            cost.as("cost")),
+        Seq("vec_id", "s"), Seq(("cost", false), ("code_id", false)), 1)
+      val next = assign
+        .select(col("s"), col("code_id"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("s"), col("code_id"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+        .withColumn("mean", expr("sx div c"))
+        .groupBy(col("s"), col("code_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("z"))
+        .select(col("s"), col("code_id"), transform(col("z"), t => t("mean")).as("cw"))
+        .localCheckpoint(true)
+      cb.unpersist()
+      cb = next
+    }
+    cb
+  }
+
+  val annPqTrained: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), Expr.quantVec(col("embedding")).as("cv"))
+      .localCheckpoint(true)
+    val m = Similarity.pqModulus(e.count())
+    val sub = pqtSubvectors(e).localCheckpoint(true)
+    val seeds = sub.filter(Similarity.md5Mod(col("vec_id"), m) === 0)
+      .select(col("s"), col("vec_id").as("code_id"), col("sv").as("cw"))
+    val cb = pqTrain(sub, seeds)
+    // encode in offset space (assignment is translation-invariant)
+    val cost = Expr.longDot(col("cw"), col("cw")) -
+      lit(2L) * Expr.longDot(col("sv"), col("cw"))
+    val codes = TopK.topKPerGroup(
+        sub.join(broadcast(cb), Seq("s"))
+          .select(col("vec_id"), col("s"), col("code_id"), cost.as("cost")),
+        Seq("vec_id", "s"), Seq(("cost", false), ("code_id", false)), 1)
+      .select(col("vec_id"), col("s"), col("code_id"))
+    // ADC LUT in RAW space: translate the trained codewords back
+    val cbRaw = cb.select(col("s"), col("code_id"),
+      transform(col("cw"), x => x - lit(PQT_OFF)).as("cw"))
+    val lut = querySubvectors(s, d).join(broadcast(cbRaw), Seq("s"))
+      .select(col("query_id"), col("s"), col("code_id"),
+        Expr.longDot(col("qsv"), col("cw")).as("qdot"))
+    val scored = codes.join(broadcast(lut), Seq("s", "code_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdot")).as("score"))
+    val top = TopK.topKPerGroup(scored, Seq("query_id"),
+      Seq(("score", true), ("vec_id", false)), Similarity.TOPK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** One Lloyd round over the subvector frame as CTEs (the
+    * kmeans_train oracle discipline, keyed (s, code_id)).
+    */
+  private def pqtRoundSql(i: Int): String = {
+    val prev = s"pc${i - 1}"
+    val SUBD = Similarity.PQ_SUBD
+    s"""pa${i}p AS (SELECT sub.vec_id, sub.s, sub.sv, c.code_id,
+       |    CAST(list_sum([c.cw[j]*c.cw[j] - 2*sub.sv[j]*c.cw[j]
+       |      FOR j IN range(1, $SUBD + 1)]) AS BIGINT) AS cost
+       |  FROM sub JOIN $prev c ON c.s = sub.s),
+       |pa$i AS (SELECT vec_id, s, sv, code_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY cost, code_id) AS rn FROM pa${i}p) t WHERE rn = 1),
+       |px$i AS (SELECT s, code_id, generate_subscripts(sv, 1) AS dim,
+       |    unnest(sv) AS x FROM pa$i),
+       |ps$i AS (SELECT s, code_id, dim, sum(x) AS sx, count(*) AS c
+       |  FROM px$i GROUP BY s, code_id, dim),
+       |pc$i AS (SELECT s, code_id, list(sx // c ORDER BY dim) AS cw
+       |  FROM ps$i GROUP BY s, code_id)""".stripMargin
+  }
+
+  val annPqTrainedSql: String = {
+    import Similarity.{PQ_M, PQ_SUBD, PQ_KMAX, NQUERIES, TOPK}
+    val rounds = (1 to PQT_ITERS).map(pqtRoundSql).mkString(",\n")
+    val last = s"pc$PQT_ITERS"
+    s"""WITH e AS (SELECT vec_id,
+       |    [CAST(floor(least(greatest(x, -256), 256)*1e6) AS BIGINT) FOR x IN embedding] AS cv
+       |  FROM embeddings),
+       |pmm AS (SELECT greatest(1, count(*) // least($PQ_KMAX, greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS m FROM e),
+       |sub AS (SELECT vec_id, s,
+       |    [x + $PQT_OFF FOR x IN cv[s*$PQ_SUBD+1 : s*$PQ_SUBD+$PQ_SUBD]] AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS s)),
+       |pc0 AS (SELECT s.s, s.vec_id AS code_id, s.sv AS cw
+       |  FROM sub s, pmm
+       |  WHERE CAST(concat('0x', substr(md5(CAST(s.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % m = 0),
+       |$rounds,
+       |encp AS (SELECT sub.vec_id, sub.s, c.code_id,
+       |    CAST(list_sum([c.cw[j]*c.cw[j] - 2*sub.sv[j]*c.cw[j]
+       |      FOR j IN range(1, $PQ_SUBD + 1)]) AS BIGINT) AS cost
+       |  FROM sub JOIN $last c ON c.s = sub.s),
+       |codes AS (SELECT vec_id, s, code_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY cost, code_id) AS rn FROM encp) t WHERE rn = 1),
+       |cbr AS (SELECT s, code_id, [x - $PQT_OFF FOR x IN cw] AS cw FROM $last),
+       |qs AS (SELECT vec_id AS query_id, s, cv[s*$PQ_SUBD+1 : s*$PQ_SUBD+$PQ_SUBD] AS qv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS s) WHERE vec_id < $NQUERIES),
+       |lut AS (SELECT q.query_id, c.s, c.code_id,
+       |    CAST(list_sum([q.qv[j]*c.cw[j] FOR j IN range(1, $PQ_SUBD + 1)]) AS BIGINT) AS qdot
+       |  FROM qs q JOIN cbr c ON c.s = q.s),
+       |sc AS (SELECT l.query_id, c.vec_id, CAST(sum(l.qdot) AS BIGINT) AS score
+       |  FROM codes c JOIN lut l ON l.s = c.s AND l.code_id = c.code_id
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c.vec_id)
+       |SELECT query_id, vec_id, score, rank FROM (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sc) t WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ann_ivfpq_exact" -> annIvfpqExact,
+    "ann_pq_trained" -> annPqTrained,
+    "eval_retrieval_ivfpq" -> evalRetrievalIvfpq)
+
+  val oracles: Map[String, String] = Map(
+    "ann_ivfpq_exact" -> annIvfpqExactSql,
+    "ann_pq_trained" -> annPqTrainedSql,
+    "eval_retrieval_ivfpq" -> evalRetrievalIvfpqSql)
+}

@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  private val TOPK = 10
-  private val NQUERIES = 5
+  private[graft] val TOPK = 10
+  private[graft] val NQUERIES = 5
 
   private def queriesDf(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -634,7 +634,7 @@ object Similarity {
   /** Shared recall@k / MRR metric block over TopK-bounded truth and
     * candidate frames — metadata-sized at any corpus scale, all-integer.
     */
-  private def retrievalMetrics(truth: DataFrame, cand: DataFrame): DataFrame = {
+  private[graft] def retrievalMetrics(truth: DataFrame, cand: DataFrame): DataFrame = {
     val hits = cand.join(truth, Seq("query_id", "vec_id"), "left_semi")
     val nTruth = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
     val hitAgg = hits.groupBy(col("query_id")).agg(

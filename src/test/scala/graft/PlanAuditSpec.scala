@@ -429,6 +429,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerGroup"), "top-k must be the bounded-heap operator")
   }
 
+  test("ann_ivfpq_exact: ONE plan carries literal cent_id partition pruning AND map-side ADC combine") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val pp = SparkEntry.queries("ann_ivfpq_exact")(spark, sf)
+      .queryExecution.executedPlan
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.inputPlan)
+        case q: QueryStageExec => allNodes(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(allNodes) ++ inner)
+    }
+    // the IVF half: the codes scan must read ONLY the probed cells —
+    // a plan-time PartitionFilter on cent_id (directory elimination;
+    // the unprobed bulk of the index is never opened)
+    val codeScans = allNodes(pp).collect {
+      case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("/pq/codes")) => sc
+    }
+    assert(codeScans.nonEmpty, "no PQ codes scan found in the serve plan")
+    codeScans.foreach { sc =>
+      assert(sc.partitionFilters.exists(_.references.exists(_.name == "cent_id")),
+        s"codes scan without a cent_id PartitionFilter — serve reads the " +
+          s"whole index:\n${sc.toString.take(600)}")
+    }
+    // the PQ half, in the SAME plan: probes/LUT broadcast (never a
+    // corpus-side shuffle join) and the ADC score sum partial-combines
+    // map-side before its exchange
+    val plan = pp.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"IVFADC serve must not sort-merge (probes and LUT are metadata-sized):\n${plan.take(1500)}")
+    assert(plan.contains("partial_sum"),
+      "the (query, vector) ADC sum must partial-aggregate before its exchange")
+    assert(plan.contains("TopKPerGroup"), "top-k must be the bounded-heap operator")
+  }
+
   test("corpus_diff: full-outer SMJ keyed on doc_id carries hashed fixed-width rows, never text") {
     val plan = executedPlan("corpus_diff")
     assert(plan.contains("SortMergeJoin [doc_id") && plan.contains("FullOuter"),

@@ -68,6 +68,37 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_pq_trained: Lloyd-trained codebooks beat the sampled bootstrap on quantization error") {
+    import graft.operators.IvfPq
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.functions.Expr.quantVec(col("embedding")).as("cv"))
+      .localCheckpoint(true)
+    val m = Similarity.pqModulus(e.count())
+    val sub = IvfPq.pqtSubvectors(e).localCheckpoint(true)
+    val seeds = sub.filter(Similarity.md5Mod(col("vec_id"), m) === 0)
+      .select(col("s"), col("vec_id").as("code_id"), col("sv").as("cw"))
+    // total quantization error Σ min |sv − cw|² — the objective Lloyd
+    // descends (cost + |sv|² restores the constant term)
+    def inertia(cb: DataFrame): java.math.BigDecimal = {
+      val cost = graft.functions.Expr.longDot(col("cw"), col("cw")) -
+        lit(2L) * graft.functions.Expr.longDot(col("sv"), col("cw"))
+      val best = graft.plans.TopK.topKPerGroup(
+        sub.join(broadcast(cb), Seq("s"))
+          .select(col("vec_id"), col("s"), col("code_id"),
+            graft.functions.Expr.longDot(col("sv"), col("sv")).as("vv"),
+            cost.as("cost")),
+        Seq("vec_id", "s"), Seq(("cost", false), ("code_id", false)), 1)
+      best.agg(sum((col("vv") + col("cost")).cast(DecimalType(38, 0))).as("i"))
+        .collect()(0).getDecimal(0)
+    }
+    val sampled = inertia(seeds)
+    val trained = inertia(IvfPq.pqTrain(sub, seeds))
+    assert(trained.compareTo(sampled) < 0,
+      s"trained codebooks must reduce quantization error: trained=$trained vs sampled=$sampled")
+  }
+
   test("clustered corpus: PQ top-10 lands in the query's own cluster") {
     import spark.implicits._
     val rnd = new java.util.Random(7L)
