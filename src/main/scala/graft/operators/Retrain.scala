@@ -79,7 +79,11 @@ object Retrain {
   //     K ≈ √n — the standard sample-as-seed bootstrap);
   //   - assignment is argmin of |c|² − 2v·c (the |v|² term is constant
   //     per vector) on the codegen'd long-dot kernel, ties to the
-  //     lower cent_id; empty clusters drop (standard practical Lloyd);
+  //     lower cent_id; cells that empty are deterministically RE-SEEDED
+  //     at the farthest point (squared distance to its assigned
+  //     centroid, desc, vec_id ties) so the quantizer never loses
+  //     capacity on collapsed corpora — the skew case the re-train
+  //     policy exists to catch;
   //   - per-cell inertia (Σ|v−c|² against the ENTERING centroids)
   //     accumulates in DECIMAL(38,0) — order-independent, so the
   //     trajectory row set is bit-stable.
@@ -134,17 +138,49 @@ object Retrain {
           sum((col("vv") + col("cost")).cast(DecimalType(38, 0))).as("inertia_dec"))
         .select(lit(iter.toLong).as("iter"), col("cent_id"), col("n_vecs"),
           col("inertia_dec"))
-      val next = assign
-        .select(col("cent_id"), posexplode(col("kv")).as(Seq("dim", "x")))
-        .groupBy(col("cent_id"), col("dim"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
-        .withColumn("mean", expr("sx div c"))
-        .groupBy(col("cent_id"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("z"))
-        .select(col("cent_id"), transform(col("z"), e => e("mean")).as("cvec"))
-        .localCheckpoint(true)
-      cents.unpersist()
-      cents = next
+      // the last round only reports — its centroid update feeds nothing
+      if (iter < KM_ITERS) {
+        val means = assign
+          .select(col("cent_id"), posexplode(col("kv")).as(Seq("dim", "x")))
+          .groupBy(col("cent_id"), col("dim"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+          .withColumn("mean", expr("sx div c"))
+          .groupBy(col("cent_id"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("z"))
+          .select(col("cent_id"), transform(col("z"), e => e("mean")).as("cvec"))
+        // deterministic FARTHEST-POINT RE-SEED for cells that emptied
+        // this round: a production quantizer must not lose capacity on
+        // a collapsed corpus (exactly the skew case ivf_skew_report
+        // exists to catch). The i-th empty cell (by cent_id) takes the
+        // i-th farthest vector's position (squared distance to its
+        // assigned centroid, ties to the lower vec_id). Both frames
+        // are ≤ K rows — metadata-sized driver scalars, the BPE-argmax
+        // discipline — and the farthest scan is the bounded-heap TopK,
+        // never a corpus sort; when no cell empties (the common case)
+        // nothing beyond the K-row anti-join count is paid.
+        val empties = cents.select(col("cent_id"))
+          .join(means.select(col("cent_id")), Seq("cent_id"), "left_anti")
+          .orderBy(col("cent_id")).collect().map(_.getLong(0))
+        val next =
+          if (empties.isEmpty) means
+          else {
+            val far = TopK.topKPerGroup(
+                assign.select(lit(1L).as("g"), col("vec_id"), col("kv"),
+                  (col("vv") + col("cost")).as("dist")),
+                Seq("g"), Seq(("dist", true), ("vec_id", false)), empties.length)
+              .orderBy(col("dist").desc, col("vec_id"))
+              .select(col("kv")).collect()
+            val ss = s
+            import ss.implicits._
+            val reseeded = empties.toSeq.zip(far.toSeq)
+              .map { case (cid, r) => (cid, r.getSeq[Long](0)) }
+              .toDF("cent_id", "cvec")
+            means.unionByName(reseeded)
+          }
+        val chk = next.localCheckpoint(true)
+        cents.unpersist()
+        cents = chk
+      }
     }
     reports.reduce(_ union _)
       .select(col("iter"), col("cent_id"), col("n_vecs"),
@@ -155,27 +191,40 @@ object Retrain {
   /** One Lloyd round as CTEs over the previous round's centroid CTE —
     * the oracle unrolls KM_ITERS of these (the bpe_train_merges
     * discipline: a training LOOP is gateable when each round is a
-    * deterministic dataflow).
+    * deterministic dataflow). Rounds that feed a next round also
+    * mirror the farthest-point re-seed: cells absent from the means
+    * (em), ranked by cent_id, take the equally-ranked farthest
+    * vectors (fa; squared distance desc, vec_id ties).
     */
   private def kmRoundSql(i: Int): String = {
     val prev = if (i == 1) "c0" else s"c${i - 1}"
-    s"""a${i}p AS (SELECT v.vec_id, v.kv, v.vv, c.cent_id,
-       |    CAST(list_sum([c.cvec[j]*c.cvec[j] - 2*v.kv[j]*c.cvec[j]
-       |      FOR j IN range(1, len(v.kv) + 1)]) AS BIGINT) AS cost
-       |  FROM v CROSS JOIN $prev c),
-       |a$i AS (SELECT vec_id, kv, vv, cent_id, cost FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY cost, cent_id) AS rn FROM a${i}p) t WHERE rn = 1),
-       |r$i AS (SELECT CAST($i AS BIGINT) AS iter, cent_id,
-       |    CAST(count(*) AS BIGINT) AS n_vecs,
-       |    sum(CAST(vv + cost AS DECIMAL(38,0))) AS inertia_dec
-       |  FROM a$i GROUP BY cent_id),
-       |x$i AS (SELECT cent_id, generate_subscripts(kv, 1) AS dim,
-       |    unnest(kv) AS x FROM a$i),
-       |s$i AS (SELECT cent_id, dim, sum(x) AS sx, count(*) AS c
-       |  FROM x$i GROUP BY cent_id, dim),
-       |c$i AS (SELECT cent_id, list(sx // c ORDER BY dim) AS cvec
-       |  FROM s$i GROUP BY cent_id)""".stripMargin
+    val round =
+      s"""a${i}p AS (SELECT v.vec_id, v.kv, v.vv, c.cent_id,
+         |    CAST(list_sum([c.cvec[j]*c.cvec[j] - 2*v.kv[j]*c.cvec[j]
+         |      FOR j IN range(1, len(v.kv) + 1)]) AS BIGINT) AS cost
+         |  FROM v CROSS JOIN $prev c),
+         |a$i AS (SELECT vec_id, kv, vv, cent_id, cost FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cost, cent_id) AS rn FROM a${i}p) t WHERE rn = 1),
+         |r$i AS (SELECT CAST($i AS BIGINT) AS iter, cent_id,
+         |    CAST(count(*) AS BIGINT) AS n_vecs,
+         |    sum(CAST(vv + cost AS DECIMAL(38,0))) AS inertia_dec
+         |  FROM a$i GROUP BY cent_id)""".stripMargin
+    if (i == KM_ITERS) round // the last round only reports
+    else round + ",\n" +
+      s"""x$i AS (SELECT cent_id, generate_subscripts(kv, 1) AS dim,
+         |    unnest(kv) AS x FROM a$i),
+         |s$i AS (SELECT cent_id, dim, sum(x) AS sx, count(*) AS c
+         |  FROM x$i GROUP BY cent_id, dim),
+         |cm$i AS (SELECT cent_id, list(sx // c ORDER BY dim) AS cvec
+         |  FROM s$i GROUP BY cent_id),
+         |em$i AS (SELECT cent_id, row_number() OVER (ORDER BY cent_id) AS rn
+         |  FROM (SELECT cent_id FROM $prev EXCEPT SELECT cent_id FROM cm$i) t),
+         |fa$i AS (SELECT kv, row_number() OVER (ORDER BY (vv + cost) DESC, vec_id) AS rn
+         |  FROM a$i),
+         |c$i AS (SELECT cent_id, cvec FROM cm$i
+         |  UNION ALL SELECT e.cent_id, f.kv AS cvec
+         |  FROM em$i e JOIN fa$i f ON f.rn = e.rn)""".stripMargin
   }
 
   val kmeansTrainSql: String = {

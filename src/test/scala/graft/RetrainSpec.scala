@@ -25,10 +25,21 @@ class RetrainSpec extends AnyFunSuite {
     totals.sliding(2).foreach { case Seq(a, b) =>
       assert(b <= a * (1 + 1e-12), s"inertia increased: $totals")
     }
-    // clusters only ever drop (empty cells vanish, none appear)
-    val cells = (1L to Retrain.KM_ITERS.toLong)
-      .map(i => byIter(i).map(_._2).toSet)
-    cells.sliding(2).foreach { case Seq(a, b) => assert(b.subsetOf(a)) }
+    // the cent_id universe is fixed: every reported cell is one of the
+    // md5-sampled seeds (re-seeding replaces a cell's POSITION, never
+    // mints a new id)
+    val m = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5mod(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % m
+    }
+    val seeds = Tables.embeddings(spark, sf).select("vec_id").collect()
+      .map(_.getLong(0)).filter(md5mod(_) == 0).toSet
+    rows.foreach { case (_, cid, _, _) =>
+      assert(seeds.contains(cid), s"cell $cid is not an initial seed")
+    }
     // the whole trajectory is deterministic across invocations
     val again = Retrain.queries("kmeans_train")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -71,6 +82,51 @@ class RetrainSpec extends AnyFunSuite {
     val again = Retrain.queries("quality_perceptron_train")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), (2 to 6).map(r.getLong).toVector))
     assert(again.toSeq == rows.toSeq)
+  }
+
+  test("kmeans_train: an emptied cell is deterministically re-seeded and capacity recovers") {
+    // Plant an empty cell: two md5-sampled seeds share an IDENTICAL
+    // vector. Assignment ties go to the lower cent_id, so the higher
+    // duplicate seed gets no members in round 1 — the re-seed must
+    // give it the farthest point and round 2 must show members in ALL
+    // K cells (n_vecs > 0 across the full seed set).
+    val dir = java.nio.file.Files.createTempDirectory("kmreseed").toString
+    val s2 = spark
+    import s2.implicits._
+    val n = 100
+    val m = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5mod(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % m
+    }
+    val seeds = (0L until n.toLong).filter(md5mod(_) == 0).sorted
+    assert(seeds.size >= 2, s"need two sampled seeds, got $seeds")
+    val (lo, hi) = (seeds(0), seeds(1))
+    // a line corpus (well-behaved 1D Lloyd), except the hi seed
+    // duplicates the lo seed's vector
+    val rows = (0L until n.toLong).map { i =>
+      val src = if (i == hi) lo else i
+      val v = Array.fill(64)(0f); v(0) = src * 0.001f
+      (i, v.toSeq, "synth")
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rep = Retrain.queries("kmeans_train")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val round1 = rep.filter(_._1 == 1L).map(t => t._2 -> t._3).toMap
+    assert(!round1.contains(hi),
+      s"precondition failed: duplicate seed $hi should start empty (round 1 cells ${round1.keySet})")
+    assert(round1.contains(lo))
+    val round2 = rep.filter(_._1 == 2L).map(t => t._2 -> t._3).toMap
+    assert(round2.keySet == seeds.toSet,
+      s"round 2 must recover full capacity: missing ${seeds.toSet -- round2.keySet}")
+    assert(round2.values.forall(_ > 0L))
+    // deterministic: the re-seeded trajectory replays bit-identically
+    val again = Retrain.queries("kmeans_train")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rep.toSeq)
   }
 
   test("skew trigger fires on a collapsed corpus (the drifted-quantizer failure the policy exists for)") {
