@@ -377,13 +377,251 @@ object Retrain {
        |SELECT * FROM ($union) u ORDER BY epoch""".stripMargin
   }
 
+  // --- pipe_index_maintain: the re-train policy END TO END -------------
+  // ivf_skew_report (trigger), kmeans_train (rebuild), and
+  // eval_retrieval_* (regrade) gate the policy's PIECES; this key gates
+  // the HAND-OFFS — the discipline pipe_dedup_e2e applies to dedup —
+  // as one dataflow replayed on a PLANTED collapsed corpus:
+  //
+  //   1. PLANT: 4/5 of the corpus (vec_id % 5 <> 0) collapses onto one
+  //      constant vector — the drifted-corpus failure the policy
+  //      exists for — derived deterministically from `embeddings` so
+  //      both engines rebuild the identical corpus.
+  //   2. TRIGGER: assign under the md5-sampled bootstrap quantizer
+  //      (m = floor(√n/2), the ivfx geometry); max-share and the
+  //      integer 8x-mean verdict (must FIRE here).
+  //   3. REBUILD: one Lloyd round (means in offset space + the
+  //      farthest-point re-seed) — on this corpus most sampled seeds
+  //      are constant-duplicates whose cells start empty, so the
+  //      re-seed is doing real work; capacity (K) must be preserved.
+  //   4. REGRADE: recall@10 of the nProbe=4 probed serve vs exact L2
+  //      truth AND the scanned-candidate volume, for the 5
+  //      non-collapsed queries, under the OLD and the REBUILT
+  //      quantizer — the measurement that closes the loop. Both
+  //      numbers matter: a skewed index scores accidentally-high
+  //      recall because probing the hot cell IS a brute-force scan;
+  //      what the rebuild buys is the scan volume (serve cost)
+  //      collapsing while recall stays in range — the actual IVF
+  //      trade-off a deployment re-tunes nProbe against.
+  //
+  // All-integer (the kq quantization + L2 costs on the long-dot
+  // kernel), so the whole trigger→rebuild→regrade replay sits under
+  // the DuckDB hash gate. Scale shape: two broadcast assignment
+  // passes + one (cell,dim) aggregation + TopK-bounded truth/serve
+  // frames; the metrics travel as driver scalars (the
+  // quality_perceptron_train discipline).
+  private[graft] val PIM_NPROBE = 4
+
+  val pipeIndexMaintain: Q = (s, d) => {
+    val constKv = transform(sequence(lit(1), lit(64)),
+      i => when(i === 1, lit(2000000L)).otherwise(lit(1000000L)))
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 =!= 0, constKv)
+          .otherwise(kq(col("embedding"))).as("kv"))
+      .withColumn("vv", Expr.longDot(col("kv"), col("kv")))
+      .localCheckpoint(true)
+    val n = v.count()
+    val m = math.max(1L, math.floor(math.sqrt(n.toDouble) / 2.0).toLong)
+    val cents0 = v.filter(md5Mod(col("vec_id"), lit(m)) === 0)
+      .select(col("vec_id").as("cent_id"), col("kv").as("cvec"))
+      .localCheckpoint(true)
+    val kBefore = cents0.count()
+    // TRIGGER: assignment under the bootstrap quantizer + 8x-mean verdict
+    val a1 = kmAssign(v, cents0).localCheckpoint(true)
+    val trig = a1.groupBy(col("cent_id")).agg(count(lit(1)).as("nv"))
+      .agg(max(col("nv")).as("mx"), sum(col("nv")).as("tot")).collect()(0)
+    val (mx, tot) = (trig.getLong(0), trig.getLong(1))
+    val fired = mx * kBefore > 8L * tot
+    // REBUILD: one Lloyd round — means + farthest-point re-seed
+    val means = a1
+      .select(col("cent_id"), posexplode(col("kv")).as(Seq("dim", "x")))
+      .groupBy(col("cent_id"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+      .withColumn("mean", expr("sx div c"))
+      .groupBy(col("cent_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("z"))
+      .select(col("cent_id"), transform(col("z"), e => e("mean")).as("cvec"))
+    val empties = cents0.select(col("cent_id"))
+      .join(means.select(col("cent_id")), Seq("cent_id"), "left_anti")
+      .orderBy(col("cent_id")).collect().map(_.getLong(0))
+    val ss = s
+    import ss.implicits._
+    val c1 = (if (empties.isEmpty) means
+      else {
+        val far = TopK.topKPerGroup(
+            a1.select(lit(1L).as("g"), col("vec_id"), col("kv"),
+              (col("vv") + col("cost")).as("dist")),
+            Seq("g"), Seq(("dist", true), ("vec_id", false)), empties.length)
+          .orderBy(col("dist").desc, col("vec_id"))
+          .select(col("kv")).collect()
+        means.unionByName(empties.toSeq.zip(far.toSeq)
+          .map { case (cid, r) => (cid, r.getSeq[Long](0)) }
+          .toDF("cent_id", "cvec"))
+      }).localCheckpoint(true)
+    val kAfter = c1.count()
+    val a2 = kmAssign(v, c1).localCheckpoint(true)
+    // REGRADE: recall@10 of the probed serve vs exact L2 truth, both heads
+    val qs = v.filter(col("vec_id") % 5 === 0 && col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("kv").as("qv"))
+    val truth = TopK.topKPerGroup(
+        v.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            (col("vv") - lit(2L) * Expr.longDot(col("qv"), col("kv"))).as("dcost")),
+        Seq("query_id"), Seq(("dcost", false), ("vec_id", false)), 10)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+    val nTruth = truth.count()
+    def regrade(cents: DataFrame, assign: DataFrame): (Long, Long) = {
+      val probes = TopK.topKPerGroup(
+          qs.crossJoin(broadcast(cents))
+            .select(col("query_id"), col("qv"), col("cent_id"),
+              (Expr.longDot(col("cvec"), col("cvec")) -
+                lit(2L) * Expr.longDot(col("qv"), col("cvec"))).as("pcost")),
+          Seq("query_id"), Seq(("pcost", false), ("cent_id", false)), PIM_NPROBE)
+        .select(col("query_id"), col("qv"), col("cent_id"))
+      val scanned = assign.join(broadcast(probes), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (col("vv") - lit(2L) * Expr.longDot(col("qv"), col("kv"))).as("dcost"))
+        .localCheckpoint(true)
+      val nScanned = scanned.count()
+      val cand = TopK.topKPerGroup(scanned,
+          Seq("query_id"), Seq(("dcost", false), ("vec_id", false)), 10)
+        .select(col("query_id"), col("vec_id"))
+      val hits = cand.join(truth, Seq("query_id", "vec_id"), "left_semi").count()
+      (hits * 1000000L / math.max(1L, nTruth), nScanned)
+    }
+    val (rOld, scanOld) = regrade(cents0, a1)
+    val (rNew, scanNew) = regrade(c1, a2)
+    Seq(
+      ("trigger", "max_share_ppm", mx * 1000000L / tot),
+      ("trigger", "rebuild_fired", if (fired) 1L else 0L),
+      ("rebuild", "k_before", kBefore),
+      ("rebuild", "k_after", kAfter),
+      ("rebuild", "n_reseeded", empties.length.toLong),
+      ("regrade", "recall_ppm_old", rOld),
+      ("regrade", "recall_ppm_new", rNew),
+      ("regrade", "scanned_old", scanOld),
+      ("regrade", "scanned_new", scanNew))
+      .toDF("phase", "metric", "value")
+      .orderBy(col("phase"), col("metric"))
+  }
+
+  val pipeIndexMaintainSql: String =
+    s"""WITH v0 AS (SELECT vec_id,
+       |    CASE WHEN vec_id % 5 <> 0
+       |      THEN [CAST(CASE WHEN i = 1 THEN 2000000 ELSE 1000000 END AS BIGINT)
+       |            FOR i IN range(1, 65)]
+       |      ELSE [CAST(floor(least(greatest(CAST(x AS DOUBLE), -1), 1) * 1e6) AS BIGINT)
+       |            + $KM_OFFSET FOR x IN embedding] END AS kv
+       |  FROM embeddings),
+       |v AS (SELECT vec_id, kv,
+       |    CAST(list_sum([k*k FOR k IN kv]) AS BIGINT) AS vv FROM v0),
+       |mm AS (SELECT greatest(1, CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM v),
+       |c0 AS (SELECT vec_id AS cent_id, kv AS cvec FROM v, mm
+       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % m = 0),
+       |kb AS (SELECT CAST(count(*) AS BIGINT) AS k FROM c0),
+       |a1p AS (SELECT v.vec_id, v.kv, v.vv, c.cent_id,
+       |    CAST(list_sum([c.cvec[j]*c.cvec[j] - 2*v.kv[j]*c.cvec[j]
+       |      FOR j IN range(1, len(v.kv) + 1)]) AS BIGINT) AS cost
+       |  FROM v CROSS JOIN c0 c),
+       |a1 AS (SELECT vec_id, kv, vv, cent_id, cost FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cost, cent_id) AS rn FROM a1p) t WHERE rn = 1),
+       |tr AS (SELECT CAST(max(nv) AS BIGINT) AS mx, CAST(sum(nv) AS BIGINT) AS tot
+       |  FROM (SELECT cent_id, count(*) AS nv FROM a1 GROUP BY cent_id) t),
+       |x1 AS (SELECT cent_id, generate_subscripts(kv, 1) AS dim,
+       |    unnest(kv) AS x FROM a1),
+       |s1 AS (SELECT cent_id, dim, sum(x) AS sx, count(*) AS c
+       |  FROM x1 GROUP BY cent_id, dim),
+       |cm1 AS (SELECT cent_id, list(sx // c ORDER BY dim) AS cvec
+       |  FROM s1 GROUP BY cent_id),
+       |em1 AS (SELECT cent_id, row_number() OVER (ORDER BY cent_id) AS rn
+       |  FROM (SELECT cent_id FROM c0 EXCEPT SELECT cent_id FROM cm1) t),
+       |fa1 AS (SELECT kv, row_number() OVER (ORDER BY (vv + cost) DESC, vec_id) AS rn
+       |  FROM a1),
+       |c1 AS (SELECT cent_id, cvec FROM cm1
+       |  UNION ALL SELECT e.cent_id, f.kv AS cvec
+       |  FROM em1 e JOIN fa1 f ON f.rn = e.rn),
+       |ka AS (SELECT CAST(count(*) AS BIGINT) AS k FROM c1),
+       |nr AS (SELECT CAST(count(*) AS BIGINT) AS r FROM em1),
+       |a2p AS (SELECT v.vec_id, v.kv, v.vv, c.cent_id,
+       |    CAST(list_sum([c.cvec[j]*c.cvec[j] - 2*v.kv[j]*c.cvec[j]
+       |      FOR j IN range(1, len(v.kv) + 1)]) AS BIGINT) AS cost
+       |  FROM v CROSS JOIN c1 c),
+       |a2 AS (SELECT vec_id, kv, vv, cent_id, cost FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cost, cent_id) AS rn FROM a2p) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, kv AS qv FROM v
+       |  WHERE vec_id % 5 = 0 AND vec_id < 25),
+       |tp AS (SELECT q.query_id, v.vec_id,
+       |    CAST(v.vv - 2*list_sum([q.qv[j]*v.kv[j]
+       |      FOR j IN range(1, len(v.kv) + 1)]) AS BIGINT) AS dcost
+       |  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dcost, vec_id) AS rn FROM tp) t WHERE rn <= 10),
+       |tc AS (SELECT CAST(count(*) AS BIGINT) AS t FROM truth),
+       |pr0 AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id, row_number() OVER (
+       |      PARTITION BY q.query_id ORDER BY
+       |      CAST(list_sum([c.cvec[j]*c.cvec[j] - 2*q.qv[j]*c.cvec[j]
+       |        FOR j IN range(1, len(q.qv) + 1)]) AS BIGINT), c.cent_id) AS rn
+       |    FROM q CROSS JOIN c0 c) t WHERE rn <= $PIM_NPROBE),
+       |sc0 AS (SELECT p.query_id, a.vec_id,
+       |    CAST(a.vv - 2*list_sum([p.qv[j]*a.kv[j]
+       |      FOR j IN range(1, len(a.kv) + 1)]) AS BIGINT) AS dcost
+       |  FROM pr0 p JOIN a1 a ON a.cent_id = p.cent_id
+       |  WHERE a.vec_id <> p.query_id),
+       |sn0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc0),
+       |cd0 AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dcost, vec_id) AS rn FROM sc0) t WHERE rn <= 10),
+       |h0 AS (SELECT CAST(count(*) AS BIGINT) AS h
+       |  FROM cd0 c JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id),
+       |pr1 AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id, row_number() OVER (
+       |      PARTITION BY q.query_id ORDER BY
+       |      CAST(list_sum([c.cvec[j]*c.cvec[j] - 2*q.qv[j]*c.cvec[j]
+       |        FOR j IN range(1, len(q.qv) + 1)]) AS BIGINT), c.cent_id) AS rn
+       |    FROM q CROSS JOIN c1 c) t WHERE rn <= $PIM_NPROBE),
+       |sc1 AS (SELECT p.query_id, a.vec_id,
+       |    CAST(a.vv - 2*list_sum([p.qv[j]*a.kv[j]
+       |      FOR j IN range(1, len(a.kv) + 1)]) AS BIGINT) AS dcost
+       |  FROM pr1 p JOIN a2 a ON a.cent_id = p.cent_id
+       |  WHERE a.vec_id <> p.query_id),
+       |sn1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc1),
+       |cd1 AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dcost, vec_id) AS rn FROM sc1) t WHERE rn <= 10),
+       |h1 AS (SELECT CAST(count(*) AS BIGINT) AS h
+       |  FROM cd1 c JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id)
+       |SELECT phase, metric, value FROM (
+       |  SELECT 'trigger' AS phase, 'max_share_ppm' AS metric,
+       |    CAST(mx * 1000000 // tot AS BIGINT) AS value FROM tr
+       |  UNION ALL SELECT 'trigger', 'rebuild_fired',
+       |    CASE WHEN mx * k > 8 * tot THEN 1 ELSE 0 END FROM tr, kb
+       |  UNION ALL SELECT 'rebuild', 'k_before', k FROM kb
+       |  UNION ALL SELECT 'rebuild', 'k_after', k FROM ka
+       |  UNION ALL SELECT 'rebuild', 'n_reseeded', r FROM nr
+       |  UNION ALL SELECT 'regrade', 'recall_ppm_old',
+       |    CAST(h * 1000000 // greatest(1, t) AS BIGINT) FROM h0, tc
+       |  UNION ALL SELECT 'regrade', 'recall_ppm_new',
+       |    CAST(h * 1000000 // greatest(1, t) AS BIGINT) FROM h1, tc
+       |  UNION ALL SELECT 'regrade', 'scanned_old', n FROM sn0
+       |  UNION ALL SELECT 'regrade', 'scanned_new', n FROM sn1
+       |) u ORDER BY phase, metric""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ivf_skew_report" -> ivfSkewReport,
     "kmeans_train" -> kmeansTrain,
+    "pipe_index_maintain" -> pipeIndexMaintain,
     "quality_perceptron_train" -> qualityPerceptronTrain)
 
   val oracles: Map[String, String] = Map(
     "ivf_skew_report" -> ivfSkewReportSql,
     "kmeans_train" -> kmeansTrainSql,
+    "pipe_index_maintain" -> pipeIndexMaintainSql,
     "quality_perceptron_train" -> qualityPerceptronTrainSql)
 }

@@ -129,6 +129,33 @@ class RetrainSpec extends AnyFunSuite {
     assert(again.toSeq == rep.toSeq)
   }
 
+  test("pipe_index_maintain: trigger fires, rebuild preserves capacity, serve scan collapses") {
+    val rows = Retrain.queries("pipe_index_maintain")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows(("trigger", "rebuild_fired")) == 1L,
+      "the planted 80%-collapsed corpus must fire the 8x-mean trigger")
+    assert(rows(("trigger", "max_share_ppm")) >= 500000L,
+      "the hot cell must hold the collapsed majority")
+    // the rebuild must not lose quantizer capacity — re-seeding is
+    // doing real work here (most sampled seeds are constant duplicates
+    // whose cells start empty)
+    assert(rows(("rebuild", "k_after")) == rows(("rebuild", "k_before")))
+    assert(rows(("rebuild", "n_reseeded")) > 0L)
+    // what the rebuild buys: the probed serve stops brute-force
+    // scanning the hot cell — scan volume collapses while recall stays
+    // in range (the skewed head's recall is accidentally high BECAUSE
+    // it scans most of the corpus per query)
+    // (the collapse factor is corpus-dependent — 8x at sf0.01, smaller
+    // when the hot cell happens to sit outside the probes — but the
+    // direction is the policy's whole point)
+    assert(rows(("regrade", "scanned_new")) < rows(("regrade", "scanned_old")),
+      s"rebuild must reduce serve scan volume: $rows")
+    assert(rows(("regrade", "recall_ppm_new")) > 0L)
+    val again = Retrain.queries("pipe_index_maintain")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(again == rows, "the maintenance replay must be deterministic")
+  }
+
   test("skew trigger fires on a collapsed corpus (the drifted-quantizer failure the policy exists for)") {
     val dir = java.nio.file.Files.createTempDirectory("skewemb").toString
     val s2 = spark
