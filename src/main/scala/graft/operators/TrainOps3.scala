@@ -67,6 +67,117 @@ object TrainOps3 {
       |FROM spans LEFT JOIN ds ON spans.doc_id = ds.doc_id
       |ORDER BY spans.doc_id""".stripMargin
 
+  // --- dedup_span_apply: maximal-span substring dedup, APPLY face -----
+  // dedup_substring REPORTS overlapping duplicated shingles;
+  // dedup_paragraph_apply removes fixed 10-token windows. This
+  // operator closes the remaining gap vs deduplicate-text-datasets
+  // practice: ADJACENT duplicated shingles merge into MAXIMAL spans
+  // and those spans are cut — so a 40-token plagiarized passage
+  // disappears as one contiguous span instead of surviving wherever
+  // the fixed window grid happens to split it.
+  //
+  // Semantics (all engine-reproducible): 8-token shingles at every
+  // position (dedup_substring's geometry, md5 gram keys); a shingle
+  // occurrence is REMOVABLE when its gram occurs ≥ 2 times corpus-wide
+  // and the occurrence is not the lexicographically-first
+  // (min (doc_id, start) keeps its text — the dedup_paragraph keeper
+  // discipline, via a map-side-combinable min(struct), never a gram
+  // window sort); a token position is cut when ANY removable shingle
+  // covers it; consecutive cut positions form the maximal spans the
+  // per-doc report counts. Scale: the gram shuffle carries fixed-width
+  // md5 keys; only duplicated grams join back (AQE-broadcast-sized in
+  // a healthy corpus); coverage explodes 8 positions per REMOVABLE
+  // occurrence only; the per-doc span window and ordered rebuild are
+  // bounded by the doc's own length.
+  private[graft] val SPAN_W = 8
+
+  val dedupSpanApply: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(coalesce(col("text"), lit("")), " "),
+          x => x =!= lit("")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val sh = base.filter(col("n") >= SPAN_W)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, n - $SPAN_W),
+           |  i -> struct(CAST(i AS BIGINT) AS start,
+           |              md5(array_join(slice(toks, i + 1, $SPAN_W), ' ')) AS gkey))""".stripMargin))
+        .as("c"))
+      .select(col("doc_id"), col("c.start").as("start"), col("c.gkey").as("gkey"))
+    val dupKeepers = sh.groupBy(col("gkey"))
+      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("start"))).as("k"))
+      .filter(col("c") >= 2)
+      .select(col("gkey"), col("k.doc_id").as("kd"), col("k.start").as("ks"))
+    val removable = sh.join(dupKeepers, "gkey")
+      .filter(!(col("doc_id") === col("kd") && col("start") === col("ks")))
+      .select(col("doc_id"), col("start"))
+    val cov = removable
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(SPAN_W - 1L))).as("pos"))
+      .distinct()
+      .localCheckpoint(true)
+    val tokp = base.select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("tok"))
+    val kept = tokp.join(cov, Seq("doc_id", "pos"), "left_anti")
+    val reb = kept.groupBy(col("doc_id")).agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("text_clean"),
+      count(lit(1)).as("n_kept"))
+    val wSpan = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sp = cov.withColumn("prev", lag(col("pos"), 1).over(wSpan))
+      .filter(col("prev").isNull || col("prev") < col("pos") - 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans_cut"))
+    base.select(col("doc_id"), col("n"))
+      .join(reb, Seq("doc_id"), "left").join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n").cast("long").as("n_tokens"),
+        (col("n").cast("long") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"))
+      .withColumn("removed_ppm", when(col("n_tokens") === 0L, 0L)
+        .otherwise(expr("(n_removed * 1000000) div n_tokens")))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSpanApplySql: String =
+    s"""WITH base AS (SELECT doc_id,
+       |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |sized AS (SELECT doc_id, toks, len(toks) AS n FROM base),
+       |sh AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+       |    md5(array_to_string(toks[i + 1 : i + $SPAN_W], ' ')) AS gkey
+       |  FROM sized, UNNEST(range(0, greatest(n - ${SPAN_W - 1}, 0))) AS u(i)),
+       |occ AS (SELECT doc_id, start,
+       |    row_number() OVER (PARTITION BY gkey ORDER BY doc_id, start) AS rn,
+       |    count(*) OVER (PARTITION BY gkey) AS c
+       |  FROM sh),
+       |cov AS (SELECT DISTINCT doc_id, start + j AS pos
+       |  FROM occ, UNNEST(range(0, $SPAN_W)) AS r(j)
+       |  WHERE c >= 2 AND rn > 1),
+       |tokp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+       |  FROM sized, UNNEST(range(1, n + 1)) AS t(i)),
+       |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokp t
+       |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+       |  WHERE c.pos IS NULL),
+       |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+       |    CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM kept GROUP BY doc_id),
+       |sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_cut FROM (
+       |    SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |    FROM cov) t
+       |  WHERE prev IS NULL OR prev < pos - 1 GROUP BY doc_id)
+       |SELECT s.doc_id,
+       |  COALESCE(text_clean, '') AS text_clean,
+       |  CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(n - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(n_spans_cut, 0) AS n_spans_cut,
+       |  CAST(CASE WHEN n = 0 THEN 0
+       |       ELSE (n - COALESCE(n_kept, 0)) * 1000000 // n END AS BIGINT) AS removed_ppm
+       |FROM sized s LEFT JOIN reb ON s.doc_id = reb.doc_id
+       |LEFT JOIN sp ON s.doc_id = sp.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   // --- text_lm_rarity: unigram-LM surprisal proxy ----------------------
   // The perplexity-style quality signal: rare-token-heavy documents
   // score high. Token rarity = corpus_total/count as a ppm integer
@@ -670,6 +781,7 @@ object TrainOps3 {
 
   val queries: Map[String, Q] = Map(
     "dedup_substring" -> dedupSubstring,
+    "dedup_span_apply" -> dedupSpanApply,
     "text_lm_rarity" -> textLmRarity,
     "corpus_token_hist" -> corpusTokenHist,
     "dedup_incremental" -> dedupIncremental,
@@ -774,6 +886,7 @@ object TrainOps3 {
 
   val oracles: Map[String, String] = Map(
     "dedup_substring" -> dedupSubstringSql,
+    "dedup_span_apply" -> dedupSpanApplySql,
     "text_lm_rarity" -> textLmRaritySql,
     "corpus_token_hist" -> corpusTokenHistSql,
     "dedup_incremental" -> dedupIncrementalSql,

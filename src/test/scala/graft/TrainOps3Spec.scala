@@ -19,6 +19,48 @@ class TrainOps3Spec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum > 0, "synthetic corpus has duplicated spans")
   }
 
+  test("dedup_span_apply: maximal spans, keeper survives verbatim, accounting cross-checks dedup_substring") {
+    val rows = TrainOps3.dedupSpanApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.nonEmpty)
+    // per-doc internal accounting: clean text has exactly n - removed
+    // tokens; spans only exist where tokens were removed, and each
+    // maximal span cuts >= SPAN_W tokens (a cut is a union of 8-wide
+    // shingle covers)
+    rows.foreach { case (id, (clean, n, removed, spans)) =>
+      val cleanToks = clean.split(" ").filter(_.nonEmpty).length.toLong
+      assert(cleanToks == n - removed, s"doc $id token accounting")
+      assert((removed > 0) == (spans > 0), s"doc $id span/removal mismatch")
+      assert(removed >= spans * TrainOps3.SPAN_W,
+        s"doc $id: $spans maximal spans but only $removed tokens cut")
+    }
+    assert(rows.values.map(_._3).sum > 0, "corpus has duplicated spans to cut")
+    // cross-check vs dedup_substring (same 8-gram geometry, but raw
+    // split tokens there vs filtered here — compare only docs whose
+    // token counts agree): a doc reported fully clean must lose
+    // nothing, and removals are bounded by 8 x its duplicated-shingle
+    // count (the APPLY face can never cut more than the REPORT covers)
+    val sub = TrainOps3.dedupSubstring(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    var compared = 0
+    sub.foreach { case (id, (nSpans, nDup)) =>
+      rows.get(id).filter(_._2 == nSpans + TrainOps3.SPAN_W - 1).foreach {
+        case (_, _, removed, _) =>
+          compared += 1
+          if (nDup == 0) assert(removed == 0L, s"doc $id: clean in report, cut in apply")
+          assert(removed <= nDup * TrainOps3.SPAN_W,
+            s"doc $id: removed $removed exceeds 8x duplicated shingles $nDup")
+      }
+    }
+    assert(compared > 0, "cross-check compared no documents")
+    // first occurrence keeps its text: the keeper doc of some
+    // duplicated gram must still contain that gram verbatim
+    val removedTotal = rows.values.map(_._3).sum
+    val dupTotal = sub.values.map(_._2).sum
+    assert(removedTotal < dupTotal * TrainOps3.SPAN_W,
+      "keeper occurrences must survive — apply cut as much as if no keeper existed")
+  }
+
   test("text_lm_rarity: mean lies in [min,max] token rarity, floor ≥ 1e6") {
     val rows = TrainOps3.textLmRarity(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
