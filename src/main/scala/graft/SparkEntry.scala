@@ -21,7 +21,7 @@ object SparkEntry {
       ExtractPipeline.queries ++ RegionOps.queries ++ ScaleOps.queries ++
       TrainOps.queries ++ TrainOps2.queries ++ TrainOps3.queries ++
       TrainOps4.queries ++ TrainOps5.queries ++ GraphOps.queries ++ Streaming.queries ++
-      Retrain.queries ++ IvfPq.queries
+      Retrain.queries ++ IvfPq.queries ++ graft.sources.VersionedTable.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
       ExtractPipeline.oracles ++ RegionOps.oracles ++ ScaleOps.oracles ++
       TrainOps.oracles ++ TrainOps2.oracles ++ TrainOps3.oracles ++
       TrainOps4.oracles ++ TrainOps5.oracles ++ GraphOps.oracles ++ Streaming.oracles ++
-      Retrain.oracles ++ IvfPq.oracles
+      Retrain.oracles ++ IvfPq.oracles ++ graft.sources.VersionedTable.oracles
 }

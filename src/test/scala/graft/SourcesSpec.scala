@@ -59,4 +59,46 @@ class SourcesSpec extends AnyFunSuite {
     val flat = Sources.flattenStruct(df, "meta")
     assert(flat.columns.toSet == Set("id", "meta__1", "meta__2"))
   }
+
+  test("versioned table: reader-under-writer isolation, time travel, half-commits invisible, retention") {
+    import graft.sources.VersionedTable
+    val spark2 = spark
+    import spark2.implicits._
+    val path = Files.createTempDirectory("tblv").toString + "/t"
+    // v0 commit + a reader that resolves it
+    assert(VersionedTable.commitTable(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), path) == 0)
+    val pinned = VersionedTable.readTable(spark, path, Some(0))
+    assert(pinned.count() == 2)
+    // a writer lands v1 while the reader holds v0: the pinned read
+    // stays fully-old (v0 files are immutable), the default read is
+    // fully-new — never a mix
+    assert(VersionedTable.commitTable(
+      Seq((1L, "a2"), (3L, "c")).toDF("doc_id", "text"), path) == 1)
+    assert(pinned.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a"), (2L, "b")), "pinned reader saw the new snapshot")
+    assert(VersionedTable.readTable(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a2"), (3L, "c")))
+    // a half-written snapshot (no _SUCCESS) is invisible to resolution
+    // and refused by time travel
+    Seq((9L, "junk")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$path/table_v2")
+    assert(new java.io.File(s"$path/table_v2/_SUCCESS").delete())
+    assert(VersionedTable.committedTableVersion(spark, path).contains(1),
+      "uncommitted snapshot leaked into version resolution")
+    intercept[IllegalArgumentException] {
+      VersionedTable.readTable(spark, path, Some(2))
+    }
+    // retention: keep-last window retires old versions under grace;
+    // the retired version refuses time travel, vacuum deletes it
+    VersionedTable.retainTable(spark, path, keepLast = 1, graceMs = 1L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readTable(spark, path, Some(0))
+    }
+    assert(VersionedTable.readTable(spark, path).count() == 2)
+    Thread.sleep(10)
+    assert(VersionedTable.vacuumTable(spark, path, 0L) == Seq("table_v0"))
+    assert(VersionedTable.readTable(spark, path).count() == 2)
+  }
 }
