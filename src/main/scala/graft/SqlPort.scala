@@ -2563,6 +2563,112 @@ object SqlPort {
         |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
         |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Spark-dialect image of IvfPq.annIvfpqExactSql — the IVFADC
+    * composition over the shared exact-IVF assignment CTEs; also
+    * composed into the eval_retrieval_ivfpq port.
+    */
+  private val annIvfpqSpark: String =
+    s"""WITH $ivfxAssignSparkCtes,
+       |pmm AS (SELECT greatest(CAST(1 AS BIGINT), count(*) DIV least(CAST(256 AS BIGINT), greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(count(*))) AS BIGINT)))) AS m FROM e),
+       |sub AS (SELECT vec_id, s, slice(cv, s * 8 + 1, 8) AS sv
+       |  FROM e LATERAL VIEW explode(sequence(0, 7)) t AS s),
+       |cb AS (SELECT sub.s, sub.vec_id AS code_id, sub.sv AS cw
+       |  FROM sub CROSS JOIN pmm
+       |  WHERE CAST(conv(substr(md5(CAST(sub.vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % m = 0),
+       |enc0 AS (SELECT sub.vec_id, sub.s, cb.code_id,
+       |    CAST(aggregate(zip_with(cb.cw, sub.sv, (cc, sx) -> cc * cc - 2 * sx * cc),
+       |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cost
+       |  FROM sub JOIN cb ON cb.s = sub.s),
+       |codes AS (SELECT vec_id, s, code_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY cost, code_id) AS rn FROM enc0) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, cv AS qv FROM e WHERE vec_id < 5),
+       |pd AS (SELECT q.query_id, c.cent_id,
+       |    CAST(aggregate(zip_with(q.qv, c.cvec, (x, y) -> x * y),
+       |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cdot
+       |  FROM q CROSS JOIN cents c),
+       |probes AS (SELECT query_id, cent_id FROM (
+       |    SELECT query_id, cent_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, cent_id) AS rn
+       |    FROM pd) t WHERE rn <= 8),
+       |qsub AS (SELECT vec_id AS query_id, s, slice(cv, s * 8 + 1, 8) AS qsv
+       |  FROM e LATERAL VIEW explode(sequence(0, 7)) t AS s WHERE vec_id < 5),
+       |lut AS (SELECT qsub.query_id, cb.s, cb.code_id,
+       |    CAST(aggregate(zip_with(qsub.qsv, cb.cw, (x, y) -> x * y),
+       |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS qdot
+       |  FROM qsub JOIN cb ON cb.s = qsub.s),
+       |sc AS (SELECT p.query_id, a.vec_id, CAST(sum(l.qdot) AS BIGINT) AS score
+       |  FROM probes p
+       |  JOIN assigned a ON a.cent_id = p.cent_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.s = c.s AND l.code_id = c.code_id
+       |  WHERE a.vec_id <> p.query_id
+       |  GROUP BY p.query_id, a.vec_id)
+       |SELECT query_id, vec_id, score, rank FROM (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** One per-subspace Lloyd round of the ann_pq_trained port. */
+  private def pqtRoundSpark(i: Int): String = {
+    val prev = s"pc${i - 1}"
+    s"""pa${i}p AS (SELECT sub.vec_id, sub.s, sub.sv, c.code_id,
+       |    CAST(aggregate(zip_with(c.cw, sub.sv, (cc, sx) -> cc * cc - 2 * sx * cc),
+       |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cost
+       |  FROM sub JOIN $prev c ON c.s = sub.s),
+       |pa$i AS (SELECT vec_id, s, sv, code_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY cost, code_id) AS rn FROM pa${i}p) t WHERE rn = 1),
+       |ps$i AS (SELECT s, code_id, dim, sum(x) AS sx, count(*) AS c
+       |  FROM pa$i LATERAL VIEW posexplode(sv) t AS dim, x
+       |  GROUP BY s, code_id, dim),
+       |pc$i AS (SELECT s, code_id,
+       |    transform(array_sort(collect_list(named_struct('dim', dim, 'mean', sx DIV c))), z -> z.mean) AS cw
+       |  FROM ps$i GROUP BY s, code_id)""".stripMargin
+  }
+
+  /** Spark-dialect image of IvfPq.annPqTrainedSql. */
+  private val annPqTrainedSpark: String = {
+    val off = operators.IvfPq.PQT_OFF
+    val rounds = (1 to operators.IvfPq.PQT_ITERS).map(pqtRoundSpark).mkString(",\n")
+    val last = s"pc${operators.IvfPq.PQT_ITERS}"
+    s"""WITH e AS (SELECT vec_id,
+       |    transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS cv
+       |  FROM embeddings),
+       |pmm AS (SELECT greatest(CAST(1 AS BIGINT), count(*) DIV least(CAST(256 AS BIGINT), greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(count(*))) AS BIGINT)))) AS m FROM e),
+       |sub AS (SELECT vec_id, s,
+       |    transform(slice(cv, s * 8 + 1, 8), x -> x + CAST($off AS BIGINT)) AS sv
+       |  FROM e LATERAL VIEW explode(sequence(0, 7)) t AS s),
+       |pc0 AS (SELECT sub.s, sub.vec_id AS code_id, sub.sv AS cw
+       |  FROM sub CROSS JOIN pmm
+       |  WHERE CAST(conv(substr(md5(CAST(sub.vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % m = 0),
+       |$rounds,
+       |encp AS (SELECT sub.vec_id, sub.s, c.code_id,
+       |    CAST(aggregate(zip_with(c.cw, sub.sv, (cc, sx) -> cc * cc - 2 * sx * cc),
+       |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cost
+       |  FROM sub JOIN $last c ON c.s = sub.s),
+       |codes AS (SELECT vec_id, s, code_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY cost, code_id) AS rn FROM encp) t WHERE rn = 1),
+       |cbr AS (SELECT s, code_id, transform(cw, x -> x - CAST($off AS BIGINT)) AS cw FROM $last),
+       |qs AS (SELECT vec_id AS query_id, s, slice(cv, s * 8 + 1, 8) AS qv
+       |  FROM e LATERAL VIEW explode(sequence(0, 7)) t AS s WHERE vec_id < 5),
+       |lut AS (SELECT q.query_id, c.s, c.code_id,
+       |    CAST(aggregate(zip_with(q.qv, c.cw, (x, y) -> x * y),
+       |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS qdot
+       |  FROM qs q JOIN cbr c ON c.s = q.s),
+       |sc AS (SELECT l.query_id, c.vec_id, CAST(sum(l.qdot) AS BIGINT) AS score
+       |  FROM codes c JOIN lut l ON l.s = c.s AND l.code_id = c.code_id
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c.vec_id)
+       |SELECT query_id, vec_id, score, rank FROM (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   val sparkSql: Map[String, String] = basePorts ++ Map(
     "corpus_diff" ->
       """WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
@@ -2570,8 +2676,8 @@ object SqlPort {
         |    CAST(length(text) AS BIGINT) AS old_len
         |  FROM d0 WHERE doc_id % 7 <> 3),
         |neu AS (SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS new_hash,
-        |    CAST(length(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS BIGINT) AS new_len
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END) AS new_hash,
+        |    CAST(length(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END) AS BIGINT) AS new_len
         |  FROM d0 WHERE doc_id % 13 <> 5)
         |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
         |  CASE WHEN old_hash IS NULL THEN 'added'
@@ -2772,5 +2878,201 @@ object SqlPort {
          |  COALESCE(n_tokens_kept, CAST(0 AS BIGINT)) AS n_tokens_kept
          |FROM (SELECT doc_id FROM base) d LEFT JOIN rebuilt USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "ann_ivfpq_exact" -> annIvfpqSpark,
+
+    "ann_pq_trained" -> annPqTrainedSpark,
+
+    "eval_retrieval_ivfpq" ->
+      s"""WITH truth AS (SELECT query_id, vec_id FROM (
+         |${basePorts("ann_quantized")}) tq),
+         |cand AS (SELECT query_id, vec_id, rank AS cand_rank FROM (
+         |$annIvfpqSpark) tc),
+         |hits AS (SELECT c.query_id, c.cand_rank
+         |  FROM cand c JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id),
+         |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY query_id),
+         |ha AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit, min(cand_rank) AS first_rel
+         |  FROM hits GROUP BY query_id)
+         |SELECT nt.query_id, n_truth,
+         |  COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+         |  COALESCE(n_hit, CAST(0 AS BIGINT)) * 1000000 DIV n_truth AS recall_ppm,
+         |  CASE WHEN first_rel IS NULL THEN CAST(0 AS BIGINT)
+         |       ELSE 1000000 DIV first_rel END AS rr_micros
+         |FROM nt LEFT JOIN ha USING (query_id) ORDER BY nt.query_id""".stripMargin,
+
+    "dedup_span_apply" -> {
+      val w = operators.TrainOps3.SPAN_W
+      s"""WITH base AS (SELECT doc_id,
+         |    filter(split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sized AS (SELECT doc_id, toks, size(toks) AS n FROM base),
+         |sh AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+         |    md5(array_join(slice(toks, i + 1, $w), ' ')) AS gkey
+         |  FROM (SELECT doc_id, toks, n FROM sized WHERE n >= $w) s
+         |  LATERAL VIEW explode(sequence(0, n - $w)) u AS i),
+         |occ AS (SELECT doc_id, start,
+         |    row_number() OVER (PARTITION BY gkey ORDER BY doc_id, start) AS rn,
+         |    count(*) OVER (PARTITION BY gkey) AS c
+         |  FROM sh),
+         |cov AS (SELECT DISTINCT doc_id, start + j AS pos
+         |  FROM (SELECT doc_id, start FROM occ WHERE c >= 2 AND rn > 1) d
+         |  LATERAL VIEW explode(sequence(0, ${w - 1})) r AS j),
+         |tokp AS (SELECT doc_id, CAST(p AS BIGINT) AS pos, tok
+         |  FROM sized LATERAL VIEW posexplode(toks) t AS p, tok),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokp t
+         |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+         |  WHERE c.pos IS NULL),
+         |reb AS (SELECT doc_id,
+         |    array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ') AS text_clean,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_cut FROM (
+         |    SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |    FROM cov) t
+         |  WHERE prev IS NULL OR prev < pos - 1 GROUP BY doc_id)
+         |SELECT s.doc_id,
+         |  COALESCE(text_clean, '') AS text_clean,
+         |  CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(n AS BIGINT) - COALESCE(n_kept, CAST(0 AS BIGINT)) AS n_removed,
+         |  COALESCE(n_spans_cut, CAST(0 AS BIGINT)) AS n_spans_cut,
+         |  CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE (CAST(n AS BIGINT) - COALESCE(n_kept, CAST(0 AS BIGINT))) * 1000000 DIV n END AS removed_ppm
+         |FROM sized s LEFT JOIN reb ON s.doc_id = reb.doc_id
+         |LEFT JOIN sp ON s.doc_id = sp.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+    },
+
+    "src_table_versioned" ->
+      """WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |chg AS (
+        |  SELECT doc_id, text || ' [v2]' AS text, 'U' AS op FROM d0 WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, text, 'D' FROM d0 WHERE doc_id % 10 = 7
+        |  UNION ALL SELECT doc_id + 1000000, 'ins ' || CAST(doc_id AS STRING), 'U'
+        |    FROM d0 WHERE doc_id % 25 = 0),
+        |ev AS (SELECT doc_id, text, 'B' AS op, 0 AS seq FROM d0
+        |  UNION ALL SELECT doc_id, text, op, 1 FROM chg),
+        |v1 AS (SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, op,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM ev) t WHERE rn = 1 AND op <> 'D'),
+        |old AS (SELECT doc_id, md5(text) AS old_hash,
+        |    CAST(length(text) AS BIGINT) AS old_len FROM d0),
+        |neu AS (SELECT doc_id, md5(text) AS new_hash,
+        |    CAST(length(text) AS BIGINT) AS new_len FROM v1)
+        |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash <> new_hash THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  COALESCE(old_len, CAST(-1 AS BIGINT)) AS old_len,
+        |  COALESCE(new_len, CAST(-1 AS BIGINT)) AS new_len
+        |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipe_index_maintain" -> {
+      val np = operators.Retrain.PIM_NPROBE
+      s"""WITH v0 AS (SELECT vec_id,
+         |    CASE WHEN vec_id % 5 <> 0
+         |      THEN transform(sequence(1, 64), i -> CASE WHEN i = 1 THEN CAST(2000000 AS BIGINT) ELSE CAST(1000000 AS BIGINT) END)
+         |      ELSE transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -1D), 1D) * 1e6) AS BIGINT) + CAST(1000000 AS BIGINT)) END AS kv
+         |  FROM embeddings),
+         |v AS (SELECT vec_id, kv,
+         |    CAST(aggregate(zip_with(kv, kv, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS vv FROM v0),
+         |mmv AS (SELECT greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM v),
+         |c0 AS (SELECT vec_id AS cent_id, kv AS cvec FROM v CROSS JOIN mmv
+         |  WHERE CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % m = 0),
+         |kb AS (SELECT CAST(count(*) AS BIGINT) AS k FROM c0),
+         |a1p AS (SELECT v.vec_id, v.kv, v.vv, c.cent_id,
+         |    CAST(aggregate(zip_with(c.cvec, v.kv, (cc, kx) -> cc * cc - 2 * kx * cc),
+         |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cost
+         |  FROM v CROSS JOIN c0 c),
+         |a1 AS (SELECT vec_id, kv, vv, cent_id, cost FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cost, cent_id) AS rn FROM a1p) t WHERE rn = 1),
+         |tr AS (SELECT CAST(max(nv) AS BIGINT) AS mx, CAST(sum(nv) AS BIGINT) AS tot
+         |  FROM (SELECT cent_id, count(*) AS nv FROM a1 GROUP BY cent_id) t),
+         |s1 AS (SELECT cent_id, dim, sum(x) AS sx, count(*) AS c
+         |  FROM a1 LATERAL VIEW posexplode(kv) t AS dim, x
+         |  GROUP BY cent_id, dim),
+         |cm1 AS (SELECT cent_id,
+         |    transform(array_sort(collect_list(named_struct('dim', dim, 'mean', sx DIV c))), z -> z.mean) AS cvec
+         |  FROM s1 GROUP BY cent_id),
+         |em1 AS (SELECT cent_id, row_number() OVER (ORDER BY cent_id) AS rn
+         |  FROM (SELECT cent_id FROM c0 EXCEPT SELECT cent_id FROM cm1) t),
+         |fa1 AS (SELECT kv, row_number() OVER (ORDER BY (vv + cost) DESC, vec_id) AS rn
+         |  FROM a1),
+         |c1 AS (SELECT cent_id, cvec FROM cm1
+         |  UNION ALL SELECT e.cent_id, f.kv AS cvec
+         |  FROM em1 e JOIN fa1 f ON f.rn = e.rn),
+         |ka AS (SELECT CAST(count(*) AS BIGINT) AS k FROM c1),
+         |nr AS (SELECT CAST(count(*) AS BIGINT) AS r FROM em1),
+         |a2p AS (SELECT v.vec_id, v.kv, v.vv, c.cent_id,
+         |    CAST(aggregate(zip_with(c.cvec, v.kv, (cc, kx) -> cc * cc - 2 * kx * cc),
+         |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cost
+         |  FROM v CROSS JOIN c1 c),
+         |a2 AS (SELECT vec_id, kv, vv, cent_id, cost FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cost, cent_id) AS rn FROM a2p) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, kv AS qv FROM v
+         |  WHERE vec_id % 5 = 0 AND vec_id < 25),
+         |tp AS (SELECT q.query_id, v.vec_id,
+         |    CAST(v.vv - 2 * aggregate(zip_with(q.qv, v.kv, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS dcost
+         |  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+         |truth AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dcost, vec_id) AS rn FROM tp) t WHERE rn <= 10),
+         |tc AS (SELECT CAST(count(*) AS BIGINT) AS t FROM truth),
+         |pr0 AS (SELECT query_id, qv, cent_id FROM (
+         |    SELECT q.query_id, q.qv, c.cent_id, row_number() OVER (
+         |      PARTITION BY q.query_id ORDER BY
+         |      CAST(aggregate(zip_with(c.cvec, q.qv, (cc, qx) -> cc * cc - 2 * qx * cc),
+         |        CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT), c.cent_id) AS rn
+         |    FROM q CROSS JOIN c0 c) t WHERE rn <= $np),
+         |sc0 AS (SELECT p.query_id, a.vec_id,
+         |    CAST(a.vv - 2 * aggregate(zip_with(p.qv, a.kv, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, p2) -> acc + p2) AS BIGINT) AS dcost
+         |  FROM pr0 p JOIN a1 a ON a.cent_id = p.cent_id
+         |  WHERE a.vec_id <> p.query_id),
+         |sn0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc0),
+         |cd0 AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dcost, vec_id) AS rn FROM sc0) t WHERE rn <= 10),
+         |h0 AS (SELECT CAST(count(*) AS BIGINT) AS h
+         |  FROM cd0 c JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id),
+         |pr1 AS (SELECT query_id, qv, cent_id FROM (
+         |    SELECT q.query_id, q.qv, c.cent_id, row_number() OVER (
+         |      PARTITION BY q.query_id ORDER BY
+         |      CAST(aggregate(zip_with(c.cvec, q.qv, (cc, qx) -> cc * cc - 2 * qx * cc),
+         |        CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT), c.cent_id) AS rn
+         |    FROM q CROSS JOIN c1 c) t WHERE rn <= $np),
+         |sc1 AS (SELECT p.query_id, a.vec_id,
+         |    CAST(a.vv - 2 * aggregate(zip_with(p.qv, a.kv, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, p2) -> acc + p2) AS BIGINT) AS dcost
+         |  FROM pr1 p JOIN a2 a ON a.cent_id = p.cent_id
+         |  WHERE a.vec_id <> p.query_id),
+         |sn1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc1),
+         |cd1 AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dcost, vec_id) AS rn FROM sc1) t WHERE rn <= 10),
+         |h1 AS (SELECT CAST(count(*) AS BIGINT) AS h
+         |  FROM cd1 c JOIN truth t ON c.query_id = t.query_id AND c.vec_id = t.vec_id)
+         |SELECT phase, metric, value FROM (
+         |  SELECT 'trigger' AS phase, 'max_share_ppm' AS metric,
+         |    mx * 1000000 DIV tot AS value FROM tr
+         |  UNION ALL SELECT 'trigger', 'rebuild_fired',
+         |    CASE WHEN mx * k > 8 * tot THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END FROM tr CROSS JOIN kb
+         |  UNION ALL SELECT 'rebuild', 'k_before', k FROM kb
+         |  UNION ALL SELECT 'rebuild', 'k_after', k FROM ka
+         |  UNION ALL SELECT 'rebuild', 'n_reseeded', r FROM nr
+         |  UNION ALL SELECT 'regrade', 'recall_ppm_old',
+         |    h * 1000000 DIV greatest(CAST(1 AS BIGINT), t) FROM h0 CROSS JOIN tc
+         |  UNION ALL SELECT 'regrade', 'recall_ppm_new',
+         |    h * 1000000 DIV greatest(CAST(1 AS BIGINT), t) FROM h1 CROSS JOIN tc
+         |  UNION ALL SELECT 'regrade', 'scanned_old', n FROM sn0
+         |  UNION ALL SELECT 'regrade', 'scanned_new', n FROM sn1
+         |) u ORDER BY phase, metric""".stripMargin
     })
 }

@@ -422,6 +422,21 @@ object Retrain {
       .withColumn("vv", Expr.longDot(col("kv"), col("kv")))
       .localCheckpoint(true)
     val n = v.count()
+    // zero-row corpus: nothing to trigger on, rebuild, or regrade —
+    // report the all-zero maintenance record instead of crashing on a
+    // NULL max
+    if (n == 0) {
+      val ss = s
+      import ss.implicits._
+      Seq(
+        ("trigger", "max_share_ppm", 0L), ("trigger", "rebuild_fired", 0L),
+        ("rebuild", "k_before", 0L), ("rebuild", "k_after", 0L),
+        ("rebuild", "n_reseeded", 0L),
+        ("regrade", "recall_ppm_old", 0L), ("regrade", "recall_ppm_new", 0L),
+        ("regrade", "scanned_old", 0L), ("regrade", "scanned_new", 0L))
+        .toDF("phase", "metric", "value")
+        .orderBy(col("phase"), col("metric"))
+    } else {
     val m = math.max(1L, math.floor(math.sqrt(n.toDouble) / 2.0).toLong)
     val cents0 = v.filter(md5Mod(col("vec_id"), lit(m)) === 0)
       .select(col("vec_id").as("cent_id"), col("kv").as("cvec"))
@@ -506,6 +521,7 @@ object Retrain {
       ("regrade", "scanned_new", scanNew))
       .toDF("phase", "metric", "value")
       .orderBy(col("phase"), col("metric"))
+    }
   }
 
   val pipeIndexMaintainSql: String =
