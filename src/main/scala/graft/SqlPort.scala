@@ -2610,6 +2610,59 @@ object SqlPort {
        |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
        |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Spark-dialect image of IvfPq.annIvfpqResidualSql — the residual
+    * IVFADC: clamp(cv − cvec) residuals, pqEncode-discipline residual
+    * codebooks, coarse-plus-fine score cdot + Σ qdot.
+    */
+  private val annIvfpqResidualSpark: String = {
+    val qb = operators.IvfPq.QBOUND
+    s"""WITH $ivfxAssignSparkCtes,
+       |rsd AS (SELECT a.vec_id,
+       |    zip_with(a.cv, c.cvec, (x, y) ->
+       |      greatest(least(x - y, CAST($qb AS BIGINT)), CAST(-$qb AS BIGINT))) AS rv
+       |  FROM assigned a JOIN cents c ON c.cent_id = a.cent_id),
+       |pmm AS (SELECT greatest(CAST(1 AS BIGINT), count(*) DIV least(CAST(256 AS BIGINT), greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(count(*))) AS BIGINT)))) AS m FROM e),
+       |rsub AS (SELECT vec_id, s, slice(rv, s * 8 + 1, 8) AS sv
+       |  FROM rsd LATERAL VIEW explode(sequence(0, 7)) t AS s),
+       |rcb AS (SELECT rsub.s, rsub.vec_id AS code_id, rsub.sv AS cw
+       |  FROM rsub CROSS JOIN pmm
+       |  WHERE CAST(conv(substr(md5(CAST(rsub.vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % m = 0),
+       |enc0 AS (SELECT rsub.vec_id, rsub.s, rcb.code_id,
+       |    CAST(aggregate(zip_with(rcb.cw, rsub.sv, (cc, sx) -> cc * cc - 2 * sx * cc),
+       |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cost
+       |  FROM rsub JOIN rcb ON rcb.s = rsub.s),
+       |codes AS (SELECT vec_id, s, code_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY cost, code_id) AS rn FROM enc0) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, cv AS qv FROM e WHERE vec_id < 5),
+       |pd AS (SELECT q.query_id, c.cent_id,
+       |    CAST(aggregate(zip_with(q.qv, c.cvec, (x, y) -> x * y),
+       |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cdot
+       |  FROM q CROSS JOIN cents c),
+       |probes AS (SELECT query_id, cent_id, cdot FROM (
+       |    SELECT query_id, cent_id, cdot,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, cent_id) AS rn
+       |    FROM pd) t WHERE rn <= 8),
+       |qsub AS (SELECT vec_id AS query_id, s, slice(cv, s * 8 + 1, 8) AS qsv
+       |  FROM e LATERAL VIEW explode(sequence(0, 7)) t AS s WHERE vec_id < 5),
+       |lut AS (SELECT qsub.query_id, rcb.s, rcb.code_id,
+       |    CAST(aggregate(zip_with(qsub.qsv, rcb.cw, (x, y) -> x * y),
+       |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS qdot
+       |  FROM qsub JOIN rcb ON rcb.s = qsub.s),
+       |sc AS (SELECT p.query_id, a.vec_id, CAST(p.cdot + sum(l.qdot) AS BIGINT) AS score
+       |  FROM probes p
+       |  JOIN assigned a ON a.cent_id = p.cent_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.s = c.s AND l.code_id = c.code_id
+       |  WHERE a.vec_id <> p.query_id
+       |  GROUP BY p.query_id, a.vec_id, p.cdot)
+       |SELECT query_id, vec_id, score, rank FROM (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** One per-subspace Lloyd round of the ann_pq_trained port. */
   private def pqtRoundSpark(i: Int): String = {
     val prev = s"pc${i - 1}"
@@ -2881,6 +2934,8 @@ object SqlPort {
     },
 
     "ann_ivfpq_exact" -> annIvfpqSpark,
+
+    "ann_ivfpq_residual" -> annIvfpqResidualSpark,
 
     "ann_pq_trained" -> annPqTrainedSpark,
 

@@ -378,13 +378,166 @@ object IvfPq {
        |  FROM sc) t WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- ann_ivfpq_residual: residual-encoded IVFADC --------------------
+  // ann_ivfpq_exact PQ-encodes RAW vectors; the canonical IVFADC
+  // (FAISS IndexIVFPQ, encode_residual) quantizes each vector's
+  // RESIDUAL against its coarse centroid instead — inside a cell the
+  // residuals concentrate near the origin, so the same K codewords
+  // spend their resolution on a much smaller ball and reconstruction
+  // error drops (PqSpec asserts this on a clustered corpus). The serve
+  // algebra changes by one term: for candidate v in cell c,
+  //   q·v̂ = q·cvec(c) + Σ_s q_s·rcw_s
+  // and q·cvec is EXACTLY the cdot the probe stage already computed —
+  // the coarse term rides along with the probe list for free, and the
+  // fine term is the same broadcast-LUT ADC aggregation.
+  //
+  // Exactness bound: quantVec clamps components to ±QBOUND, so raw
+  // ADC scores are ≤ 64·QBOUND² ≈ 4.2e18. A residual can reach
+  // ±2·QBOUND, which would push the worst-case coarse+fine sum past
+  // int64; clamping residual components back into ±QBOUND (identical
+  // greatest/least in both engines, vacuous on real embeddings where
+  // components sit orders of magnitude below the bound) keeps
+  // |cdot| + |Σ q_s·rcw_s| ≤ 8.4e18 < 2⁶³ on ANY input, so the ANSI
+  // overflow class stays closed even on adversarial corpora.
+  private[graft] val QBOUND = 256000000L
+
+  /** Session-memoized residual-PQ layers (write-once per path+process). */
+  private val builtPqr =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Layer residual-PQ codebooks + codes (under `pqr/`) onto the same
+    * persisted exact-IVF index the raw-PQ layer and the eval heads
+    * measure: residual = clamp(cv − cvec), codebooks md5-sampled from
+    * the residual subvectors (same donor discipline as pqEncode),
+    * codes partitioned by the corpus's own cent_id so one probe prunes
+    * codes, vectors, and residual codes alike.
+    */
+  private[graft] def ensureIvfxPqResIndex(s: SparkSession, d: String): String = {
+    val path = Similarity.ensureIvfxIndex(s, d)
+    builtPqr.computeIfAbsent(path, { _ =>
+      val corpus = s.read.schema(Similarity.ivfxCorpusSchema)
+        .parquet(Similarity.liveCorpusPath(s, path))
+      val cents = s.read.schema(Similarity.ivfxCentSchema)
+        .parquet(s"$path/centroids")
+      val resid = corpus.join(broadcast(cents), Seq("cent_id"))
+        .select(col("vec_id"),
+          zip_with(col("cv"), col("cvec"), (x, c) =>
+            greatest(least(x - c, lit(QBOUND)), lit(-QBOUND))).as("cv"))
+      val m = Similarity.pqModulus(resid.count())
+      val (cb, codes) = Similarity.pqEncode(resid, m)
+      cb.select(col("s").cast("long").as("s"), col("code_id"), col("cw"))
+        .write.mode("overwrite").parquet(s"$path/pqr/codebook")
+      codes.select(col("vec_id"), col("s").cast("long").as("s"), col("code_id"))
+        .join(corpus.select(col("vec_id"), col("cent_id")), Seq("vec_id"))
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/pqr/codes")
+      java.lang.Boolean.TRUE
+    })
+    path
+  }
+
+  val annIvfpqResidual: Q = (s, d) => {
+    val path = ensureIvfxPqResIndex(s, d)
+    val cents = s.read.schema(Similarity.ivfxCentSchema)
+      .parquet(s"$path/centroids")
+    val qs = Tables.embeddings(s, d).filter(col("vec_id") < Similarity.NQUERIES)
+      .select(col("vec_id").as("query_id"),
+        Expr.quantVec(col("embedding")).as("qv"))
+    // unlike the raw head, cdot stays in the probe frame: it IS the
+    // score's coarse term, not just a routing criterion
+    val probes = TopK.topKPerGroup(
+        qs.crossJoin(broadcast(cents))
+          .select(col("query_id"), col("cent_id"),
+            Expr.longDot(col("qv"), col("cvec")).as("cdot")),
+        Seq("query_id"), Seq(("cdot", true), ("cent_id", false)),
+        Similarity.IVFX_NPROBE)
+    val probedCells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    val codes = s.read.schema(pqCodesSchema).parquet(s"$path/pqr/codes")
+      .filter(col("cent_id").isin(probedCells: _*))
+    val cb = s.read.schema(pqCbSchema).parquet(s"$path/pqr/codebook")
+    val lut = querySubvectors(s, d).join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code_id"),
+        Expr.longDot(col("qsv"), col("cw")).as("qdot"))
+    // cdot is functionally determined by (query_id, vec_id) — a vector
+    // lives in exactly one cell — so carrying it through the grouping
+    // key keeps the ADC sum map-side-combinable with no second join
+    val scored = codes.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "code_id"))
+      .groupBy(col("query_id"), col("vec_id"), col("cdot"))
+      .agg(sum(col("qdot")).as("rdot"))
+      .select(col("query_id"), col("vec_id"),
+        (col("cdot") + col("rdot")).as("score"))
+    val top = TopK.topKPerGroup(scored, Seq("query_id"),
+      Seq(("score", true), ("vec_id", false)), Similarity.TOPK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The residual IVFADC recomputed in SQL: the shared exact-IVF
+    * assignment CTEs, residuals clamped against the assigned centroid,
+    * residual codebooks/codes under the pqEncode discipline, and the
+    * coarse-plus-fine score cdot + Σ qdot.
+    */
+  val annIvfpqResidualSql: String = {
+    import Similarity.{PQ_M, PQ_SUBD, PQ_KMAX, IVFX_NPROBE, NQUERIES, TOPK}
+    s"""WITH ${Similarity.ivfxAssignCtes},
+       |rsd AS (SELECT a.vec_id,
+       |    [greatest(least(a.cv[i] - c.cvec[i], $QBOUND), -$QBOUND)
+       |      FOR i IN range(1, len(a.cv) + 1)] AS rv
+       |  FROM assigned a JOIN cents c USING (cent_id)),
+       |pmm AS (SELECT greatest(1, count(*) // least($PQ_KMAX, greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS m FROM e),
+       |rsub AS (SELECT vec_id, s, rv[s*$PQ_SUBD+1 : s*$PQ_SUBD+$PQ_SUBD] AS sv
+       |  FROM rsd CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS s)),
+       |rcb AS (SELECT r.s, r.vec_id AS code_id, r.sv AS cw
+       |  FROM rsub r, pmm
+       |  WHERE CAST(concat('0x', substr(md5(CAST(r.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % m = 0),
+       |enc0 AS (SELECT rsub.vec_id, rsub.s, rcb.code_id,
+       |    CAST(list_sum([rcb.cw[j]*rcb.cw[j] - 2*rsub.sv[j]*rcb.cw[j]
+       |      FOR j IN range(1, $PQ_SUBD + 1)]) AS BIGINT) AS cost
+       |  FROM rsub JOIN rcb ON rcb.s = rsub.s),
+       |codes AS (SELECT vec_id, s, code_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY cost, code_id) AS rn FROM enc0) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, cv AS qv FROM e WHERE vec_id < $NQUERIES),
+       |pd AS (SELECT q.query_id, c.cent_id,
+       |    CAST(list_sum([q.qv[i] * c.cvec[i] FOR i IN range(1, len(q.qv) + 1)]) AS BIGINT) AS cdot
+       |  FROM q CROSS JOIN cents c),
+       |probes AS (SELECT query_id, cent_id, cdot FROM (
+       |    SELECT query_id, cent_id, cdot,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, cent_id) AS rn
+       |    FROM pd) t WHERE rn <= $IVFX_NPROBE),
+       |qsub AS (SELECT vec_id AS query_id, s, cv[s*$PQ_SUBD+1 : s*$PQ_SUBD+$PQ_SUBD] AS qsv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS s) WHERE vec_id < $NQUERIES),
+       |lut AS (SELECT qsub.query_id, rcb.s, rcb.code_id,
+       |    CAST(list_sum([qsub.qsv[j]*rcb.cw[j] FOR j IN range(1, $PQ_SUBD + 1)]) AS BIGINT) AS qdot
+       |  FROM qsub JOIN rcb ON rcb.s = qsub.s),
+       |sc AS (SELECT p.query_id, a.vec_id, CAST(p.cdot + sum(l.qdot) AS BIGINT) AS score
+       |  FROM probes p
+       |  JOIN assigned a ON a.cent_id = p.cent_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.s = c.s AND l.code_id = c.code_id
+       |  WHERE a.vec_id <> p.query_id
+       |  GROUP BY p.query_id, a.vec_id, p.cdot)
+       |SELECT query_id, vec_id, score, rank FROM (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sc) t WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_ivfpq_exact" -> annIvfpqExact,
+    "ann_ivfpq_residual" -> annIvfpqResidual,
     "ann_pq_trained" -> annPqTrained,
     "eval_retrieval_ivfpq" -> evalRetrievalIvfpq)
 
   val oracles: Map[String, String] = Map(
     "ann_ivfpq_exact" -> annIvfpqExactSql,
+    "ann_ivfpq_residual" -> annIvfpqResidualSql,
     "ann_pq_trained" -> annPqTrainedSql,
     "eval_retrieval_ivfpq" -> evalRetrievalIvfpqSql)
 }

@@ -466,6 +466,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerGroup"), "top-k must be the bounded-heap operator")
   }
 
+  test("ann_ivfpq_residual: probed-cell pruning and map-side combine survive the coarse-term rewrite") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val pp = SparkEntry.queries("ann_ivfpq_residual")(spark, sf)
+      .queryExecution.executedPlan
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.inputPlan)
+        case q: QueryStageExec => allNodes(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(allNodes) ++ inner)
+    }
+    val codeScans = allNodes(pp).collect {
+      case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("/pqr/codes")) => sc
+    }
+    assert(codeScans.nonEmpty, "no residual-PQ codes scan found in the serve plan")
+    codeScans.foreach { sc =>
+      assert(sc.partitionFilters.exists(_.references.exists(_.name == "cent_id")),
+        s"residual codes scan without a cent_id PartitionFilter:\n${sc.toString.take(600)}")
+    }
+    val plan = pp.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"residual IVFADC serve must not sort-merge:\n${plan.take(1500)}")
+    // carrying cdot through the grouping key must not break the
+    // map-side combine — the fine-term sum still partial-aggregates
+    assert(plan.contains("partial_sum"),
+      "the residual ADC sum must partial-aggregate before its exchange")
+    assert(plan.contains("TopKPerGroup"), "top-k must be the bounded-heap operator")
+  }
+
   test("corpus_diff: full-outer SMJ keyed on doc_id carries hashed fixed-width rows, never text") {
     val plan = executedPlan("corpus_diff")
     assert(plan.contains("SortMergeJoin [doc_id") && plan.contains("FullOuter"),

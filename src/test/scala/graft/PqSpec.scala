@@ -99,6 +99,68 @@ class PqSpec extends AnyFunSuite {
       s"trained codebooks must reduce quantization error: trained=$trained vs sampled=$sampled")
   }
 
+  test("residual PQ beats raw PQ on reconstruction error over a clustered corpus") {
+    import spark.implicits._
+    import graft.operators.IvfPq
+    // a corpus with real cluster structure, persisted so the full
+    // ensureIvfx* index path (build, assign, PQ layers) is exercised
+    val rnd = new java.util.Random(11L)
+    val dim = 64
+    val nClusters = 40
+    val members = 50
+    val centers = Array.fill(nClusters) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / norm).toFloat)
+    }
+    val rows = for { c <- centers.indices; k <- 0 until members } yield {
+      val v = centers(c).map(x => x + 0.1 * rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      ((c.toLong * members + k), v.map(x => (x / norm).toFloat).toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqr_corpus").toString
+    rows.toDF("vec_id", "embedding").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val path = IvfPq.ensureIvfxPqResIndex(spark, dir)
+    IvfPq.ensureIvfxPqIndex(spark, dir)
+    val corpus = spark.read.schema(Similarity.ivfxCorpusSchema)
+      .parquet(Similarity.liveCorpusPath(spark, path)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val cents = spark.read.schema(Similarity.ivfxCentSchema)
+      .parquet(s"$path/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def layer(sub: String): Map[Long, Array[Long]] = {
+      val cw = spark.read.parquet(s"$path/$sub/codebook").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2).toArray).toMap
+      spark.read.parquet(s"$path/$sub/codes").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("s"), r.getAs[Long]("code_id")))
+        .groupBy(_._1)
+        .map { case (v, cs) => v -> cs.sortBy(_._2).flatMap(c => cw((c._2, c._3))) }
+    }
+    val raw = layer("pq")
+    val res = layer("pqr")
+    def sq(x: Long): BigInt = BigInt(x) * BigInt(x)
+    var rawErr = BigInt(0)
+    var resErr = BigInt(0)
+    corpus.foreach { case (v, cv, cent) =>
+      val cvec = cents(cent)
+      rawErr += cv.zip(raw(v)).map { case (a, b) => sq(a - b) }.sum
+      resErr += cv.indices.map(i => sq(cv(i) - (cvec(i) + res(v)(i)))).sum
+    }
+    assert(resErr < rawErr,
+      s"residual encoding must reconstruct strictly better inside cells: " +
+        s"residual=$resErr vs raw=$rawErr")
+    // and the served head keeps the region structure: top-10 of the
+    // five standard queries (all cluster-0 members) stays in-cluster
+    val top = IvfPq.queries("ann_ivfpq_residual")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.nonEmpty)
+    val rate = top.count { case (q, v) => q / members == v / members }
+      .toDouble / top.length
+    assert(rate >= 0.9,
+      s"residual IVFADC same-cluster rate $rate below 0.9")
+  }
+
   test("clustered corpus: PQ top-10 lands in the query's own cluster") {
     import spark.implicits._
     val rnd = new java.util.Random(7L)
