@@ -1789,6 +1789,46 @@ object SqlPort {
     // identical ranking as a never-streamed index.
     "stream_bm25_ingest" -> bm25SparkPort,
 
+    // Spark-dialect image of Streaming.streamIvfIngestSql — the
+    // streamed IVF chain's end state: quantizer sampled from the first
+    // trigger's slice (vec_id % 4 = 0), full-corpus assignment under
+    // it, standard probe-and-rank serve.
+    "stream_ivf_ingest" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS cv
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, cv FROM e WHERE vec_id % 4 = 0),
+         |mm AS (SELECT greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM b),
+         |cents AS (SELECT vec_id AS cent_id, cv AS cvec FROM b CROSS JOIN mm
+         |  WHERE CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % m = 0),
+         |ad AS (SELECT e.vec_id, e.cv, c.cent_id,
+         |    CAST(aggregate(zip_with(e.cv, c.cvec, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cdot
+         |  FROM e CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cv, cent_id FROM (
+         |    SELECT vec_id, cv, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rn
+         |    FROM ad) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, cv AS qv FROM e WHERE vec_id < 5),
+         |pd AS (SELECT q.query_id, q.qv, c.cent_id,
+         |    CAST(aggregate(zip_with(q.qv, c.cvec, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cdot
+         |  FROM q CROSS JOIN cents c),
+         |probes AS (SELECT query_id, qv, cent_id FROM (
+         |    SELECT query_id, qv, cent_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, cent_id) AS rn
+         |    FROM pd) t WHERE rn <= 8),
+         |sc AS (SELECT p.query_id, a.vec_id,
+         |    CAST(aggregate(zip_with(p.qv, a.cv, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, z) -> acc + z) AS BIGINT) AS qdot
+         |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+         |  WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, vec_id, qdot, rank FROM (
+         |  SELECT query_id, vec_id, qdot,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY qdot DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     // rag_context_pack: same scoring chain as bm25_retrieval's port,
     // candidate cut at 16 then the budget running sum.
     "rag_context_pack" -> {

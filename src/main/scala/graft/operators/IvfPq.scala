@@ -529,6 +529,11 @@ object IvfPq {
        |  FROM sc) t WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
   }
 
+  // a stale PQ layer over a rebuilt assignment would serve codes
+  // against the wrong cells — drop the write-once records whenever the
+  // base index's memo is invalidated (in-process corpus rewrites)
+  Similarity.onClearTrainedState { () => builtPq.clear(); builtPqr.clear() }
+
   val queries: Map[String, Q] = Map(
     "ann_ivfpq_exact" -> annIvfpqExact,
     "ann_ivfpq_residual" -> annIvfpqResidual,

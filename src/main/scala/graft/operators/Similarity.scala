@@ -490,6 +490,15 @@ object Similarity {
   private val builtIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 
+  /** Layered-index owners (PQ layers, streamed ingest memos) register
+    * here so an in-process corpus rewrite invalidates THEIR write-once
+    * records together with the base index's — a stale layer over a
+    * rebuilt assignment would serve codes against the wrong cells.
+    */
+  private val invalidationHooks =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+  def onClearTrainedState(hook: () => Unit): Unit = invalidationHooks.add(hook)
+
   /** Drop the memoized quantizers/index records. The localCheckpoint
     * blocks backing dropped centroid frames become unreferenced and
     * Spark's ContextCleaner reclaims them; persisted index files on
@@ -497,6 +506,7 @@ object Similarity {
     */
   def clearTrainedState(): Unit = {
     centCache.clear(); builtIndexes.clear(); builtIvfExact.clear()
+    invalidationHooks.forEach(h => h())
   }
 
   val annIvfIndex: Q = (s, d) => {
@@ -939,6 +949,134 @@ object Similarity {
       java.lang.Boolean.TRUE
     })
     path
+  }
+
+  // --- streamed exactly-once ingest protocol (exact-IVF face) ---------
+  // The IVF mirror of the BM25 index's hardened streaming protocol
+  // (TrainOps5 delta_vN/stats_vN): each trigger's assignment lands as
+  // an immutable cent_id-partitioned vdelta_K, committed by a vstats_K
+  // parquet row whose _SUCCESS is the SINGLE atomic point carrying the
+  // batch count AND the cumulative ingest-epoch ledger. A writer that
+  // dies between vdelta and vstats leaves an orphan delta invisible to
+  // readers (versions resolve on vstats) that the epoch's retry
+  // overwrites; a writer that dies after vstats leaves a fully
+  // ledgered version whose retry is a no-op. No committed-but-
+  // unledgered interleaving exists, same as the BM25 side.
+
+  private[graft] val vstatsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "n_vecs BIGINT, epochs ARRAY<BIGINT>")
+
+  /** Newest committed streamed-ingest version (vstats_K/_SUCCESS is
+    * the commit; its vdelta_K is complete by write order).
+    */
+  private[graft] def committedIngestVersion(s: SparkSession, path: String): Option[Int] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val vs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("vstats_\\d+"))
+      .map(_.getPath.getName.stripPrefix("vstats_").toInt)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(root, s"vstats_$v/_SUCCESS")))
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Every epoch the streamed chain has absorbed — read from the
+    * newest committed vstats row (the ledger is cumulative and atomic
+    * with the version, so one row is the whole history).
+    */
+  private[graft] def committedIngestEpochs(s: SparkSession, path: String): Set[Long] =
+    committedIngestVersion(s, path) match {
+      case None => Set.empty
+      case Some(v) =>
+        val row = s.read.schema(vstatsSchema).parquet(s"$path/vstats_$v")
+          .select(col("epochs")).collect()(0)
+        if (row.isNullAt(0)) Set.empty else row.getSeq[Long](0).toSet
+    }
+
+  /** Bootstrap the streamed index's frozen quantizer from the FIRST
+    * trigger (the standard md5-sampled corpus-point quantizer; later
+    * triggers assign under it unchanged — the ann_ivf_index_incr
+    * frozen-append discipline).
+    */
+  private[graft] def buildIvfStreamQuantizer(batch: DataFrame, path: String): Unit = {
+    val q = batch.select(col("vec_id"), Expr.quantVec(col("embedding")).as("cv"))
+    val m = ivfxModulus(q.count())
+    q.filter(md5Mod(col("vec_id"), m) === 0)
+      .select(col("vec_id").as("cent_id"), col("cv").as("cvec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Commit one trigger: assign the batch under the frozen quantizer
+    * into an immutable vdelta_K (one file per cell, the inverted-list
+    * layout), then commit vstats_K with the cumulative epoch ledger.
+    */
+  private[graft] def ivfIngestCommit(batch: DataFrame, path: String, k: Int,
+      epochs: Seq[Long]): Unit = {
+    val s = batch.sparkSession
+    val cents = s.read.schema(ivfxCentSchema).parquet(s"$path/centroids")
+    val q = batch.select(col("vec_id"), Expr.quantVec(col("embedding")).as("cv"))
+    val assigned = TopK.topKPerGroup(
+        q.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cv"), col("cent_id"),
+            Expr.longDot(col("cv"), col("cvec")).as("cdot")),
+        Seq("vec_id"), Seq(("cdot", true), ("cent_id", false)), 1)
+      .select(col("vec_id"), col("cv"), col("cent_id"))
+    assigned.repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/vdelta_$k")
+    val n = s.read.schema(ivfxCorpusSchema).parquet(s"$path/vdelta_$k").count()
+    import s.implicits._
+    Seq((n, epochs.distinct.sorted)).toDF("n_vecs", "epochs")
+      .write.mode("overwrite").parquet(s"$path/vstats_$k")
+  }
+
+  /** Clear a streamed-ingest root for a from-scratch rebuild — refuses
+    * directories holding anything the protocol does not own (the
+    * clearIndexRoot discipline).
+    */
+  private[graft] def clearIvfIngestRoot(s: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val entries = fs.listStatus(root)
+    val foreign = entries.map(_.getPath.getName)
+      .filterNot(n => n.matches("(vdelta|vstats)_\\d+") || n == "centroids")
+    require(foreign.isEmpty,
+      s"ivf ingest: refusing to clear $path — it contains non-index " +
+        s"entries ${foreign.take(5).mkString(", ")}")
+    entries.foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Serve the standard query set against the streamed chain: probe
+    * cells, collect the probed set to LITERALS (queries × nProbe,
+    * metadata-sized), and give EVERY committed vdelta scan a plan-time
+    * cent_id PartitionFilter — the unprobed bulk of each delta is
+    * never opened, however many triggers the chain absorbed.
+    */
+  private[graft] def queryIvfStreamedIndex(s: SparkSession, path: String,
+      qs: DataFrame): DataFrame = {
+    val v = committedIngestVersion(s, path).getOrElse(
+      throw new IllegalStateException(s"no committed streamed ivf index at $path"))
+    val cents = s.read.schema(ivfxCentSchema).parquet(s"$path/centroids")
+    val probes = TopK.topKPerGroup(
+        qs.crossJoin(broadcast(cents))
+          .select(col("query_id"), col("qv"), col("cent_id"),
+            Expr.longDot(col("qv"), col("cvec")).as("cdot")),
+        Seq("query_id"), Seq(("cdot", true), ("cent_id", false)), IVFX_NPROBE)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+    val probedCells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    val indexed = (0 to v)
+      .map(k => s.read.schema(ivfxCorpusSchema).parquet(s"$path/vdelta_$k")
+        .filter(col("cent_id").isin(probedCells: _*)))
+      .reduce(_ unionByName _)
+    val scored = indexed.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Expr.longDot(col("qv"), col("cv")).as("qdot"))
+    val top = TopK.topKPerGroup(scored, Seq("query_id"),
+      Seq(("qdot", true), ("vec_id", false)), TOPK)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
   val evalRetrievalIvf: Q = (s, d) => {

@@ -814,8 +814,123 @@ object Streaming {
        |ORDER BY i.doc_id""".stripMargin
   }
 
+  // --- stream_ivf_ingest: streaming ingest INTO the vector index ------
+  // The vector-side mirror of stream_bm25_ingest, closing the
+  // streaming symmetry of the index lifecycle: an embedding stream
+  // maintains the persisted IVF index itself. Trigger 0 bootstraps the
+  // frozen quantizer from its own batch (the standard md5-sampled
+  // corpus-point quantizer) and every trigger commits its assignment
+  // as one atomic vdelta_K + vstats_K version bump (Similarity's
+  // streamed-ingest protocol) — the cumulative epoch ledger rides
+  // INSIDE the vstats row, so exactly-once holds across crashes,
+  // retries, and old-epoch reuse with a single commit point, and a
+  // concurrent serve always reads a committed prefix of triggers.
+
+  /** Ingest one vector micro-batch: bootstrap quantizer + v0 on the
+    * first trigger, atomic delta version on every later one; replayed
+    * or reused epoch ids are no-ops.
+    */
+  def ivfIngestBatch(batch: DataFrame, indexPath: String, epochId: Long): Unit = {
+    val s = batch.sparkSession
+    val prior = graft.operators.Similarity.committedIngestEpochs(s, indexPath)
+    if (prior.contains(epochId)) return // replayed epoch — no-op
+    val v = graft.operators.Similarity.committedIngestVersion(s, indexPath)
+    if (v.isEmpty)
+      graft.operators.Similarity.buildIvfStreamQuantizer(batch, indexPath)
+    graft.operators.Similarity.ivfIngestCommit(
+      batch, indexPath, v.map(_ + 1).getOrElse(0), (prior + epochId).toSeq)
+  }
+
+  /** The stream face: wire an embedding stream into the index via
+    * foreachBatch. Single-writer contract, same as the BM25 side.
+    */
+  def ivfIngestStream(vecs: DataFrame, indexPath: String) =
+    vecs.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        ivfIngestBatch(b, indexPath, epochId)
+      }
+
+  /** Memoized multi-trigger ivf ingests (write-once per path+process). */
+  private val ingestedIvf =
+    new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+  graft.operators.Similarity.onClearTrainedState(() => ingestedIvf.clear())
+
+  /** stream_ivf_ingest: the oracle-gated batch twin — the embedding
+    * corpus arrives as four triggers (vec_id % 4 arrival order);
+    * trigger 0 bootstraps the frozen quantizer from its own quarter,
+    * triggers 1–3 are atomic delta commits under it, then the standard
+    * query set is served against the whole chain with literal
+    * probed-cell pruning on every delta. The DuckDB oracle recomputes
+    * the identical quantizer (sampled from the % 4 = 0 slice) and the
+    * full-corpus assignment, so the gate asserts the streamed chain is
+    * lossless against a never-streamed index. StreamingSpec drives the
+    * same sink from a real MemoryStream and replays epochs to assert
+    * exactly-once.
+    */
+  val streamIvfIngest: Q = (s, d) => {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_ivfsi_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    ingestedIvf.computeIfAbsent(path, { _ =>
+      // memo miss with files on disk = registry invalidated after an
+      // in-place corpus rewrite — restart the chain from scratch
+      graft.operators.Similarity.clearIvfIngestRoot(s, path)
+      (0 to 3).foreach { i =>
+        ivfIngestBatch(
+          Tables.embeddings(s, d).filter(col("vec_id") % 4 === i)
+            .select(col("vec_id"), col("embedding")), path, epochId = i.toLong)
+      }
+    })
+    val qs = Tables.embeddings(s, d)
+      .filter(col("vec_id") < graft.operators.Similarity.NQUERIES)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.Expr.quantVec(col("embedding")).as("qv"))
+    graft.operators.Similarity.queryIvfStreamedIndex(s, path, qs)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The streamed IVF chain recomputed in SQL: quantizer sampled from
+    * the first trigger's slice (vec_id % 4 = 0), full-corpus
+    * assignment under it, standard probe-and-rank serve — the state of
+    * the index after all four triggers, independent of arrival order.
+    */
+  val streamIvfIngestSql: String = {
+    import graft.operators.Similarity.{IVFX_NPROBE, NQUERIES, TOPK}
+    s"""WITH e AS (SELECT vec_id,
+       |    [CAST(floor(least(greatest(x, -256), 256)*1e6) AS BIGINT) FOR x IN embedding] AS cv
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, cv FROM e WHERE vec_id % 4 = 0),
+       |mm AS (SELECT greatest(1, CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM b),
+       |cents AS (SELECT vec_id AS cent_id, cv AS cvec FROM b, mm
+       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % m = 0),
+       |ad AS (SELECT e.vec_id, e.cv, c.cent_id,
+       |    CAST(list_sum([e.cv[i] * c.cvec[i] FOR i IN range(1, len(e.cv) + 1)]) AS BIGINT) AS cdot
+       |  FROM e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, cv, cent_id FROM (
+       |    SELECT vec_id, cv, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rn
+       |    FROM ad) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, cv AS qv FROM e WHERE vec_id < $NQUERIES),
+       |pd AS (SELECT q.query_id, q.qv, c.cent_id,
+       |    CAST(list_sum([q.qv[i] * c.cvec[i] FOR i IN range(1, len(q.qv) + 1)]) AS BIGINT) AS cdot
+       |  FROM q CROSS JOIN cents c),
+       |probes AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT query_id, qv, cent_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, cent_id) AS rn
+       |    FROM pd) t WHERE rn <= $IVFX_NPROBE),
+       |sc AS (SELECT p.query_id, a.vec_id,
+       |    CAST(list_sum([p.qv[i] * a.cv[i] FOR i IN range(1, len(a.cv) + 1)]) AS BIGINT) AS qdot
+       |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, vec_id, qdot, rank FROM (
+       |  SELECT query_id, vec_id, qdot,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY qdot DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sc) t WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_bm25_ingest" -> streamBm25Ingest,
+    "stream_ivf_ingest" -> streamIvfIngest,
     "stream_bm25_gate" -> streamBm25Gate,
     "stream_quality_gate" -> streamQualityGate,
     "stream_upsert_sink" -> streamUpsertSink,
@@ -827,6 +942,7 @@ object Streaming {
     "stream_dup_gate_exact" -> streamDupGateExact)
   val oracles: Map[String, String] = Map(
     "stream_bm25_ingest" -> graft.operators.TrainOps5.bm25RetrievalSql,
+    "stream_ivf_ingest" -> streamIvfIngestSql,
     "stream_bm25_gate" -> streamBm25GateSql,
     "stream_quality_gate" -> streamQualityGateSql,
     "stream_upsert_sink" -> streamUpsertSinkSql,

@@ -498,6 +498,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerGroup"), "top-k must be the bounded-heap operator")
   }
 
+  test("stream_ivf_ingest: EVERY committed vdelta scan carries a literal cent_id PartitionFilter") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val pp = SparkEntry.queries("stream_ivf_ingest")(spark, sf)
+      .queryExecution.executedPlan
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.inputPlan)
+        case q: QueryStageExec => allNodes(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(allNodes) ++ inner)
+    }
+    // the serve unions one scan per committed trigger; each must read
+    // only the probed cells — directory elimination per delta, so the
+    // unprobed bulk of the chain is never opened regardless of how
+    // many triggers it absorbed
+    val deltaScans = allNodes(pp).collect {
+      case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("/vdelta_")) => sc
+    }
+    assert(deltaScans.size >= 4, s"expected one scan per trigger, got ${deltaScans.size}")
+    deltaScans.foreach { sc =>
+      assert(sc.partitionFilters.exists(_.references.exists(_.name == "cent_id")),
+        s"vdelta scan without a cent_id PartitionFilter:\n${sc.toString.take(600)}")
+    }
+    val plan = pp.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"streamed IVF serve must not sort-merge (probes are metadata-sized):\n${plan.take(1500)}")
+    assert(plan.contains("TopKPerGroup"), "top-k must be the bounded-heap operator")
+  }
+
   test("corpus_diff: full-outer SMJ keyed on doc_id carries hashed fixed-width rows, never text") {
     val plan = executedPlan("corpus_diff")
     assert(plan.contains("SortMergeJoin [doc_id") && plan.contains("FullOuter"),

@@ -812,4 +812,71 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.size == 5)
     } finally q.stop()
   }
+  test("ivf ingest stream: atomic version bumps; streamed chain equals one-shot; epochs exactly-once; orphan deltas invisible") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    // deterministic 24-vector corpus, 16 dims, three 8-vector triggers
+    val vecs = (0L until 24L).map { i =>
+      (i, Seq.tabulate(16)(j => math.sin(i * 7.0 + j * 3.0).toFloat))
+    }
+    def qsOf(rows: Seq[(Long, Seq[Float])]) = rows.take(3).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("query_id"),
+        graft.functions.Expr.quantVec(col("embedding")).as("qv"))
+    val base = java.nio.file.Files.createTempDirectory("ivfsi").toString
+    val idx = s"$base/index"
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.ivfIngestStream(mem.toDF().toDF("vec_id", "embedding"), idx)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      vecs.grouped(8).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // three triggers -> versions 0..2, cumulative ledger atomic with v2
+    assert(Similarity.committedIngestVersion(spark, idx).contains(2))
+    assert(Similarity.committedIngestEpochs(spark, idx) == Set(0L, 1L, 2L))
+    // the streamed chain serves exactly what a one-shot ingest under
+    // the same (trigger-0-sampled) quantizer serves
+    val ref = s"$base/ref"
+    Similarity.buildIvfStreamQuantizer(
+      vecs.take(8).toDF("vec_id", "embedding"), ref)
+    Similarity.ivfIngestCommit(vecs.toDF("vec_id", "embedding"), ref, 0, Seq(0L))
+    def serve(path: String) = Similarity.queryIvfStreamedIndex(spark, path, qsOf(vecs))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val streamed = serve(idx)
+    assert(streamed.nonEmpty)
+    assert(streamed == serve(ref),
+      "streamed ingest chain diverged from the one-shot assignment")
+    // exactly-once: replaying a committed-but-unacked epoch is a no-op
+    Streaming.ivfIngestBatch(
+      vecs.takeRight(8).toDF("vec_id", "embedding"), idx, epochId = 2L)
+    assert(Similarity.committedIngestVersion(spark, idx).contains(2),
+      "replayed epoch bumped the version - double-ingest")
+    // ...and so is reusing an OLD epoch id against the longer chain
+    Streaming.ivfIngestBatch(
+      vecs.take(8).toDF("vec_id", "embedding"), idx, epochId = 0L)
+    assert(Similarity.committedIngestVersion(spark, idx).contains(2))
+    assert(serve(idx) == streamed)
+    // an orphan vdelta with no vstats (writer died between the two) is
+    // invisible to readers and the next genuine epoch overwrites it
+    Seq((999L, Seq.fill(16)(9.9f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.Expr.quantVec(col("embedding")).as("cv"),
+        lit(0L).as("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$idx/vdelta_3")
+    assert(Similarity.committedIngestVersion(spark, idx).contains(2),
+      "orphan vdelta became visible without its vstats commit")
+    assert(serve(idx) == streamed)
+    val extra = (100L until 104L).map { i =>
+      (i, Seq.tabulate(16)(j => math.cos(i * 5.0 + j * 11.0).toFloat))
+    }
+    Streaming.ivfIngestBatch(extra.toDF("vec_id", "embedding"), idx, epochId = 3L)
+    assert(Similarity.committedIngestVersion(spark, idx).contains(3))
+    assert(Similarity.committedIngestEpochs(spark, idx) == Set(0L, 1L, 2L, 3L))
+    val after = spark.read.schema(Similarity.ivfxCorpusSchema)
+      .parquet(s"$idx/vdelta_3")
+    assert(after.filter(col("vec_id") === 999L).count() == 0,
+      "retry did not overwrite the orphan delta")
+    assert(after.count() == 4)
+  }
 }
