@@ -1792,7 +1792,8 @@ object SqlPort {
     // Spark-dialect image of Streaming.streamIvfIngestSql — the
     // streamed IVF chain's end state: quantizer sampled from the first
     // trigger's slice (vec_id % 4 = 0), full-corpus assignment under
-    // it, standard probe-and-rank serve.
+    // it, standard probe-and-rank serve. stream_ivf_compact shares the
+    // text: compaction is gated as serving-invisible.
     "stream_ivf_ingest" ->
       s"""WITH e AS (SELECT vec_id,
          |    transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS cv
@@ -1828,6 +1829,7 @@ object SqlPort {
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY qdot DESC, vec_id) AS BIGINT) AS rank
          |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
 
     // rag_context_pack: same scoring chain as bm25_retrieval's port,
     // candidate cut at 16 then the budget running sum.
@@ -2762,7 +2764,7 @@ object SqlPort {
        |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
-  val sparkSql: Map[String, String] = basePorts ++ Map(
+  private val mainPorts: Map[String, String] = basePorts ++ Map(
     "corpus_diff" ->
       """WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
         |old AS (SELECT doc_id, md5(text) AS old_hash,
@@ -3170,4 +3172,12 @@ object SqlPort {
          |  UNION ALL SELECT 'regrade', 'scanned_new', n FROM sn1
          |) u ORDER BY phase, metric""".stripMargin
     })
+  /** The served port surface: stream_ivf_compact shares
+    * stream_ivf_ingest's text — compaction is gated as
+    * serving-invisible, so the SQL image of the served result is
+    * identical by construction.
+    */
+  val sparkSql: Map[String, String] =
+    mainPorts + ("stream_ivf_compact" -> mainPorts("stream_ivf_ingest"))
+
 }

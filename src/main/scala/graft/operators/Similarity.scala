@@ -1039,11 +1039,68 @@ object Similarity {
     if (!fs.exists(root)) return
     val entries = fs.listStatus(root)
     val foreign = entries.map(_.getPath.getName)
-      .filterNot(n => n.matches("(vdelta|vstats)_\\d+") || n == "centroids")
+      .filterNot(n => n.matches("(vdelta|vstats|vcompact)_\\d+") || n == "centroids")
     require(foreign.isEmpty,
       s"ivf ingest: refusing to clear $path — it contains non-index " +
         s"entries ${foreign.take(5).mkString(", ")}")
     entries.foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Newest committed compaction at or below ingest version v
+    * (vcompact_K's own parquet _SUCCESS is its commit): readers
+    * substitute it for vdelta_0..K — the bm25 compact_vK discipline.
+    */
+  private[graft] def committedIngestCompact(s: SparkSession, path: String,
+      v: Int): Option[Int] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val ks = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("vcompact_\\d+")
+        && !IndexMaintenance.isRetired(fs, st.getPath))
+      .map(_.getPath.getName.stripPrefix("vcompact_").toInt)
+      .filter(k => k <= v &&
+        fs.exists(new org.apache.hadoop.fs.Path(root, s"vcompact_$k/_SUCCESS")))
+    if (ks.isEmpty) None else Some(ks.max)
+  }
+
+  /** The read roots for the committed chain at version v: the newest
+    * committed compaction plus the deltas after it.
+    */
+  private[graft] def ingestReadRoots(s: SparkSession, path: String, v: Int): Seq[String] =
+    committedIngestCompact(s, path, v) match {
+      case Some(k) => s"$path/vcompact_$k" +: (k + 1 to v).map(i => s"$path/vdelta_$i")
+      case None    => (0 to v).map(i => s"$path/vdelta_$i")
+    }
+
+  /** Fold the committed chain into one vcompact_V (re-bucketed back to
+    * one file per cell — a long chain's per-cell file count is the
+    * serve latency, same as the bm25 side), commit it by its own
+    * parquet _SUCCESS, then retire the folded sources under the grace
+    * contract. vstats dirs are untouched: the newest one carries the
+    * cumulative epoch ledger, so exactly-once survives compaction.
+    */
+  private[graft] def compactIvfIngest(s: SparkSession, path: String,
+      graceMs: Long = 0L): Unit = {
+    val v = committedIngestVersion(s, path).getOrElse(return)
+    val roots = ingestReadRoots(s, path, v)
+    if (roots.size <= 1) return // nothing to fold
+    roots.map(r => s.read.schema(ivfxCorpusSchema).parquet(r))
+      .reduce(_ unionByName _)
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/vcompact_$v")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    roots.foreach(r =>
+      IndexMaintenance.retireOrDelete(fs, new org.apache.hadoop.fs.Path(r), graceMs))
+  }
+
+  /** Delete retired chain segments whose grace has fully elapsed. */
+  private[graft] def vacuumIvfIngest(s: SparkSession, path: String,
+      graceMs: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    IndexMaintenance.vacuum(
+      root.getFileSystem(s.sessionState.newHadoopConf()), root, graceMs)
   }
 
   /** Serve the standard query set against the streamed chain: probe
@@ -1065,8 +1122,8 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cent_id"))
     val probedCells = probes.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0))
-    val indexed = (0 to v)
-      .map(k => s.read.schema(ivfxCorpusSchema).parquet(s"$path/vdelta_$k")
+    val indexed = ingestReadRoots(s, path, v)
+      .map(r => s.read.schema(ivfxCorpusSchema).parquet(r)
         .filter(col("cent_id").isin(probedCells: _*)))
       .reduce(_ unionByName _)
     val scored = indexed.join(broadcast(probes), Seq("cent_id"))

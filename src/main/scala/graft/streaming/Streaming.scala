@@ -888,6 +888,36 @@ object Streaming {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** stream_ivf_compact: the streamed chain's full lifecycle under the
+    * SAME losslessness gate — four-trigger ingest, then the folded
+    * vcompact_V with grace-marked retirement of the source deltas and
+    * a vacuum pass after the (1 ms) grace, then serve. The oracle is
+    * identical to stream_ivf_ingest's (a compaction that changes any
+    * served row is a broken compaction), so the gate asserts fold +
+    * retire + vacuum are all invisible to readers.
+    */
+  val streamIvfCompact: Q = (s, d) => {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_ivfsc_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    ingestedIvf.computeIfAbsent(path, { _ =>
+      graft.operators.Similarity.clearIvfIngestRoot(s, path)
+      (0 to 3).foreach { i =>
+        ivfIngestBatch(
+          Tables.embeddings(s, d).filter(col("vec_id") % 4 === i)
+            .select(col("vec_id"), col("embedding")), path, epochId = i.toLong)
+      }
+      graft.operators.Similarity.compactIvfIngest(s, path, graceMs = 1L)
+      Thread.sleep(5)
+      graft.operators.Similarity.vacuumIvfIngest(s, path, 0L)
+    })
+    val qs = Tables.embeddings(s, d)
+      .filter(col("vec_id") < graft.operators.Similarity.NQUERIES)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.Expr.quantVec(col("embedding")).as("qv"))
+    graft.operators.Similarity.queryIvfStreamedIndex(s, path, qs)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The streamed IVF chain recomputed in SQL: quantizer sampled from
     * the first trigger's slice (vec_id % 4 = 0), full-corpus
     * assignment under it, standard probe-and-rank serve — the state of
@@ -931,6 +961,7 @@ object Streaming {
   val queries: Map[String, Q] = Map(
     "stream_bm25_ingest" -> streamBm25Ingest,
     "stream_ivf_ingest" -> streamIvfIngest,
+    "stream_ivf_compact" -> streamIvfCompact,
     "stream_bm25_gate" -> streamBm25Gate,
     "stream_quality_gate" -> streamQualityGate,
     "stream_upsert_sink" -> streamUpsertSink,
@@ -943,6 +974,7 @@ object Streaming {
   val oracles: Map[String, String] = Map(
     "stream_bm25_ingest" -> graft.operators.TrainOps5.bm25RetrievalSql,
     "stream_ivf_ingest" -> streamIvfIngestSql,
+    "stream_ivf_compact" -> streamIvfIngestSql,
     "stream_bm25_gate" -> streamBm25GateSql,
     "stream_quality_gate" -> streamQualityGateSql,
     "stream_upsert_sink" -> streamUpsertSinkSql,

@@ -879,4 +879,50 @@ class StreamingSpec extends AnyFunSuite {
       "retry did not overwrite the orphan delta")
     assert(after.count() == 4)
   }
+  test("ivf ingest compaction: fold + retire + vacuum invisible to serve; ledger survives; appends continue") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.Similarity
+    val vecs = (0L until 24L).map { i =>
+      (i, Seq.tabulate(16)(j => math.sin(i * 13.0 + j * 5.0).toFloat))
+    }
+    val qs = vecs.take(3).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("query_id"),
+        graft.functions.Expr.quantVec(col("embedding")).as("qv"))
+    val idx = java.nio.file.Files.createTempDirectory("ivfsc").toString + "/index"
+    vecs.grouped(6).zipWithIndex.foreach { case (g, i) =>
+      Streaming.ivfIngestBatch(g.toDF("vec_id", "embedding"), idx, i.toLong)
+    }
+    assert(Similarity.committedIngestVersion(spark, idx).contains(3))
+    def serve() = Similarity.queryIvfStreamedIndex(spark, idx, qs)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val before = serve()
+    // grace-marked compaction: folded sources retired, NOT deleted —
+    // an in-flight reader that resolved roots pre-compaction finishes
+    Similarity.compactIvfIngest(spark, idx, graceMs = 60000L)
+    assert(new java.io.File(s"$idx/vcompact_3/_SUCCESS").exists())
+    (0 to 3).foreach { k =>
+      assert(new java.io.File(s"$idx/vdelta_$k/_RETIRED").exists(),
+        s"vdelta_$k not grace-retired") }
+    assert(serve() == before, "compaction changed served rows")
+    // vacuum honors the retirement-time grace even when asked for 0
+    Similarity.vacuumIvfIngest(spark, idx, 0L)
+    assert(new java.io.File(s"$idx/vdelta_0").exists(),
+      "vacuum deleted inside the grace the compactor promised")
+    // the ledger rides in vstats (untouched by compaction): replays
+    // and old-epoch reuse stay no-ops after the fold
+    assert(Similarity.committedIngestEpochs(spark, idx) == Set(0L, 1L, 2L, 3L))
+    Streaming.ivfIngestBatch(vecs.take(6).toDF("vec_id", "embedding"), idx, epochId = 1L)
+    assert(Similarity.committedIngestVersion(spark, idx).contains(3))
+    assert(serve() == before)
+    // a genuinely new epoch appends on top of the compacted base
+    val extra = (200L until 204L).map { i =>
+      (i, Seq.tabulate(16)(j => math.cos(i * 3.0 + j * 7.0).toFloat))
+    }
+    Streaming.ivfIngestBatch(extra.toDF("vec_id", "embedding"), idx, epochId = 4L)
+    assert(Similarity.committedIngestVersion(spark, idx).contains(4))
+    assert(Similarity.ingestReadRoots(spark, idx, 4) ==
+      Seq(s"$idx/vcompact_3", s"$idx/vdelta_4"),
+      "reader must substitute the compacted base for the folded deltas")
+  }
 }
