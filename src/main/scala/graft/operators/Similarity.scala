@@ -1082,6 +1082,13 @@ object Similarity {
     */
   private[graft] def compactIvfIngest(s: SparkSession, path: String,
       graceMs: Long = 0L): Unit = {
+    // sweep first: a previous compactor that died between committing
+    // its vcompact and retiring the folded sources left them unmarked
+    // (invisible to readers — version resolution picks the newest
+    // committed vcompact — but a storage leak). Re-retire them before
+    // deciding whether there is anything new to fold, since the fold
+    // below early-returns exactly when a prior compact already landed.
+    retireSupersededIngest(s, path, graceMs)
     val v = committedIngestVersion(s, path).getOrElse(return)
     val roots = ingestReadRoots(s, path, v)
     if (roots.size <= 1) return // nothing to fold
@@ -1089,15 +1096,42 @@ object Similarity {
       .reduce(_ unionByName _)
       .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/vcompact_$v")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    roots.foreach(r =>
-      IndexMaintenance.retireOrDelete(fs, new org.apache.hadoop.fs.Path(r), graceMs))
+    retireSupersededIngest(s, path, graceMs)
   }
 
-  /** Delete retired chain segments whose grace has fully elapsed. */
+  /** Retire every chain segment the newest committed compaction
+    * supersedes — STATE-derived and idempotent, not tied to any
+    * in-flight fold's roots list: once vcompact_K commits, readers
+    * never resolve vdelta_0..K or any older vcompact_j, so marking
+    * them is always safe, and re-running after a compactor died in
+    * the commit→retire window closes the storage leak that window
+    * would otherwise make permanent. Orphan vcompact_j (j < K,
+    * including uncommitted ones from a dead fold) are swept too.
+    */
+  private[graft] def retireSupersededIngest(s: SparkSession, path: String,
+      graceMs: Long): Unit = {
+    val v = committedIngestVersion(s, path).getOrElse(return)
+    val k = committedIngestCompact(s, path, v).getOrElse(return)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val superseded =
+      (0 to k).map(i => s"vdelta_$i") ++
+      fs.listStatus(root).map(_.getPath.getName)
+        .filter(n => n.matches("vcompact_\\d+") &&
+          n.stripPrefix("vcompact_").toInt < k)
+    superseded.map(n => new org.apache.hadoop.fs.Path(root, n))
+      .filter(p => fs.exists(p) && !IndexMaintenance.isRetired(fs, p))
+      .foreach(p => IndexMaintenance.retireOrDelete(fs, p, graceMs))
+  }
+
+  /** Delete retired chain segments whose grace has fully elapsed.
+    * Also re-retires anything a dead compactor left unmarked (see
+    * retireSupersededIngest), so either maintenance face heals the
+    * commit→retire crash window.
+    */
   private[graft] def vacuumIvfIngest(s: SparkSession, path: String,
       graceMs: Long): Seq[String] = {
+    retireSupersededIngest(s, path, graceMs)
     val root = new org.apache.hadoop.fs.Path(path)
     IndexMaintenance.vacuum(
       root.getFileSystem(s.sessionState.newHadoopConf()), root, graceMs)

@@ -832,6 +832,13 @@ object Streaming {
     */
   def ivfIngestBatch(batch: DataFrame, indexPath: String, epochId: Long): Unit = {
     val s = batch.sparkSession
+    // Empty micro-batches are a normal streaming occurrence (batch 0
+    // before data arrives, restarts). Skipping one is safe — a replay
+    // of a skipped empty epoch is empty again — but BOOTSTRAPPING from
+    // one is not: a zero-point quantizer would freeze with no
+    // centroids and silently drop every later vector. Defer the
+    // bootstrap to the first non-empty trigger.
+    if (batch.isEmpty) return
     val prior = graft.operators.Similarity.committedIngestEpochs(s, indexPath)
     if (prior.contains(epochId)) return // replayed epoch — no-op
     val v = graft.operators.Similarity.committedIngestVersion(s, indexPath)

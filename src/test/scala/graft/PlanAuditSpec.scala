@@ -14,6 +14,31 @@ class PlanAuditSpec extends AnyFunSuite {
   private def executedPlan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Flatten a physical tree, unwrapping AQE-planned subtrees (the
+    * adaptive wrapper hides the real scans behind query stages).
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.inputPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case _ => Seq.empty
+    }
+    p +: (p.children.flatMap(allNodes) ++ inner)
+  }
+
+  /** Every file scan in a physical tree whose root path contains one
+    * of `frags` — the probe the partition-pruning audits share.
+    */
+  private def fileScans(pp: org.apache.spark.sql.execution.SparkPlan, frags: String*)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    allNodes(pp).collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(p =>
+            frags.exists(p.toString.contains)) => sc
+    }
+
   test("stream_interval_join is an equi-join on user, not a cartesian") {
     val plan = executedPlan("stream_interval_join")
     assert(!plan.toLowerCase.contains("cartesian"),
@@ -389,24 +414,9 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("stream_bm25_gate postings scans carry the literal bucket partition filter (no full-index read per trigger)") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val pp = SparkEntry.queries("stream_bm25_gate")(spark, sf)
       .queryExecution.executedPlan
-    // AQE wraps the physical tree; unwrap adaptively-planned subtrees
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => allNodes(a.inputPlan)
-        case q: QueryStageExec => allNodes(q.plan)
-        case _ => Seq.empty
-      }
-      p +: (p.children.flatMap(allNodes) ++ inner)
-    }
-    val postingScans = allNodes(pp).collect {
-      case sc: FileSourceScanExec
-          if sc.relation.location.rootPaths.exists(p =>
-            p.toString.contains("/delta_v") || p.toString.contains("/compact_v")) => sc
-    }
+    val postingScans = fileScans(pp, "/delta_v", "/compact_v")
     assert(postingScans.nonEmpty, "no postings scan found in the gate plan")
     postingScans.foreach { sc =>
       assert(sc.partitionFilters.exists(_.references.exists(_.name == "bucket")),
@@ -430,25 +440,12 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("ann_ivfpq_exact: ONE plan carries literal cent_id partition pruning AND map-side ADC combine") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val pp = SparkEntry.queries("ann_ivfpq_exact")(spark, sf)
       .queryExecution.executedPlan
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => allNodes(a.inputPlan)
-        case q: QueryStageExec => allNodes(q.plan)
-        case _ => Seq.empty
-      }
-      p +: (p.children.flatMap(allNodes) ++ inner)
-    }
     // the IVF half: the codes scan must read ONLY the probed cells —
     // a plan-time PartitionFilter on cent_id (directory elimination;
     // the unprobed bulk of the index is never opened)
-    val codeScans = allNodes(pp).collect {
-      case sc: FileSourceScanExec
-          if sc.relation.location.rootPaths.exists(_.toString.contains("/pq/codes")) => sc
-    }
+    val codeScans = fileScans(pp, "/pq/codes")
     assert(codeScans.nonEmpty, "no PQ codes scan found in the serve plan")
     codeScans.foreach { sc =>
       assert(sc.partitionFilters.exists(_.references.exists(_.name == "cent_id")),
@@ -467,22 +464,9 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("ann_ivfpq_residual: probed-cell pruning and map-side combine survive the coarse-term rewrite") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val pp = SparkEntry.queries("ann_ivfpq_residual")(spark, sf)
       .queryExecution.executedPlan
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => allNodes(a.inputPlan)
-        case q: QueryStageExec => allNodes(q.plan)
-        case _ => Seq.empty
-      }
-      p +: (p.children.flatMap(allNodes) ++ inner)
-    }
-    val codeScans = allNodes(pp).collect {
-      case sc: FileSourceScanExec
-          if sc.relation.location.rootPaths.exists(_.toString.contains("/pqr/codes")) => sc
-    }
+    val codeScans = fileScans(pp, "/pqr/codes")
     assert(codeScans.nonEmpty, "no residual-PQ codes scan found in the serve plan")
     codeScans.foreach { sc =>
       assert(sc.partitionFilters.exists(_.references.exists(_.name == "cent_id")),
@@ -499,26 +483,13 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("stream_ivf_ingest: EVERY committed vdelta scan carries a literal cent_id PartitionFilter") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val pp = SparkEntry.queries("stream_ivf_ingest")(spark, sf)
       .queryExecution.executedPlan
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => allNodes(a.inputPlan)
-        case q: QueryStageExec => allNodes(q.plan)
-        case _ => Seq.empty
-      }
-      p +: (p.children.flatMap(allNodes) ++ inner)
-    }
     // the serve unions one scan per committed trigger; each must read
     // only the probed cells — directory elimination per delta, so the
     // unprobed bulk of the chain is never opened regardless of how
     // many triggers it absorbed
-    val deltaScans = allNodes(pp).collect {
-      case sc: FileSourceScanExec
-          if sc.relation.location.rootPaths.exists(_.toString.contains("/vdelta_")) => sc
-    }
+    val deltaScans = fileScans(pp, "/vdelta_")
     assert(deltaScans.size >= 4, s"expected one scan per trigger, got ${deltaScans.size}")
     deltaScans.foreach { sc =>
       assert(sc.partitionFilters.exists(_.references.exists(_.name == "cent_id")),

@@ -925,4 +925,141 @@ class StreamingSpec extends AnyFunSuite {
       Seq(s"$idx/vcompact_3", s"$idx/vdelta_4"),
       "reader must substitute the compacted base for the folded deltas")
   }
+
+  test("ivf ingest: an EMPTY first trigger never freezes an empty quantizer; bootstrap defers to the first data") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.Similarity
+    val idx = java.nio.file.Files.createTempDirectory("ivfeb").toString + "/index"
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    // batch 0 arrives empty (the standard batch-0-before-data and
+    // restart cases): nothing may be committed and ABOVE ALL no
+    // quantizer may be frozen from zero points
+    Streaming.ivfIngestBatch(empty, idx, epochId = 0L)
+    assert(Similarity.committedIngestVersion(spark, idx).isEmpty,
+      "empty trigger committed a version")
+    assert(!new java.io.File(s"$idx/centroids").exists(),
+      "empty trigger froze a zero-centroid quantizer")
+    // the first NON-empty trigger bootstraps; a later empty one is a
+    // harmless skip; data after that is still absorbed
+    val vecs = (0L until 16L).map { i =>
+      (i, Seq.tabulate(16)(j => math.sin(i * 11.0 + j * 3.0).toFloat))
+    }
+    Streaming.ivfIngestBatch(vecs.take(8).toDF("vec_id", "embedding"), idx, 1L)
+    Streaming.ivfIngestBatch(empty, idx, epochId = 2L)
+    Streaming.ivfIngestBatch(vecs.drop(8).toDF("vec_id", "embedding"), idx, 3L)
+    assert(Similarity.committedIngestEpochs(spark, idx) == Set(1L, 3L))
+    val qs = vecs.take(2).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("query_id"),
+        graft.functions.Expr.quantVec(col("embedding")).as("qv"))
+    val served = Similarity.queryIvfStreamedIndex(spark, idx, qs).collect()
+    assert(served.nonEmpty, "vectors ingested after the empty trigger were dropped")
+  }
+
+  test("ivf compaction crash in the commit->retire window: the next maintenance pass re-retires the folded sources") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.Similarity
+    val vecs = (0L until 24L).map { i =>
+      (i, Seq.tabulate(16)(j => math.sin(i * 17.0 + j * 5.0).toFloat))
+    }
+    val idx = java.nio.file.Files.createTempDirectory("ivfcw").toString + "/index"
+    vecs.grouped(6).zipWithIndex.foreach { case (g, i) =>
+      Streaming.ivfIngestBatch(g.toDF("vec_id", "embedding"), idx, i.toLong)
+    }
+    Similarity.compactIvfIngest(spark, idx, graceMs = 60000L)
+    // simulate the compactor dying AFTER committing vcompact_3 but
+    // BEFORE retiring the folded sources: strip the markers
+    (0 to 3).foreach { k =>
+      new java.io.File(s"$idx/vdelta_$k/_RETIRED").delete()
+    }
+    // a repeat compaction finds nothing to fold but must still sweep
+    Similarity.compactIvfIngest(spark, idx, graceMs = 60000L)
+    (0 to 3).foreach { k =>
+      assert(new java.io.File(s"$idx/vdelta_$k/_RETIRED").exists(),
+        s"vdelta_$k leaked after a commit-window crash (compact pass)") }
+    // ...and so must vacuum, the other maintenance face
+    (0 to 3).foreach { k =>
+      new java.io.File(s"$idx/vdelta_$k/_RETIRED").delete()
+    }
+    Similarity.vacuumIvfIngest(spark, idx, graceMs = 60000L)
+    (0 to 3).foreach { k =>
+      assert(new java.io.File(s"$idx/vdelta_$k/_RETIRED").exists(),
+        s"vdelta_$k leaked after a commit-window crash (vacuum pass)") }
+    // a superseded OLDER vcompact (dead fold's leftovers) is swept too
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.schema(Similarity.ivfxCorpusSchema).parquet(s"$idx/vcompact_3")
+      .limit(1).write.partitionBy("cent_id").parquet(s"$idx/vcompact_1")
+    Similarity.vacuumIvfIngest(spark, idx, graceMs = 60000L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/vcompact_1/_RETIRED")),
+      "superseded older vcompact not retired")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/vcompact_3/_RETIRED")),
+      "the LIVE vcompact must never be retired")
+    // zero-grace vacuum (after the promised grace is also stripped for
+    // the test) physically deletes what it re-retired
+    (0 to 3).foreach { k =>
+      new java.io.File(s"$idx/vdelta_$k/_RETIRED").delete()
+    }
+    Similarity.vacuumIvfIngest(spark, idx, graceMs = 0L)
+    (0 to 3).foreach { k =>
+      assert(!new java.io.File(s"$idx/vdelta_$k").exists(),
+        s"vdelta_$k survived a zero-grace sweep") }
+    // serve still answers from the compacted base alone
+    val qs = vecs.take(2).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("query_id"),
+        graft.functions.Expr.quantVec(col("embedding")).as("qv"))
+    assert(Similarity.queryIvfStreamedIndex(spark, idx, qs).collect().nonEmpty)
+  }
+
+  test("ivf ingest torn-ledger read: a vstats dir without _SUCCESS is invisible and the genuine retry lands cleanly") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.Similarity
+    val vecs = (0L until 18L).map { i =>
+      (i, Seq.tabulate(16)(j => math.sin(i * 23.0 + j * 7.0).toFloat))
+    }
+    val idx = java.nio.file.Files.createTempDirectory("ivftl").toString + "/index"
+    vecs.grouped(6).zipWithIndex.foreach { case (g, i) =>
+      Streaming.ivfIngestBatch(g.toDF("vec_id", "embedding"), idx, i.toLong)
+    }
+    assert(Similarity.committedIngestVersion(spark, idx).contains(2))
+    val qs = vecs.take(2).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("query_id"),
+        graft.functions.Expr.quantVec(col("embedding")).as("qv"))
+    def serve() = Similarity.queryIvfStreamedIndex(spark, idx, qs)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val before = serve()
+    // writer died INSIDE the vstats_3 write: delta present, stats
+    // parquet present, _SUCCESS missing — a torn ledger. Readers must
+    // resolve version 2 and the old epoch set; the serve is unchanged.
+    Seq((300L, Seq.fill(16)(1.5f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.Expr.quantVec(col("embedding")).as("cv"),
+        lit(0L).as("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$idx/vdelta_3")
+    Seq((1L, Seq(0L, 1L, 2L, 3L))).toDF("n_vecs", "epochs")
+      .write.mode("overwrite").parquet(s"$idx/vstats_3")
+    new java.io.File(s"$idx/vstats_3/_SUCCESS").delete()
+    assert(Similarity.committedIngestVersion(spark, idx).contains(2),
+      "torn vstats became the committed version")
+    assert(Similarity.committedIngestEpochs(spark, idx) == Set(0L, 1L, 2L),
+      "epochs read from a torn ledger")
+    assert(serve() == before)
+    // the genuine retry of epoch 3 overwrites BOTH torn halves and
+    // commits atomically; a replay after that is a no-op
+    val extra = (400L until 404L).map { i =>
+      (i, Seq.tabulate(16)(j => math.cos(i * 3.0 + j * 13.0).toFloat))
+    }
+    Streaming.ivfIngestBatch(extra.toDF("vec_id", "embedding"), idx, epochId = 3L)
+    assert(Similarity.committedIngestVersion(spark, idx).contains(3))
+    assert(Similarity.committedIngestEpochs(spark, idx) == Set(0L, 1L, 2L, 3L))
+    val d3 = spark.read.schema(Similarity.ivfxCorpusSchema).parquet(s"$idx/vdelta_3")
+    assert(d3.filter(col("vec_id") === 300L).count() == 0,
+      "retry did not overwrite the torn delta")
+    assert(d3.count() == 4)
+    Streaming.ivfIngestBatch(extra.toDF("vec_id", "embedding"), idx, epochId = 3L)
+    assert(Similarity.committedIngestVersion(spark, idx).contains(3),
+      "replayed epoch re-ingested after the torn-ledger recovery")
+  }
 }
