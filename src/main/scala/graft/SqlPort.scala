@@ -1831,6 +1831,53 @@ object SqlPort {
          |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
 
+    // stream_ivf_gate: Spark-dialect image of Streaming.streamIvfGateSql
+    // — quantizer sampled from the indexed slice (vec_id % 7 <> 3),
+    // slice assignment under it, per-incoming probe of the nearest
+    // cells, best-match dot, frozen-threshold verdict.
+    "stream_ivf_gate" -> {
+      val th = streaming.Streaming.IVF_GATE_THRESHOLD
+      s"""WITH e AS (SELECT vec_id,
+         |    transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -256D), 256D) * 1e6) AS BIGINT)) AS cv
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, cv FROM e WHERE vec_id % 7 <> 3),
+         |mm AS (SELECT greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM b),
+         |cents AS (SELECT vec_id AS cent_id, cv AS cvec FROM b CROSS JOIN mm
+         |  WHERE CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % m = 0),
+         |ad AS (SELECT b.vec_id, b.cv, c.cent_id,
+         |    CAST(aggregate(zip_with(b.cv, c.cvec, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cdot
+         |  FROM b CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cv, cent_id FROM (
+         |    SELECT vec_id, cv, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rn
+         |    FROM ad) t WHERE rn = 1),
+         |inc AS (SELECT vec_id AS in_id, cv AS qv FROM e WHERE vec_id % 7 = 3),
+         |pd AS (SELECT i.in_id, i.qv, c.cent_id,
+         |    CAST(aggregate(zip_with(i.qv, c.cvec, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cdot
+         |  FROM inc i CROSS JOIN cents c),
+         |probes AS (SELECT in_id, qv, cent_id FROM (
+         |    SELECT in_id, qv, cent_id,
+         |      row_number() OVER (PARTITION BY in_id ORDER BY cdot DESC, cent_id) AS rn
+         |    FROM pd) t WHERE rn <= ${operators.Similarity.IVFX_NPROBE}),
+         |sc AS (SELECT p.in_id, a.vec_id AS match_id,
+         |    CAST(aggregate(zip_with(p.qv, a.cv, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, z) -> acc + z) AS BIGINT) AS qdot
+         |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id),
+         |best AS (SELECT in_id, match_id, qdot,
+         |    row_number() OVER (PARTITION BY in_id ORDER BY qdot DESC, match_id) AS rn
+         |  FROM sc)
+         |SELECT i.in_id AS vec_id,
+         |  COALESCE(b.match_id, CAST(-1 AS BIGINT)) AS best_match,
+         |  COALESCE(b.qdot, CAST(0 AS BIGINT)) AS qdot,
+         |  CASE WHEN COALESCE(b.qdot, CAST(0 AS BIGINT)) >= ${th}L THEN 'dup_suspect'
+         |       ELSE 'pass' END AS verdict
+         |FROM (SELECT in_id FROM inc) i
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (in_id)
+         |ORDER BY vec_id""".stripMargin
+    },
+
     // rag_context_pack: same scoring chain as bm25_retrieval's port,
     // candidate cut at 16 then the budget running sum.
     "rag_context_pack" -> {

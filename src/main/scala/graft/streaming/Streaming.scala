@@ -925,6 +925,139 @@ object Streaming {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --- stream_ivf_gate: ANN-scored ingest gate -------------------------
+  // The vector mirror of stream_bm25_gate: each incoming embedding is
+  // probed against the PERSISTED streamed IVF index (the corpus
+  // already ingested) and routed dup_suspect / pass on its best
+  // match's int64 dot — dedup_embedding's production shape, applied at
+  // ingest time instead of over the full corpus. Per-incoming-vector
+  // cost is bounded by the probed cells (IVFX_NPROBE directories out
+  // of the whole chain, literal cent_id PartitionFilters on every
+  // committed segment), so a trigger's cost tracks the BATCH and the
+  // average cell size, never how much corpus the index has absorbed.
+  // All scoring state is static (frozen quantizer + committed chain),
+  // so per-doc verdicts are trigger-partitioning-invariant: the
+  // foreachBatch union over any split equals the batch twin, which is
+  // DuckDB-gated (the stream_bm25_gate construction).
+
+  /** Frozen dup threshold: qdot ≈ cosine·1e12 on the unit-norm
+    * quantized embeddings (the dedup_semantic_keep idiom — that
+    * operator keeps ABOVE 0.30; the gate flags suspects at 0.40, the
+    * generator corpus's top-quartile nearest-neighbor band).
+    */
+  private[graft] val IVF_GATE_THRESHOLD = 400000000000L
+
+  /** Score an incoming (vec_id, embedding) frame against a persisted
+    * streamed IVF index: one row per incoming vector with its best
+    * indexed match and the routing verdict. Probe-cell selection is a
+    * broadcast argmax against the frozen quantizer; the probed set is
+    * collected to LITERALS (≤ |batch| × IVFX_NPROBE cells,
+    * metadata-sized) so every committed chain segment scans with a
+    * plan-time cent_id PartitionFilter; in-cell scoring is the
+    * codegen'd long-dot kernel; top-1 is the bounded-heap TopK.
+    */
+  def ivfGateBatch(vecs: DataFrame, indexPath: String): DataFrame = {
+    val s = vecs.sparkSession
+    import graft.operators.Similarity
+    val v = Similarity.committedIngestVersion(s, indexPath).getOrElse(
+      throw new IllegalStateException(s"no committed streamed ivf index at $indexPath"))
+    val cents = s.read.schema(Similarity.ivfxCentSchema)
+      .parquet(s"$indexPath/centroids")
+    val q = vecs.select(col("vec_id").as("in_id"),
+      graft.functions.Expr.quantVec(col("embedding")).as("qv"))
+    val probes = graft.plans.TopK.topKPerGroup(
+        q.crossJoin(broadcast(cents))
+          .select(col("in_id"), col("qv"), col("cent_id"),
+            graft.functions.Expr.longDot(col("qv"), col("cvec")).as("cdot")),
+        Seq("in_id"), Seq(("cdot", true), ("cent_id", false)),
+        Similarity.IVFX_NPROBE)
+      .select(col("in_id"), col("qv"), col("cent_id"))
+    val probedCells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    val indexed = Similarity.ingestReadRoots(s, indexPath, v)
+      .map(r => s.read.schema(Similarity.ivfxCorpusSchema).parquet(r)
+        .filter(col("cent_id").isin(probedCells: _*)))
+      .reduce(_ unionByName _)
+    val scored = indexed.join(broadcast(probes), Seq("cent_id"))
+      .select(col("in_id"), col("vec_id").as("match_id"),
+        graft.functions.Expr.longDot(col("qv"), col("cv")).as("qdot"))
+    val best = graft.plans.TopK.topKPerGroup(scored, Seq("in_id"),
+      Seq(("qdot", true), ("match_id", false)), 1)
+    vecs.select(col("vec_id"))
+      .join(broadcast(best), col("vec_id") === col("in_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("match_id"), lit(-1L)).as("best_match"),
+        coalesce(col("qdot"), lit(0L)).as("qdot"))
+      .withColumn("verdict",
+        when(col("qdot") >= IVF_GATE_THRESHOLD, lit("dup_suspect"))
+          .otherwise(lit("pass")))
+  }
+
+  /** stream_ivf_gate: the oracle-gated batch twin — ingest the
+    * vec_id % 7 <> 3 corpus slice into the streamed chain (one
+    * trigger; the quantizer freezes over that slice), gate the
+    * held-out % 7 = 3 slice as the incoming stream.
+    */
+  val streamIvfGate: Q = (s, d) => {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_ivfg_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + ProcessHandle.current().pid()
+    ingestedIvf.computeIfAbsent(path, { _ =>
+      graft.operators.Similarity.clearIvfIngestRoot(s, path)
+      ivfIngestBatch(
+        Tables.embeddings(s, d).filter(col("vec_id") % 7 =!= 3)
+          .select(col("vec_id"), col("embedding")), path, epochId = 0L)
+    })
+    ivfGateBatch(
+      Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id"), col("embedding")), path)
+      .orderBy(col("vec_id"))
+  }
+
+  /** The gate recomputed in SQL: quantizer md5-sampled from the
+    * indexed slice, slice assignment under it, per-incoming probe of
+    * the IVFX_NPROBE nearest cells, best-match dot, frozen-threshold
+    * verdict.
+    */
+  val streamIvfGateSql: String = {
+    import graft.operators.Similarity.IVFX_NPROBE
+    s"""WITH e AS (SELECT vec_id,
+       |    [CAST(floor(least(greatest(x, -256), 256)*1e6) AS BIGINT) FOR x IN embedding] AS cv
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, cv FROM e WHERE vec_id % 7 <> 3),
+       |mm AS (SELECT greatest(1, CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM b),
+       |cents AS (SELECT vec_id AS cent_id, cv AS cvec FROM b, mm
+       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % m = 0),
+       |ad AS (SELECT b.vec_id, b.cv, c.cent_id,
+       |    CAST(list_sum([b.cv[i] * c.cvec[i] FOR i IN range(1, len(b.cv) + 1)]) AS BIGINT) AS cdot
+       |  FROM b CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, cv, cent_id FROM (
+       |    SELECT vec_id, cv, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rn
+       |    FROM ad) t WHERE rn = 1),
+       |inc AS (SELECT vec_id AS in_id, cv AS qv FROM e WHERE vec_id % 7 = 3),
+       |pd AS (SELECT i.in_id, i.qv, c.cent_id,
+       |    CAST(list_sum([i.qv[k] * c.cvec[k] FOR k IN range(1, len(i.qv) + 1)]) AS BIGINT) AS cdot
+       |  FROM inc i CROSS JOIN cents c),
+       |probes AS (SELECT in_id, qv, cent_id FROM (
+       |    SELECT in_id, qv, cent_id,
+       |      row_number() OVER (PARTITION BY in_id ORDER BY cdot DESC, cent_id) AS rn
+       |    FROM pd) t WHERE rn <= $IVFX_NPROBE),
+       |sc AS (SELECT p.in_id, a.vec_id AS match_id,
+       |    CAST(list_sum([p.qv[k] * a.cv[k] FOR k IN range(1, len(a.cv) + 1)]) AS BIGINT) AS qdot
+       |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id),
+       |best AS (SELECT in_id, match_id, qdot,
+       |    row_number() OVER (PARTITION BY in_id ORDER BY qdot DESC, match_id) AS rn
+       |  FROM sc)
+       |SELECT i.in_id AS vec_id,
+       |  COALESCE(b.match_id, CAST(-1 AS BIGINT)) AS best_match,
+       |  COALESCE(b.qdot, CAST(0 AS BIGINT)) AS qdot,
+       |  CASE WHEN COALESCE(b.qdot, 0) >= $IVF_GATE_THRESHOLD THEN 'dup_suspect'
+       |       ELSE 'pass' END AS verdict
+       |FROM (SELECT in_id FROM inc) i
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (in_id)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** The streamed IVF chain recomputed in SQL: quantizer sampled from
     * the first trigger's slice (vec_id % 4 = 0), full-corpus
     * assignment under it, standard probe-and-rank serve — the state of
@@ -969,6 +1102,7 @@ object Streaming {
     "stream_bm25_ingest" -> streamBm25Ingest,
     "stream_ivf_ingest" -> streamIvfIngest,
     "stream_ivf_compact" -> streamIvfCompact,
+    "stream_ivf_gate" -> streamIvfGate,
     "stream_bm25_gate" -> streamBm25Gate,
     "stream_quality_gate" -> streamQualityGate,
     "stream_upsert_sink" -> streamUpsertSink,
@@ -982,6 +1116,7 @@ object Streaming {
     "stream_bm25_ingest" -> graft.operators.TrainOps5.bm25RetrievalSql,
     "stream_ivf_ingest" -> streamIvfIngestSql,
     "stream_ivf_compact" -> streamIvfIngestSql,
+    "stream_ivf_gate" -> streamIvfGateSql,
     "stream_bm25_gate" -> streamBm25GateSql,
     "stream_quality_gate" -> streamQualityGateSql,
     "stream_upsert_sink" -> streamUpsertSinkSql,

@@ -501,6 +501,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerGroup"), "top-k must be the bounded-heap operator")
   }
 
+  test("stream_ivf_gate: every committed chain scan carries a literal cent_id PartitionFilter; probes broadcast") {
+    val pp = SparkEntry.queries("stream_ivf_gate")(spark, sf)
+      .queryExecution.executedPlan
+    // the gate reads only the probed cells of each committed segment —
+    // directory elimination at plan time, so a trigger's cost tracks
+    // the batch and the probed-cell mass, never the whole index
+    val chainScans = fileScans(pp, "/vdelta_", "/vcompact_")
+    assert(chainScans.nonEmpty, "no chain scan found in the gate plan")
+    chainScans.foreach { sc =>
+      assert(sc.partitionFilters.exists(_.references.exists(_.name == "cent_id")),
+        s"chain scan without a cent_id PartitionFilter — the trigger reads " +
+          s"the whole index:\n${sc.toString.take(600)}")
+    }
+    val plan = pp.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"gate serve must not sort-merge (probes are batch-sized broadcasts):\n${plan.take(1500)}")
+    assert(plan.contains("long_dot_product"), "scoring must be the codegen'd kernel")
+    assert(plan.contains("TopKPerGroup"), "top-1 must be the bounded-heap operator")
+  }
+
   test("corpus_diff: full-outer SMJ keyed on doc_id carries hashed fixed-width rows, never text") {
     val plan = executedPlan("corpus_diff")
     assert(plan.contains("SortMergeJoin [doc_id") && plan.contains("FullOuter"),

@@ -1012,6 +1012,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(Similarity.queryIvfStreamedIndex(spark, idx, qs).collect().nonEmpty)
   }
 
+  test("ivf gate scores each trigger against the static index; union over triggers equals the batch twin") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    // indexed corpus: 20 UNIT-NORM vectors (the embeddings-table
+    // contract; self-dot is then the strict maximum, so a verbatim
+    // copy's best match is deterministic) ingested once through the
+    // streamed protocol (the gate probes the committed chain)
+    val corpus = (0L until 20L).map { i =>
+      val raw = Array.tabulate(16)(j => math.sin(i * 7.0 + j * 3.0))
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      (i, raw.map(x => (x / norm).toFloat).toSeq)
+    }
+    val idx = java.nio.file.Files.createTempDirectory("ivfg").toString + "/index"
+    Streaming.ivfIngestBatch(corpus.toDF("vec_id", "embedding"), idx, 0L)
+    val incoming = Seq(
+      (100L, corpus(5)._2),                                  // verbatim re-ingest
+      // near-zero magnitude: every int64 dot is ≤ 16·10³·10⁶ — five
+      // orders below the threshold, so "pass" is deterministic
+      (101L, Seq.fill(16)(1e-3f)),
+      (102L, corpus(11)._2.map(x => x + 1e-4f)))             // near-dup
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = Streaming.ivfGateBatch(batch.toDF(), idx).collect()
+        buf.synchronized { buf ++= rows }
+        ()
+      }.start()
+    try {
+      mem.addData(incoming.take(1): _*); q.processAllAvailable()
+      mem.addData(incoming.drop(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    def canon(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val streamed = canon(buf.toSeq)
+    val batchTwin = canon(
+      Streaming.ivfGateBatch(incoming.toDF("vec_id", "embedding"), idx).collect().toSeq)
+    assert(streamed == batchTwin, s"\nstream: $streamed\nbatch:  $batchTwin")
+    val verdicts = streamed.map(t => t._1 -> t._4).toMap
+    assert(verdicts(100L) == "dup_suspect", "a verbatim re-ingest must be flagged")
+    assert(verdicts(102L) == "dup_suspect", "a near-identical vector must be flagged")
+    assert(verdicts(101L) == "pass")
+    val matches = streamed.map(t => t._1 -> t._2).toMap
+    assert(matches(100L) == 5L, "the copy's best match is its indexed original")
+    assert(matches(102L) == 11L)
+  }
+
   test("ivf ingest torn-ledger read: a vstats dir without _SUCCESS is invisible and the genuine retry lands cleanly") {
     val spark2 = spark
     import spark2.implicits._
