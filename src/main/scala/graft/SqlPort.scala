@@ -2755,10 +2755,10 @@ object SqlPort {
   /** One per-subspace Lloyd round of the ann_pq_trained port. */
   private def pqtRoundSpark(i: Int): String = {
     val prev = s"pc${i - 1}"
-    s"""pa${i}p AS (SELECT sub.vec_id, sub.s, sub.sv, c.code_id,
-       |    CAST(aggregate(zip_with(c.cw, sub.sv, (cc, sx) -> cc * cc - 2 * sx * cc),
+    s"""pa${i}p AS (SELECT subt.vec_id, subt.s, subt.sv, c.code_id,
+       |    CAST(aggregate(zip_with(c.cw, subt.sv, (cc, sx) -> cc * cc - 2 * sx * cc),
        |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS cost
-       |  FROM sub JOIN $prev c ON c.s = sub.s),
+       |  FROM subt JOIN $prev c ON c.s = subt.s),
        |pa$i AS (SELECT vec_id, s, sv, code_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
        |      ORDER BY cost, code_id) AS rn FROM pa${i}p) t WHERE rn = 1),
@@ -2782,6 +2782,9 @@ object SqlPort {
        |sub AS (SELECT vec_id, s,
        |    transform(slice(cv, s * 8 + 1, 8), x -> x + CAST($off AS BIGINT)) AS sv
        |  FROM e LATERAL VIEW explode(sequence(0, 7)) t AS s),
+       |tm AS (SELECT greatest(CAST(1 AS BIGINT), (count(*) + ${operators.Similarity.TRAIN_CAP - 1}) DIV ${operators.Similarity.TRAIN_CAP}) AS t FROM e),
+       |subt AS (SELECT sub.* FROM sub CROSS JOIN tm
+       |  WHERE CAST(conv(substr(md5(concat('t:', CAST(vec_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % t = 0),
        |pc0 AS (SELECT sub.s, sub.vec_id AS code_id, sub.sv AS cw
        |  FROM sub CROSS JOIN pmm
        |  WHERE CAST(conv(substr(md5(CAST(sub.vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % m = 0),
@@ -2915,10 +2918,13 @@ object SqlPort {
          |    transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -1D), 1D) * 1e6) AS BIGINT)
          |      + CAST(1000000 AS BIGINT)) AS kv
          |  FROM embeddings),
-         |v AS (SELECT vec_id, kv,
+         |va AS (SELECT vec_id, kv,
          |    CAST(aggregate(zip_with(kv, kv, (x, y) -> x * y),
          |      CAST(0 AS BIGINT), (acc, p) -> acc + p) AS BIGINT) AS vv
          |  FROM e),
+         |tm AS (SELECT greatest(CAST(1 AS BIGINT), (count(*) + ${operators.Similarity.TRAIN_CAP - 1}) div ${operators.Similarity.TRAIN_CAP}) AS t FROM va),
+         |v AS (SELECT va.* FROM va CROSS JOIN tm
+         |  WHERE CAST(conv(substr(md5(concat('t:', CAST(vec_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % t = 0),
          |mm AS (SELECT greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM v),
          |c0 AS (SELECT vec_id AS cent_id, kv AS cvec FROM v CROSS JOIN mm
          |  WHERE CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % m = 0),
@@ -3137,8 +3143,11 @@ object SqlPort {
          |      ORDER BY cost, cent_id) AS rn FROM a1p) t WHERE rn = 1),
          |tr AS (SELECT CAST(max(nv) AS BIGINT) AS mx, CAST(sum(nv) AS BIGINT) AS tot
          |  FROM (SELECT cent_id, count(*) AS nv FROM a1 GROUP BY cent_id) t),
+         |tmc AS (SELECT greatest(CAST(1 AS BIGINT), (count(*) + ${operators.Similarity.TRAIN_CAP - 1}) DIV ${operators.Similarity.TRAIN_CAP}) AS t FROM v),
+         |a1t AS (SELECT a1.* FROM a1 CROSS JOIN tmc
+         |  WHERE CAST(conv(substr(md5(concat('t:', CAST(vec_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % t = 0),
          |s1 AS (SELECT cent_id, dim, sum(x) AS sx, count(*) AS c
-         |  FROM a1 LATERAL VIEW posexplode(kv) t AS dim, x
+         |  FROM a1t LATERAL VIEW posexplode(kv) t AS dim, x
          |  GROUP BY cent_id, dim),
          |cm1 AS (SELECT cent_id,
          |    transform(array_sort(collect_list(named_struct('dim', dim, 'mean', sx DIV c))), z -> z.mean) AS cvec
@@ -3146,7 +3155,7 @@ object SqlPort {
          |em1 AS (SELECT cent_id, row_number() OVER (ORDER BY cent_id) AS rn
          |  FROM (SELECT cent_id FROM c0 EXCEPT SELECT cent_id FROM cm1) t),
          |fa1 AS (SELECT kv, row_number() OVER (ORDER BY (vv + cost) DESC, vec_id) AS rn
-         |  FROM a1),
+         |  FROM a1t),
          |c1 AS (SELECT cent_id, cvec FROM cm1
          |  UNION ALL SELECT e.cent_id, f.kv AS cvec
          |  FROM em1 e JOIN fa1 f ON f.rn = e.rn),

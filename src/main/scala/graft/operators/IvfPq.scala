@@ -287,11 +287,21 @@ object IvfPq {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), Expr.quantVec(col("embedding")).as("cv"))
       .localCheckpoint(true)
-    val m = Similarity.pqModulus(e.count())
+    val n = e.count()
+    val m = Similarity.pqModulus(n)
     val sub = pqtSubvectors(e).localCheckpoint(true)
     val seeds = sub.filter(Similarity.md5Mod(col("vec_id"), m) === 0)
       .select(col("s"), col("vec_id").as("code_id"), col("sv").as("cw"))
-    val cb = pqTrain(sub, seeds)
+    // Lloyd TRAINING runs on the md5-bounded vector sample
+    // (Similarity.TRAIN_CAP — per-round cost ≤ cap×M×K at any corpus
+    // size; modulus 1 below the cap, so small-scale codebooks are
+    // unchanged); the ENCODE pass below still assigns the full corpus
+    // — that is the one-shot index build, linear by nature.
+    val tm = Similarity.trainMod(n)
+    val subT = (if (tm == 1L) sub
+                else sub.filter(Similarity.md5TrainMod(col("vec_id"), tm) === 0)
+                  .localCheckpoint(true))
+    val cb = pqTrain(subT, seeds)
     // encode in offset space (assignment is translation-invariant)
     val cost = Expr.longDot(col("cw"), col("cw")) -
       lit(2L) * Expr.longDot(col("sv"), col("cw"))
@@ -324,10 +334,10 @@ object IvfPq {
   private def pqtRoundSql(i: Int): String = {
     val prev = s"pc${i - 1}"
     val SUBD = Similarity.PQ_SUBD
-    s"""pa${i}p AS (SELECT sub.vec_id, sub.s, sub.sv, c.code_id,
-       |    CAST(list_sum([c.cw[j]*c.cw[j] - 2*sub.sv[j]*c.cw[j]
+    s"""pa${i}p AS (SELECT subt.vec_id, subt.s, subt.sv, c.code_id,
+       |    CAST(list_sum([c.cw[j]*c.cw[j] - 2*subt.sv[j]*c.cw[j]
        |      FOR j IN range(1, $SUBD + 1)]) AS BIGINT) AS cost
-       |  FROM sub JOIN $prev c ON c.s = sub.s),
+       |  FROM subt JOIN $prev c ON c.s = subt.s),
        |pa$i AS (SELECT vec_id, s, sv, code_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
        |      ORDER BY cost, code_id) AS rn FROM pa${i}p) t WHERE rn = 1),
@@ -350,6 +360,9 @@ object IvfPq {
        |sub AS (SELECT vec_id, s,
        |    [x + $PQT_OFF FOR x IN cv[s*$PQ_SUBD+1 : s*$PQ_SUBD+$PQ_SUBD]] AS sv
        |  FROM e CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS s)),
+       |tm AS (SELECT greatest(1, (count(*) + ${Similarity.TRAIN_CAP - 1}) // ${Similarity.TRAIN_CAP}) AS t FROM e),
+       |subt AS (SELECT sub.* FROM sub, tm
+       |  WHERE CAST(concat('0x', substr(md5(concat('t:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % t = 0),
        |pc0 AS (SELECT s.s, s.vec_id AS code_id, s.sv AS cw
        |  FROM sub s, pmm
        |  WHERE CAST(concat('0x', substr(md5(CAST(s.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % m = 0),

@@ -121,10 +121,19 @@ object Retrain {
   }
 
   val kmeansTrain: Q = (s, d) => {
-    val v = Tables.embeddings(s, d)
+    val v0 = Tables.embeddings(s, d)
       .select(col("vec_id"), kq(col("embedding")).as("kv"))
       .withColumn("vv", Expr.longDot(col("kv"), col("kv")))
       .localCheckpoint(true)
+    // TRAINING runs on the md5-bounded sample (Similarity.TRAIN_CAP):
+    // per-round cost is ≤ cap×K at any corpus size — below the cap the
+    // modulus is 1 and the sample is the whole corpus, so small-scale
+    // trajectories are unchanged. K ≈ √(sample size), the same
+    // sample-as-seed geometry applied to the bounded set.
+    val tm = Similarity.trainMod(v0.count())
+    val v = (if (tm == 1L) v0
+             else v0.filter(Similarity.md5TrainMod(col("vec_id"), tm) === 0)
+               .localCheckpoint(true))
     val n = v.count()
     val m = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
     var cents = v.filter(md5Mod(col("vec_id"), lit(m)) === 0)
@@ -235,9 +244,12 @@ object Retrain {
        |    [CAST(floor(least(greatest(CAST(x AS DOUBLE), -1), 1) * 1e6) AS BIGINT)
        |       + $KM_OFFSET FOR x IN embedding] AS kv
        |  FROM embeddings),
-       |v AS (SELECT vec_id, kv,
+       |va AS (SELECT vec_id, kv,
        |    CAST(list_sum([kv[j]*kv[j] FOR j IN range(1, len(kv) + 1)]) AS BIGINT) AS vv
        |  FROM e),
+       |tm AS (SELECT greatest(1, (count(*) + ${Similarity.TRAIN_CAP - 1}) // ${Similarity.TRAIN_CAP}) AS t FROM va),
+       |v AS (SELECT va.* FROM va, tm
+       |  WHERE CAST(concat('0x', substr(md5(concat('t:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % t = 0),
        |mm AS (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM v),
        |c0 AS (SELECT vec_id AS cent_id, kv AS cvec FROM v, mm
        |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % m = 0),
@@ -448,8 +460,17 @@ object Retrain {
       .agg(max(col("nv")).as("mx"), sum(col("nv")).as("tot")).collect()(0)
     val (mx, tot) = (trig.getLong(0), trig.getLong(1))
     val fired = mx * kBefore > 8L * tot
-    // REBUILD: one Lloyd round — means + farthest-point re-seed
-    val means = a1
+    // REBUILD: one Lloyd round — means + farthest-point re-seed — over
+    // the md5-bounded TRAINING sample (Similarity.TRAIN_CAP; modulus 1
+    // below the cap, so small-scale records are unchanged). The
+    // trigger pass above and the regrade serve below stay full-corpus:
+    // measurement and serve are linear one-pass by nature; only the
+    // quantizer re-training is bounded (the FAISS posture).
+    val tm = Similarity.trainMod(n)
+    val a1t = (if (tm == 1L) a1
+               else a1.filter(Similarity.md5TrainMod(col("vec_id"), tm) === 0)
+                 .localCheckpoint(true))
+    val means = a1t
       .select(col("cent_id"), posexplode(col("kv")).as(Seq("dim", "x")))
       .groupBy(col("cent_id"), col("dim"))
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
@@ -465,7 +486,7 @@ object Retrain {
     val c1 = (if (empties.isEmpty) means
       else {
         val far = TopK.topKPerGroup(
-            a1.select(lit(1L).as("g"), col("vec_id"), col("kv"),
+            a1t.select(lit(1L).as("g"), col("vec_id"), col("kv"),
               (col("vv") + col("cost")).as("dist")),
             Seq("g"), Seq(("dist", true), ("vec_id", false)), empties.length)
           .orderBy(col("dist").desc, col("vec_id"))
@@ -547,8 +568,11 @@ object Retrain {
        |      ORDER BY cost, cent_id) AS rn FROM a1p) t WHERE rn = 1),
        |tr AS (SELECT CAST(max(nv) AS BIGINT) AS mx, CAST(sum(nv) AS BIGINT) AS tot
        |  FROM (SELECT cent_id, count(*) AS nv FROM a1 GROUP BY cent_id) t),
+       |tmc AS (SELECT greatest(1, (count(*) + ${Similarity.TRAIN_CAP - 1}) // ${Similarity.TRAIN_CAP}) AS t FROM v),
+       |a1t AS (SELECT a1.* FROM a1, tmc
+       |  WHERE CAST(concat('0x', substr(md5(concat('t:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % t = 0),
        |x1 AS (SELECT cent_id, generate_subscripts(kv, 1) AS dim,
-       |    unnest(kv) AS x FROM a1),
+       |    unnest(kv) AS x FROM a1t),
        |s1 AS (SELECT cent_id, dim, sum(x) AS sx, count(*) AS c
        |  FROM x1 GROUP BY cent_id, dim),
        |cm1 AS (SELECT cent_id, list(sx // c ORDER BY dim) AS cvec
@@ -556,7 +580,7 @@ object Retrain {
        |em1 AS (SELECT cent_id, row_number() OVER (ORDER BY cent_id) AS rn
        |  FROM (SELECT cent_id FROM c0 EXCEPT SELECT cent_id FROM cm1) t),
        |fa1 AS (SELECT kv, row_number() OVER (ORDER BY (vv + cost) DESC, vec_id) AS rn
-       |  FROM a1),
+       |  FROM a1t),
        |c1 AS (SELECT cent_id, cvec FROM cm1
        |  UNION ALL SELECT e.cent_id, f.kv AS cvec
        |  FROM em1 e JOIN fa1 f ON f.rn = e.rn),

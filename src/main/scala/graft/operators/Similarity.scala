@@ -704,6 +704,33 @@ object Similarity {
   private[graft] def md5Mod(c: Column, m: Long): Column =
     pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long"), lit(m))
 
+  /** Hard cap on the points any Lloyd/codebook TRAINING pass may scan
+    * per round (the FAISS posture: quantizers train on a bounded
+    * sample, only the one-shot index ASSIGNMENT touches the full
+    * corpus). At 10^10 vectors an uncapped pass scores n×K pairs per
+    * round — the one superlinear training cost in the family; capped,
+    * per-round cost is ≤ TRAIN_CAP×K at any corpus size. Below the
+    * cap the modulus is 1 and the sample IS the corpus, so small-scale
+    * results are unchanged.
+    */
+  private[graft] val TRAIN_CAP = 65536L
+
+  /** Training-sample modulus: ceil(n / TRAIN_CAP) in exact integer
+    * arithmetic, so the kept ≈ n/mod points never exceed the cap.
+    */
+  private[graft] def trainMod(n: Long): Long =
+    math.max(1L, (n + TRAIN_CAP - 1L) / TRAIN_CAP)
+
+  /** Membership test for the training sample — md5 over a SALTED id
+    * ("t:" prefix) so the sample draw is independent of the md5Mod
+    * seed/donor draws on the bare id (sharing the hash would correlate
+    * the two moduli and skew the seed count whenever they share
+    * factors).
+    */
+  private[graft] def md5TrainMod(c: Column, m: Long): Column =
+    pmod(conv(substring(md5(concat(lit("t:"), c.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(m))
+
   private[graft] val ivfxCentSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "cent_id BIGINT, cvec ARRAY<BIGINT>")
   private[graft] val ivfxCorpusSchema = org.apache.spark.sql.types.StructType.fromDDL(
