@@ -1831,6 +1831,47 @@ object SqlPort {
          |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
 
+    // mm_phash_dedup: Spark-dialect image of MultiModal.mmPhashDedupSql
+    // — blocked md5-nibble fingerprint, banded candidates, star
+    // collapse. shiftleft/shiftright replace DuckDB's << >>; blen
+    // floor-div via DIV on non-negative operands.
+    "mm_phash_dedup" -> {
+      import operators.MultiModal.{PHASH_BLOCKS, PHASH_MAXDIFF}
+      val nibSum = (0 until PHASH_BLOCKS).map(i =>
+        s"shiftleft(CAST(conv(substr(md5(substring(t, $i*blen + 1, greatest(blen, 1))), 1, 1), 16, 10) AS BIGINT), ${4 * i})")
+        .mkString(" +\n         |    ")
+      val diffExpr = (0 until PHASH_BLOCKS).map(i =>
+        s"CASE WHEN (shiftrightunsigned(x.sig, ${4 * i}) & 15) <> (shiftrightunsigned(y.sig, ${4 * i}) & 15) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val diffAB = (0 until PHASH_BLOCKS).map(i =>
+        s"CASE WHEN (shiftrightunsigned(sig_a, ${4 * i}) & 15) <> (shiftrightunsigned(sig_b, ${4 * i}) & 15) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH m AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+         |par AS (SELECT doc_id, t,
+         |    greatest(CAST(1 AS BIGINT), (length(t) + ${PHASH_BLOCKS - 1}) DIV $PHASH_BLOCKS) AS blen FROM m),
+         |sig AS (SELECT doc_id,
+         |    $nibSum AS sig
+         |  FROM par),
+         |reps AS (SELECT sig, min(doc_id) AS rep, count(*) AS cnt FROM sig GROUP BY sig),
+         |bnd AS (SELECT sig, b AS band_idx, shiftrightunsigned(sig, CAST(b * 20 AS INT)) & 1048575 AS band_val
+         |  FROM reps LATERAL VIEW explode(array(0, 1, 2)) c AS b),
+         |sp AS (SELECT DISTINCT x.sig AS sig_a, y.sig AS sig_b
+         |  FROM bnd x JOIN bnd y ON x.band_idx = y.band_idx
+         |    AND x.band_val = y.band_val AND x.sig < y.sig
+         |  WHERE ($diffExpr) <= $PHASH_MAXDIFF),
+         |hp AS (SELECT sig_a, sig_b, CAST($diffAB AS INT) AS n_diff_blocks FROM sp),
+         |crossp AS (SELECT least(ra.rep, rb.rep) AS doc_a,
+         |    greatest(ra.rep, rb.rep) AS doc_b, hp.n_diff_blocks
+         |  FROM hp JOIN reps ra ON hp.sig_a = ra.sig
+         |          JOIN reps rb ON hp.sig_b = rb.sig),
+         |star AS (SELECT r.rep AS doc_a, s.doc_id AS doc_b, CAST(0 AS INT) AS n_diff_blocks
+         |  FROM sig s JOIN reps r ON s.sig = r.sig
+         |  WHERE r.cnt > 1 AND s.doc_id <> r.rep)
+         |SELECT doc_a, doc_b, n_diff_blocks
+         |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM star) u
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     // stream_ivf_gate: Spark-dialect image of Streaming.streamIvfGateSql
     // — quantizer sampled from the indexed slice (vec_id % 7 <> 3),
     // slice assignment under it, per-incoming probe of the nearest

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2C multimodal column plumbing.
@@ -202,11 +202,141 @@ object MultiModal {
       |  start_sample * 2 AS byte_off
       |FROM x ORDER BY doc_id, start_sample""".stripMargin
 
+  // --- mm_phash_dedup: perceptual-style payload near-dup --------------
+  // mm_metadata dedups media by EXACT payload hash; the dominant image
+  // duplicate class in training data is the near-identical payload
+  // (re-encode header tweaks, metadata edits, small localized patches).
+  // The production form is a pixel-domain pHash (decode → downscale →
+  // DCT → sign bits); the decode kernel is stubbed in this container,
+  // so this key gates the twin that needs no decoder: a BLOCKED
+  // byte-domain fingerprint with the pHash STRUCTURE — fixed grid of
+  // per-block features folded to a compact signature, near-dup =
+  // few differing grid cells — over the raw BINARY payload.
+  //
+  //   signature: the payload splits into PHASH_BLOCKS equal byte
+  //   ranges; each block contributes one md5 NIBBLE (first hex char
+  //   of the block's digest), packed into a 60-bit BIGINT — the
+  //   dedup_simhash_exact SIG_BITS discipline (15 nibbles stay inside
+  //   a positive int64 in both engines, no sign/shift edge).
+  //
+  //   candidates: the banded LSH shape shared by the dedup family —
+  //   PHASH_BANDS bands of 5 nibbles (20 bits); by pigeonhole a pair
+  //   with ≤ PHASH_MAXDIFF differing blocks shares at least one FULL
+  //   band, so banding is COMPLETE for the threshold, not heuristic.
+  //   Identical-signature groups collapse to rep→member stars (no
+  //   clique expansion on boilerplate-heavy corpora) and the
+  //   block-distance test runs INSIDE the band join, so only
+  //   qualifying pairs reach the distinct's shuffle. Scale: md5
+  //   nibbles are uniform, so band-collision volume is
+  //   n_distinct²·PHASH_BANDS/2²⁰ — ~3M candidate pairs at 1M
+  //   distinct payloads, each a fixed-width int64 compare.
+  //
+  // ASCII payload note (the mmMetadata convention): the fake media
+  // payload is document text cast to binary; the corpus is pure ASCII,
+  // so DuckDB's VARCHAR slicing sees the same bytes Spark's BINARY
+  // slicing does and the digests agree.
+  private[graft] val PHASH_BLOCKS = 15
+  private[graft] val PHASH_BANDS = 3 // 5 nibbles each
+  private[graft] val PHASH_MAXDIFF = 2 // ≤ 2 of 15 blocks differ
+
+  /** The 60-bit blocked fingerprint of a BINARY payload. */
+  private[graft] def phashSig(content: Column): Column = {
+    val blen = floor((length(content) + lit(PHASH_BLOCKS - 1)) / lit(PHASH_BLOCKS))
+      .cast("long")
+    (0 until PHASH_BLOCKS).map { i =>
+      val block = content.substr(lit(i.toLong) * blen + lit(1L), greatest(blen, lit(1L)))
+      shiftleft(conv(substring(md5(block), 1, 1), 16, 10).cast("long"), 4 * i)
+    }.reduce(_ + _)
+  }
+
+  /** Count of differing nibble blocks between two signatures. */
+  private def blockDiff(a: Column, b: Column): Column =
+    (0 until PHASH_BLOCKS).map { i =>
+      when(shiftrightunsigned(a, 4 * i).bitwiseAND(lit(15L)) =!=
+        shiftrightunsigned(b, 4 * i).bitwiseAND(lit(15L)), lit(1)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  val mmPhashDedup: Q = (s, d) =>
+    phashPairs(Tables.documents(s, d).select(col("doc_id"),
+      coalesce(col("text"), lit("")).cast("binary").as("content")))
+
+  /** The banded near-dup plan over any (doc_id, content BINARY) frame
+    * — factored so specs can sweep adversarial payload corpora.
+    */
+  private[graft] def phashPairs(media: DataFrame): DataFrame = {
+    val sigs = media
+      .select(col("doc_id"), phashSig(col("content")).as("sig"))
+      .localCheckpoint(true)
+    val reps = sigs.groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val banded = reps.select(col("sig"),
+        posexplode(array((0 until PHASH_BANDS).map(b =>
+          shiftrightunsigned(col("sig"), b * 20).bitwiseAND(lit(0xFFFFFL))): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val sigPairs = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.sig") < col("y.sig") &&
+          blockDiff(col("x.sig"), col("y.sig")) <= PHASH_MAXDIFF)
+      .select(col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+      .withColumn("n_diff_blocks", blockDiff(col("sig_a"), col("sig_b")))
+    val crossSig = sigPairs
+      .join(reps.select(col("sig").as("sig_a"), col("rep").as("rep_a")), "sig_a")
+      .join(reps.select(col("sig").as("sig_b"), col("rep").as("rep_b")), "sig_b")
+      .select(least(col("rep_a"), col("rep_b")).as("doc_a"),
+        greatest(col("rep_a"), col("rep_b")).as("doc_b"), col("n_diff_blocks"))
+    val star = sigs.join(reps.filter(col("cnt") > 1), "sig")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0).as("n_diff_blocks"))
+    crossSig.unionByName(star).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val mmPhashDedupSql: String = {
+    val nibSum = (0 until PHASH_BLOCKS).map(i =>
+      s"(CAST(concat('0x', substr(md5(substring(t, $i*blen + 1, greatest(blen, 1))), 1, 1)) AS BIGINT) << ${4 * i})")
+      .mkString(" +\n      |    ")
+    val diffExpr = (0 until PHASH_BLOCKS).map(i =>
+      s"CASE WHEN ((x.sig >> ${4 * i}) & 15) <> ((y.sig >> ${4 * i}) & 15) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val diffAB = (0 until PHASH_BLOCKS).map(i =>
+      s"CASE WHEN ((sig_a >> ${4 * i}) & 15) <> ((sig_b >> ${4 * i}) & 15) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH m AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+      |par AS (SELECT doc_id, t,
+      |    greatest(1, (length(t) + ${PHASH_BLOCKS - 1}) // $PHASH_BLOCKS) AS blen FROM m),
+      |sig AS (SELECT doc_id,
+      |    $nibSum AS sig
+      |  FROM par),
+      |reps AS (SELECT sig, min(doc_id) AS rep, count(*) AS cnt FROM sig GROUP BY sig),
+      |bnd AS (SELECT sig, b AS band_idx, (sig >> (b * 20)) & 1048575 AS band_val
+      |  FROM reps CROSS JOIN (SELECT unnest([0, 1, 2]) AS b) c),
+      |sp AS (SELECT DISTINCT x.sig AS sig_a, y.sig AS sig_b
+      |  FROM bnd x JOIN bnd y ON x.band_idx = y.band_idx
+      |    AND x.band_val = y.band_val AND x.sig < y.sig
+      |  WHERE ($diffExpr) <= $PHASH_MAXDIFF),
+      |hp AS (SELECT sig_a, sig_b, CAST($diffAB AS INT) AS n_diff_blocks FROM sp),
+      |crossp AS (SELECT least(ra.rep, rb.rep) AS doc_a,
+      |    greatest(ra.rep, rb.rep) AS doc_b, hp.n_diff_blocks
+      |  FROM hp JOIN reps ra ON hp.sig_a = ra.sig
+      |          JOIN reps rb ON hp.sig_b = rb.sig),
+      |star AS (SELECT r.rep AS doc_a, s.doc_id AS doc_b, CAST(0 AS INT) AS n_diff_blocks
+      |  FROM sig s JOIN reps r ON s.sig = r.sig
+      |  WHERE r.cnt > 1 AND s.doc_id <> r.rep)
+      |SELECT doc_a, doc_b, n_diff_blocks
+      |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM star) u
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_pipeline" -> mmPipeline,
     "mm_metadata" -> mmMetadata,
     "mm_frame_sample" -> mmFrameSample,
-    "mm_audio_window" -> mmAudioWindow)
+    "mm_audio_window" -> mmAudioWindow,
+    "mm_phash_dedup" -> mmPhashDedup)
 
   /** Decode kernel is a stub → mm_pipeline stays rows-only (n_bytes/
     * fmt asserted in MultiModalSpec); mm_metadata gates the
@@ -216,5 +346,6 @@ object MultiModal {
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> mmMetadataSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "mm_audio_window" -> mmAudioWindowSql)
+    "mm_audio_window" -> mmAudioWindowSql,
+    "mm_phash_dedup" -> mmPhashDedupSql)
 }

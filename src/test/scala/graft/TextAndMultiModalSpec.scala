@@ -119,6 +119,43 @@ class TextAndMultiModalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_phash_dedup adversarial sweep: localized patches caught, scattered edits and rewrites rejected, identical payloads star-collapse") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 150-byte base payload → 15 blocks of 10 bytes each
+    val base = (0 until 15).map(b => f"b$b%02dqwerty0").mkString
+    assert(base.length == 150)
+    def patch(s: String, at: Int, w: String): String =
+      s.substring(0, at) + w + s.substring(at + w.length)
+    val docs = Seq(
+      (0L, base),                                  // original
+      (1L, base),                                  // byte-identical re-upload
+      (2L, patch(base, 23, "ZZZ")),                // one block patched (block 2)
+      (3L, patch(patch(base, 53, "QQ"), 93, "WW")),// two blocks (5 and 9)
+      (4L, Seq(3, 43, 83, 123).foldLeft(base)((s, p) => patch(s, p, "K"))), // four scattered blocks
+      (5L, ("r" * 150)))                           // same length, full rewrite
+      .toDF("doc_id", "content0")
+      .select(col("doc_id"), col("content0").cast("binary").as("content"))
+    val pairs = graft.operators.MultiModal.phashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // identical payloads: star pair at distance 0
+    assert(pairs.contains((0L, 1L, 0)), s"star pair missing: $pairs")
+    // localized patches within the threshold: caught with the true
+    // block distance (md5 nibbles of the patched blocks differ here —
+    // fixed inputs, so the distances are deterministic)
+    assert(pairs.contains((0L, 2L, 1)), s"one-block patch not flagged: $pairs")
+    assert(pairs.contains((0L, 3L, 2)), s"two-block patch not flagged: $pairs")
+    // beyond the threshold: four scattered edits and a full rewrite
+    // must NOT pair with the original (or with each other)
+    val flagged = pairs.map(p => (p._1, p._2))
+    assert(!flagged.exists(p => p._1 == 4L || p._2 == 4L),
+      s"scattered-edit doc paired: $pairs")
+    assert(!flagged.exists(p => p._1 == 5L || p._2 == 5L),
+      s"rewritten doc paired: $pairs")
+    // the doc2/doc3 patches are disjoint: distance 3 > threshold
+    assert(!flagged.contains((2L, 3L)), s"distance-3 pair leaked: $pairs")
+  }
+
   test("etl_merge_upsert keeps one live row per key, none delete-marked") {
     val rows = graft.operators.EtlOps2.etlMergeUpsert(spark, sf).collect()
     assert(rows.nonEmpty)
