@@ -86,9 +86,14 @@ object TrainOps3 {
   // covers it; consecutive cut positions form the maximal spans the
   // per-doc report counts. Scale: the gram shuffle carries fixed-width
   // md5 keys; only duplicated grams join back (AQE-broadcast-sized in
-  // a healthy corpus); coverage explodes 8 positions per REMOVABLE
-  // occurrence only; the per-doc span window and ordered rebuild are
-  // bounded by the doc's own length.
+  // a healthy corpus); removable occurrences merge into maximal
+  // [start, start+W-1] intervals ARITHMETICALLY (same-width intervals
+  // sorted by start: a new span opens iff start > prev_start + W, so
+  // one lag + running sum per doc suffices) BEFORE any per-position
+  // explode — only the disjoint merged spans expand to positions, so
+  // the exploded row count equals the removed-token count instead of
+  // W x occurrences, and no distinct is needed; the per-doc occurrence
+  // window and ordered rebuild are bounded by the doc's own length.
   private[graft] val SPAN_W = 8
 
   val dedupSpanApply: Q = (s, d) => {
@@ -112,11 +117,25 @@ object TrainOps3 {
     val removable = sh.join(dupKeepers, "gkey")
       .filter(!(col("doc_id") === col("kd") && col("start") === col("ks")))
       .select(col("doc_id"), col("start"))
-    val cov = removable
-      .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + lit(SPAN_W - 1L))).as("pos"))
-      .distinct()
+    // merge same-width intervals [start, start+W-1] into maximal spans:
+    // (doc_id, start) is unique per occurrence, so a per-doc lag over
+    // sorted starts finds every span boundary (start > prev + W ⇔ a
+    // kept position separates the intervals) and a running boundary sum
+    // numbers the spans
+    val wOcc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val spans = removable
+      .withColumn("newspan",
+        when(lag(col("start"), 1).over(wOcc) < col("start") - SPAN_W, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("span_id", sum(col("newspan")).over(wOcc))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("start")).as("s0"),
+        (max(col("start")) + lit(SPAN_W - 1L)).as("s1"))
       .localCheckpoint(true)
+    // spans are disjoint by construction → exploded positions are
+    // exactly the removed set, no distinct
+    val cov = spans.select(col("doc_id"),
+      explode(sequence(col("s0"), col("s1"))).as("pos"))
     val tokp = base.select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
       .select(col("doc_id"), col("p").cast("long").as("pos"), col("tok"))
     val kept = tokp.join(cov, Seq("doc_id", "pos"), "left_anti")
@@ -124,10 +143,7 @@ object TrainOps3 {
       array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
         x => x.getField("tok")), " ").as("text_clean"),
       count(lit(1)).as("n_kept"))
-    val wSpan = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sp = cov.withColumn("prev", lag(col("pos"), 1).over(wSpan))
-      .filter(col("prev").isNull || col("prev") < col("pos") - 1)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans_cut"))
+    val sp = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans_cut"))
     base.select(col("doc_id"), col("n"))
       .join(reb, Seq("doc_id"), "left").join(sp, Seq("doc_id"), "left")
       .select(col("doc_id"),
