@@ -3161,6 +3161,44 @@ object SqlPort {
         |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // src_table_optimize: Spark-dialect image of
+    // VersionedTable.srcTableOptimizeSql — v1 re-derived, Morton
+    // z-tile locality via shiftleft/shiftright, protocol-ledger
+    // constants; FILTER clauses become conditional aggregates.
+    "src_table_optimize" -> {
+      val zExpr = (0 until 16).map(j =>
+        s"shiftleft(shiftright(zx, $j) & 1, ${2 * j}) + shiftleft(shiftright(zy, $j) & 1, ${2 * j + 1})")
+        .mkString(" + ")
+      s"""WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+         |chg AS (
+         |  SELECT doc_id, text || ' [v2]' AS text, 'U' AS op FROM d0 WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id, text, 'D' FROM d0 WHERE doc_id % 10 = 7
+         |  UNION ALL SELECT doc_id + 1000000, 'ins ' || CAST(doc_id AS STRING), 'U'
+         |    FROM d0 WHERE doc_id % 25 = 0),
+         |ev AS (SELECT doc_id, text, 'B' AS op, 0 AS seq FROM d0
+         |  UNION ALL SELECT doc_id, text, op, 1 FROM chg),
+         |v1 AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, op,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+         |    FROM ev) t WHERE rn = 1 AND op <> 'D'),
+         |z AS (SELECT doc_id, text, ($zExpr) DIV ${131072L} AS tile
+         |  FROM (SELECT doc_id, text, CAST(doc_id % 65536 AS BIGINT) AS zx,
+         |          CAST(length(text) % 65536 AS BIGINT) AS zy FROM v1) t),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         |    CAST(COUNT(DISTINCT tile) AS BIGINT) AS t_all,
+         |    CAST(COUNT(CASE WHEN doc_id < 256 THEN 1 END) AS BIGINT) AS n_doc,
+         |    CAST(COUNT(DISTINCT CASE WHEN doc_id < 256 THEN tile END) AS BIGINT) AS t_doc,
+         |    CAST(COUNT(CASE WHEN length(text) BETWEEN 200 AND 600 THEN 1 END) AS BIGINT) AS n_len,
+         |    CAST(COUNT(DISTINCT CASE WHEN length(text) BETWEEN 200 AND 600 THEN tile END) AS BIGINT) AS t_len
+         |  FROM z)
+         |SELECT * FROM (
+         |  SELECT 'all_rows' AS metric, n_all AS n_rows, t_all AS detail FROM agg
+         |  UNION ALL SELECT 'doc_lt_256', n_doc, t_doc FROM agg
+         |  UNION ALL SELECT 'len_200_600', n_len, t_len FROM agg
+         |  UNION ALL SELECT 'live_versions', CAST(2 AS BIGINT), CAST(2 AS BIGINT)) u
+         |ORDER BY metric""".stripMargin
+    },
+
     "pipe_index_maintain" -> {
       val np = operators.Retrain.PIM_NPROBE
       s"""WITH v0 AS (SELECT vec_id,

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.plans.TopK
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -504,6 +504,16 @@ object ScaleOps {
     * the occupied tiles; a lexicographic (custkey, date) sort would
     * put every date-slice row in every custkey run.
     */
+  /** Morton interleave of two 16-bit dimension keys into a 32-bit
+    * z-value — the Column form of [[zExprSpark]], shared with the
+    * versioned table's OPTIMIZE rewrite (sources/VersionedTable).
+    */
+  private[graft] def mortonZ(zx: Column, zy: Column): Column =
+    (0 until 16).map { j =>
+      shiftleft(shiftright(zx, j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(zy, j).bitwiseAND(lit(1L)), 2 * j + 1)
+    }.reduce(_ + _)
+
   private def zExprSpark: String =
     (0 until 16).map(j =>
       s"shiftleft(shiftright(zx, $j) & 1, ${2 * j}) + shiftleft(shiftright(zy, $j) & 1, ${2 * j + 1})")

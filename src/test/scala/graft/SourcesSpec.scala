@@ -101,4 +101,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(VersionedTable.vacuumTable(spark, path, 0L) == Seq("table_v0"))
     assert(VersionedTable.readTable(spark, path).count() == 2)
   }
+
+  test("optimizeTable: compacts small files into disjoint z-ranges, reader-under-optimize stays isolated, data unchanged") {
+    import graft.sources.VersionedTable
+    val spark2 = spark
+    import spark2.implicits._
+    val path = Files.createTempDirectory("tblo").toString + "/t"
+    // a fragmented v0: 64 hash-scattered files of (doc_id, text)
+    val rows = (0L until 512L).map(i => (i, "x" * (i % 97).toInt + "y"))
+    assert(VersionedTable.commitTable(
+      rows.toDF("doc_id", "text").repartition(64, col("doc_id")), path) == 0)
+    def parts(v: Int) = new java.io.File(s"$path/table_v$v").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(0).length > 16, s"v0 not fragmented: ${parts(0).length} files")
+    // a reader pins v0, then OPTIMIZE lands v1 underneath it
+    val pinned = VersionedTable.readTable(spark, path, Some(0))
+    val zx = (col("doc_id") % 65536L).cast("long")
+    val zy = (length(col("text")) % 65536).cast("long")
+    assert(VersionedTable.optimizeTable(spark, path, zx, zy, targetFiles = 4) == 1)
+    assert(pinned.count() == 512, "pinned reader disturbed by optimize")
+    // compaction: v1 holds at most targetFiles data files
+    assert(parts(1).length <= 4, s"v1 not compacted: ${parts(1).length} files")
+    // rewrite changed LAYOUT only — the row set is identical
+    val before = rows.toSet
+    val after = VersionedTable.readTable(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "optimize changed table data")
+    // z-clustering: per-FILE z-ranges are disjoint (range partitioning
+    // on the Morton value), which is what lets min/max stats prune
+    val ranges = parts(1).map { f =>
+      val mm = spark.read.parquet(f.getAbsolutePath)
+        .select(graft.operators.ScaleOps.mortonZ(zx, zy).as("z"))
+        .agg(min(col("z")), max(col("z"))).collect()(0)
+      (mm.getLong(0), mm.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"overlapping per-file z-ranges: ${ranges.mkString(", ")}")
+      case _ =>
+    }
+  }
 }
