@@ -6,7 +6,7 @@ for each query output parquet, runs the oracle SQL in DuckDB over the
 same sf tables and compares (columns sorted by name, rows sorted by all
 columns, exact value match).
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 import pandas as pd
 
@@ -22,23 +22,28 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# optional key subset: tools/check.py <sf> <out> q1,q2
+if len(sys.argv) > 3:
+    only = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails = 0
 for q, sql in sorted(oracle.items()):
+    t0 = time.time()
     try:
         got = con.sql(f"SELECT * FROM '{out_dir}/{q}/*.parquet'").df()
         want = con.sql(sql).df()
     except Exception as e:
-        print(f"FAIL {q}: exec error: {e}")
+        print(f"FAIL {q}: exec error: {e}", flush=True)
         fails += 1
         continue
     got = got[sorted(got.columns)]
     want = want[sorted(want.columns)]
     if list(got.columns) != list(want.columns):
-        print(f"FAIL {q}: columns {list(got.columns)} != {list(want.columns)}")
+        print(f"FAIL {q}: columns {list(got.columns)} != {list(want.columns)}", flush=True)
         fails += 1
         continue
     if len(got) != len(want):
-        print(f"FAIL {q}: rows {len(got)} != {len(want)}")
+        print(f"FAIL {q}: rows {len(got)} != {len(want)}", flush=True)
         fails += 1
         continue
     g = got.sort_values(by=list(got.columns), ignore_index=True)
@@ -60,9 +65,9 @@ for q, sql in sorted(oracle.items()):
             i = (~eq).idxmax()
             mismatch.append(f"{c}[row{i}]: {a[i]!r} != {b[i]!r} (dtype {a.dtype}/{b.dtype})")
     if mismatch:
-        print(f"FAIL {q}: " + "; ".join(mismatch[:3]))
+        print(f"FAIL {q}: " + "; ".join(mismatch[:3]), flush=True)
         fails += 1
     else:
-        print(f"ok   {q} ({len(got)} rows)")
+        print(f"ok   {q} ({len(got)} rows, {time.time() - t0:.1f}s)", flush=True)
 print(f"\n{len(oracle) - fails}/{len(oracle)} passed")
 sys.exit(1 if fails else 0)
