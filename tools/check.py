@@ -13,13 +13,22 @@ import pandas as pd
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-con = duckdb.connect()
-for p in glob.glob(f"{sf_dir}/*.parquet"):
-    name = os.path.basename(p).replace(".parquet", "")
-    # driver testdata is single-file parquet; Spark-written corpora
-    # (ScaleData's /tmp/scale10 etc.) are directories of part files
-    src = f"{p}/*.parquet" if os.path.isdir(p) else p
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+def fresh_con():
+    # fresh connection per query: a big-corpus oracle that OOMs must
+    # not poison the remaining keys (one 100x run lost 80 keys to a
+    # single bad allocation); bounded memory + an explicit spill dir
+    # keep DuckDB from fighting concurrent JVMs for the whole box
+    c = duckdb.connect()
+    c.sql(f"SET memory_limit='{os.environ.get('CHECK_MEM', '48GB')}'")
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    c.sql("SET temp_directory='/tmp/duck_spill'")
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p).replace(".parquet", "")
+        # driver testdata is single-file parquet; Spark-written corpora
+        # (ScaleData's /tmp/scale10 etc.) are directories of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        c.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+    return c
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 # optional key subset: tools/check.py <sf> <out> q1,q2
@@ -30,8 +39,10 @@ fails = 0
 for q, sql in sorted(oracle.items()):
     t0 = time.time()
     try:
+        con = fresh_con()
         got = con.sql(f"SELECT * FROM '{out_dir}/{q}/*.parquet'").df()
         want = con.sql(sql).df()
+        con.close()
     except Exception as e:
         print(f"FAIL {q}: exec error: {e}", flush=True)
         fails += 1
