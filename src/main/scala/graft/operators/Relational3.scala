@@ -188,22 +188,46 @@ object Relational3 {
 
   // --- q_approx: sketch aggregates (HLL + quantile sketch) -----------
   // The constant-memory path for 100 TB cardinality/quantile questions
-  // (exact counterparts: q_distinct, q_percentiles). Deterministic for
-  // a given input, but engine-specific → rows-only gate + spec bounds.
-  // The exact countDistinct runs in its OWN two-phase codegen'd pass
-  // and joins back on the flag: combined into one agg, Catalyst's
-  // distinct rewrite keys the partial aggregate on (flag, partkey),
-  // so every distinct PART carries its own HLL + quantile buffer —
-  // measured 5x the wall of the split at sf0.1, and the buffer count
-  // would track corpus cardinality instead of group count at scale.
+  // (exact counterparts: q_distinct, q_percentiles). Rows-only gate
+  // (engine-specific sketches) + spec bounds. Two scale disciplines:
+  //
+  //   - the exact countDistinct runs in its OWN two-phase codegen'd
+  //     pass and joins back on the flag: combined into one agg,
+  //     Catalyst's distinct rewrite keys the partial aggregate on
+  //     (flag, partkey), allocating a sketch buffer per distinct PART
+  //     instead of per group — measured 5x the wall of the split at
+  //     sf0.1, and buffer count would track corpus cardinality.
+  //   - the quantile sketch is a DDSketch-style LOG-BUCKET histogram,
+  //     not percentile_approx: bucketing is a per-row pure function,
+  //     so the sketch is LAYOUT-INVARIANT (QuantileSummaries merges
+  //     drift with partition boundaries — nondeterministic on a real
+  //     cluster), the bucket count is bounded by the VALUE RANGE
+  //     (~6.9k buckets per decade at γ=1.001, whatever the corpus
+  //     size), relative error ≤ γ-1, and the whole pass stays in
+  //     codegen'd HashAggregate (no ObjectHashAggregate).
+  private val QA_GAMMA = 1.001
+
   val qApprox: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val sk = li.groupBy(col("l_returnflag")).agg(
-      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_med_price"))
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"))
     val ex = li.groupBy(col("l_returnflag")).agg(
       countDistinct(col("l_partkey")).as("exact_parts"))
-    sk.join(ex, Seq("l_returnflag"))
+    val b = li.select(col("l_returnflag"),
+        floor(log(col("l_extendedprice").cast("double")) / math.log(QA_GAMMA))
+          .cast("long").as("bkt"))
+      .groupBy(col("l_returnflag"), col("bkt")).agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+    val med = b.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag")).agg(min(col("bkt")).as("mbkt"))
+      .select(col("l_returnflag"),
+        pow(lit(QA_GAMMA), col("mbkt")).as("approx_med_price"))
+    sk.join(ex, Seq("l_returnflag")).join(med, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
         col("approx_med_price"))
       .orderBy(col("l_returnflag"))

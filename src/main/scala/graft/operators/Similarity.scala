@@ -1172,8 +1172,14 @@ object Similarity {
     */
   private[graft] def queryIvfStreamedIndex(s: SparkSession, path: String,
       qs: DataFrame): DataFrame = {
-    val v = committedIngestVersion(s, path).getOrElse(
-      throw new IllegalStateException(s"no committed streamed ivf index at $path"))
+    // an empty chain (every trigger so far was empty, so nothing ever
+    // committed — the bootstrap-guard state) legitimately serves zero
+    // matches; only a committed chain can be probed
+    val vOpt = committedIngestVersion(s, path)
+    if (vOpt.isEmpty)
+      return qs.select(col("query_id"), lit(0L).as("vec_id"),
+        lit(0L).as("qdot"), lit(0L).as("rank")).limit(0)
+    val v = vOpt.get
     val cents = s.read.schema(ivfxCentSchema).parquet(s"$path/centroids")
     val probes = TopK.topKPerGroup(
         qs.crossJoin(broadcast(cents))

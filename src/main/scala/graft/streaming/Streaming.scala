@@ -959,8 +959,15 @@ object Streaming {
   def ivfGateBatch(vecs: DataFrame, indexPath: String): DataFrame = {
     val s = vecs.sparkSession
     import graft.operators.Similarity
-    val v = Similarity.committedIngestVersion(s, indexPath).getOrElse(
-      throw new IllegalStateException(s"no committed streamed ivf index at $indexPath"))
+    // an empty index (nothing ever committed — every prior trigger was
+    // empty) can hold no duplicate of anything: every incoming vector
+    // passes with no match, the same verdict an ingested-then-probed
+    // miss gets
+    val vOpt = Similarity.committedIngestVersion(s, indexPath)
+    if (vOpt.isEmpty)
+      return vecs.select(col("vec_id"), lit(-1L).as("best_match"),
+        lit(0L).as("qdot"), lit("pass").as("verdict"))
+    val v = vOpt.get
     val cents = s.read.schema(Similarity.ivfxCentSchema)
       .parquet(s"$indexPath/centroids")
     val q = vecs.select(col("vec_id").as("in_id"),

@@ -26,11 +26,24 @@ class Relational3Spec extends AnyFunSuite {
   }
 
   test("q_approx sketches land within tolerance of exact") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val exactMed = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     Relational3.qApprox(spark, sf).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
       val exact = r.getAs[Long]("exact_parts").toDouble
       assert(math.abs(approx - exact) / exact < 0.1,
         s"HLL error too large: $approx vs $exact")
+      // log-bucket median: the bucket lower bound sits within one
+      // γ-step (0.1%) BELOW the true median's bucket, and the lower
+      // median of an even count can sit below the interpolated exact
+      // percentile — allow a 1% band
+      val med = r.getAs[Double]("approx_med_price")
+      val em = exactMed(r.getString(0))
+      assert(math.abs(med - em) / em < 0.01,
+        s"quantile sketch error too large: $med vs $em")
     }
   }
 
