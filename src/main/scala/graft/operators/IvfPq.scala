@@ -157,9 +157,13 @@ object IvfPq {
        |    CAST(list_sum([cb.cw[j]*cb.cw[j] - 2*sub.sv[j]*cb.cw[j]
        |      FOR j IN range(1, $PQ_SUBD + 1)]) AS BIGINT) AS cost
        |  FROM sub JOIN cb ON cb.s = sub.s),
-       |codes AS (SELECT vec_id, s, code_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
-       |      ORDER BY cost, code_id) AS rn FROM enc0) t WHERE rn = 1),
+       |codes AS (
+       |  -- streaming argmin (lexicographic [cost, code_id] min), NOT a
+       |  -- row_number window: the window form materializes+sorts
+       |  -- |corpus|x8x256 rows and spills >76GB in DuckDB at the 100x
+       |  -- corpus; the grouped min streams in |corpus|x8 group state
+       |  SELECT vec_id, s, CAST(min([cost, code_id])[2] AS BIGINT) AS code_id
+       |  FROM enc0 GROUP BY vec_id, s),
        |q AS (SELECT vec_id AS query_id, cv AS qv FROM e WHERE vec_id < $NQUERIES),
        |pd AS (SELECT q.query_id, c.cent_id,
        |    CAST(list_sum([q.qv[i] * c.cvec[i] FOR i IN range(1, len(q.qv) + 1)]) AS BIGINT) AS cdot
@@ -512,9 +516,13 @@ object IvfPq {
        |    CAST(list_sum([rcb.cw[j]*rcb.cw[j] - 2*rsub.sv[j]*rcb.cw[j]
        |      FOR j IN range(1, $PQ_SUBD + 1)]) AS BIGINT) AS cost
        |  FROM rsub JOIN rcb ON rcb.s = rsub.s),
-       |codes AS (SELECT vec_id, s, code_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
-       |      ORDER BY cost, code_id) AS rn FROM enc0) t WHERE rn = 1),
+       |codes AS (
+       |  -- streaming argmin (lexicographic [cost, code_id] min), NOT a
+       |  -- row_number window: the window form materializes+sorts
+       |  -- |corpus|x8x256 rows and spills >76GB in DuckDB at the 100x
+       |  -- corpus; the grouped min streams in |corpus|x8 group state
+       |  SELECT vec_id, s, CAST(min([cost, code_id])[2] AS BIGINT) AS code_id
+       |  FROM enc0 GROUP BY vec_id, s),
        |q AS (SELECT vec_id AS query_id, cv AS qv FROM e WHERE vec_id < $NQUERIES),
        |pd AS (SELECT q.query_id, c.cent_id,
        |    CAST(list_sum([q.qv[i] * c.cvec[i] FOR i IN range(1, len(q.qv) + 1)]) AS BIGINT) AS cdot
