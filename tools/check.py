@@ -35,11 +35,49 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 if len(sys.argv) > 3:
     only = set(sys.argv[3].split(","))
     oracle = {k: v for k, v in oracle.items() if k in only}
+BIG_ROWS = int(os.environ.get("CHECK_BIG_ROWS", "5000000"))
+
+def big_compare(con, q, sql, n_got):
+    """Set-exact compare inside DuckDB for outputs too large for pandas:
+    row counts equal + EXCEPT ALL empty in both directions (duplicates
+    counted), dtypes checked on a 1000-row sample. Same strictness as
+    the frame path, constant client memory."""
+    got_rel = f"SELECT * FROM '{out_dir}/{q}/*.parquet'"
+    n_want = con.sql(f"SELECT count(*) FROM ({sql}) t").fetchone()[0]
+    if n_got != n_want:
+        return f"rows {n_got} != {n_want}"
+    gs = con.sql(f"SELECT * FROM ({got_rel}) t LIMIT 1000").df()
+    ws = con.sql(f"SELECT * FROM ({sql}) t LIMIT 1000").df()
+    gd = sorted((c, str(gs[c].dtype)) for c in gs.columns)
+    wd = sorted((c, str(ws[c].dtype)) for c in ws.columns)
+    if gd != wd:
+        return f"schema {gd} != {wd}"
+    cols = ", ".join(f'"{c}"' for c in sorted(gs.columns))
+    for a, b, tag in ((got_rel, sql, "got-want"), (sql, got_rel, "want-got")):
+        extra = con.sql(
+            f"SELECT count(*) FROM (SELECT {cols} FROM ({a}) x "
+            f"EXCEPT ALL SELECT {cols} FROM ({b}) y) t").fetchone()[0]
+        if extra:
+            return f"{extra} rows only in {tag.split('-')[0]} side ({tag})"
+    return None
+
 fails = 0
 for q, sql in sorted(oracle.items()):
     t0 = time.time()
     try:
         con = fresh_con()
+        n_got = con.sql(
+            f"SELECT count(*) FROM '{out_dir}/{q}/*.parquet'").fetchone()[0]
+        if n_got > BIG_ROWS:
+            err = big_compare(con, q, sql, n_got)
+            con.close()
+            if err:
+                print(f"FAIL {q}: {err}", flush=True)
+                fails += 1
+            else:
+                print(f"ok   {q} ({n_got} rows, {time.time() - t0:.1f}s, set-exact)",
+                      flush=True)
+            continue
         got = con.sql(f"SELECT * FROM '{out_dir}/{q}/*.parquet'").df()
         want = con.sql(sql).df()
         con.close()
