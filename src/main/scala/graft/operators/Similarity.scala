@@ -1228,13 +1228,19 @@ object Similarity {
       |mm AS (SELECT greatest(1, CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM b),
       |cents AS (SELECT vec_id AS cent_id, cv AS cvec FROM b, mm
       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % m = 0),
-      |ad AS (SELECT e.vec_id, e.cv, c.cent_id,
+      |ad AS (SELECT e.vec_id, c.cent_id,
       |    CAST(list_sum([e.cv[i] * c.cvec[i] FOR i IN range(1, len(e.cv) + 1)]) AS BIGINT) AS cdot
       |  FROM e CROSS JOIN cents c),
-      |assigned AS (SELECT vec_id, cv, cent_id FROM (
-      |    SELECT vec_id, cv, cent_id,
-      |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rn
-      |    FROM ad) t WHERE rn = 1)""".stripMargin
+      |bestc AS (
+      |  -- streaming argmax (lexicographic [-cdot, cent_id] min), NOT a
+      |  -- row_number window: the window form sorts |corpus| x K rows
+      |  -- each dragging the 64-element vector and spills tens of GB in
+      |  -- DuckDB at the 100x corpus; the grouped min streams with one
+      |  -- row of state per vector, and cv re-joins by key afterwards
+      |  SELECT vec_id, CAST(min([-cdot, cent_id])[2] AS BIGINT) AS cent_id
+      |  FROM ad GROUP BY vec_id),
+      |assigned AS (SELECT e.vec_id, e.cv, b.cent_id
+      |  FROM e JOIN bestc b USING (vec_id))""".stripMargin
 
   val evalRetrievalIvfSql: String =
     s"""WITH $ivfxAssignCtes,
