@@ -64,13 +64,13 @@ def big_compare(con, q, sql, n_got):
 fails = 0
 for q, sql in sorted(oracle.items()):
     t0 = time.time()
+    con = None
     try:
         con = fresh_con()
         n_got = con.sql(
             f"SELECT count(*) FROM '{out_dir}/{q}/*.parquet'").fetchone()[0]
         if n_got > BIG_ROWS:
             err = big_compare(con, q, sql, n_got)
-            con.close()
             if err:
                 print(f"FAIL {q}: {err}", flush=True)
                 fails += 1
@@ -80,11 +80,16 @@ for q, sql in sorted(oracle.items()):
             continue
         got = con.sql(f"SELECT * FROM '{out_dir}/{q}/*.parquet'").df()
         want = con.sql(sql).df()
-        con.close()
     except Exception as e:
         print(f"FAIL {q}: exec error: {e}", flush=True)
         fails += 1
         continue
+    finally:
+        # close on EVERY path: a failed key's connection still holds up
+        # to the memory limit, and leaking it aborts the whole run on
+        # the next allocation
+        if con is not None:
+            con.close()
     got = got[sorted(got.columns)]
     want = want[sorted(want.columns)]
     if list(got.columns) != list(want.columns):
