@@ -164,13 +164,29 @@ object TrainOps3 {
        |sh AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
        |    md5(array_to_string(toks[i + 1 : i + $SPAN_W], ' ')) AS gkey
        |  FROM sized, UNNEST(range(0, greatest(n - ${SPAN_W - 1}, 0))) AS u(i)),
-       |occ AS (SELECT doc_id, start,
-       |    row_number() OVER (PARTITION BY gkey ORDER BY doc_id, start) AS rn,
-       |    count(*) OVER (PARTITION BY gkey) AS c
-       |  FROM sh),
-       |cov AS (SELECT DISTINCT doc_id, start + j AS pos
-       |  FROM occ, UNNEST(range(0, $SPAN_W)) AS r(j)
-       |  WHERE c >= 2 AND rn > 1),
+       |keepers AS (
+       |  -- grouped min (keeper) instead of a row_number window over
+       |  -- every shingle: the window sorts ~150M md5-keyed rows at the
+       |  -- 100x corpus and exceeds single-node memory; the hash
+       |  -- aggregate streams (grace-spillable) with per-gram state
+       |  SELECT gkey, count(*) AS c, min([doc_id, start]) AS k
+       |  FROM sh GROUP BY gkey),
+       |removable AS (SELECT sh.doc_id, sh.start
+       |  FROM sh JOIN keepers USING (gkey)
+       |  WHERE c >= 2 AND NOT (sh.doc_id = k[1] AND sh.start = k[2])),
+       |sp0 AS (SELECT doc_id, start,
+       |    CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start)
+       |           < start - $SPAN_W THEN 1 ELSE 0 END AS ns
+       |  FROM removable),
+       |spid AS (SELECT doc_id, start,
+       |    sum(ns) OVER (PARTITION BY doc_id ORDER BY start
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM sp0),
+       |spans AS (SELECT doc_id, sid, min(start) AS s0,
+       |    max(start) + ${SPAN_W - 1} AS s1
+       |  FROM spid GROUP BY doc_id, sid),
+       |cov AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos
+       |  FROM spans, UNNEST(range(s0, s1 + 1)) AS r(pos)),
        |tokp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
        |  FROM sized, UNNEST(range(1, n + 1)) AS t(i)),
        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokp t
@@ -179,10 +195,8 @@ object TrainOps3 {
        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
        |    CAST(count(*) AS BIGINT) AS n_kept
        |  FROM kept GROUP BY doc_id),
-       |sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_cut FROM (
-       |    SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-       |    FROM cov) t
-       |  WHERE prev IS NULL OR prev < pos - 1 GROUP BY doc_id)
+       |sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_cut
+       |  FROM spans GROUP BY doc_id)
        |SELECT s.doc_id,
        |  COALESCE(text_clean, '') AS text_clean,
        |  CAST(n AS BIGINT) AS n_tokens,
