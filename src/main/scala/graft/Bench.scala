@@ -28,6 +28,14 @@ object Bench {
       // numbers don't have that failure mode.
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+      // Let AQE re-optimize (coalesce) the partitioning of CACHED
+      // plans: iterative operators persist loop frames (BPE vocab,
+      // CC labels, dedup signatures), and with the default `false`
+      // every cached frame materializes at the full pre-AQE shuffle
+      // width — every loop round then scans shuffle-width tiny tasks
+      // however small the frame. Sizing comes from AQE's byte targets,
+      // so the setting is scale-adaptive, not a local-core-count tune.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = sys.env.get("SPARK_GRAFT_JAR")

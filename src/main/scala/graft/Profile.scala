@@ -14,14 +14,20 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // ad-hoc config experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .foldLeft(b0) { case (b, Array(k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg")
@@ -50,17 +56,24 @@ object Profile {
     }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      fn(spark, sfDir).count() // warmup
+      // mirror Bench's per-query isolation: clear memoized index/cache
+      // state BEFORE the warmup, so the timed run below serves from the
+      // same warm memo state the bench's timed samples see
       graft.Caches.release(blocking = true)
       graft.operators.Similarity.clearTrainedState()
       graft.operators.TrainOps5.clearIndexState()
       System.gc()
+      fn(spark, sfDir).count() // warmup
       jobs.clear(); stages.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val tPlan = System.nanoTime()
-      df.count()
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+        df.write.format("noop").mode("overwrite").save()
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      } else df.count()
       val t1 = System.nanoTime()
       Thread.sleep(300) // let the listener bus drain
       spark.sparkContext.removeSparkListener(listener)
@@ -71,10 +84,6 @@ object Profile {
       stages.sortBy(-_.ms).take(12).foreach { st =>
         println(f"  stage ${st.id}%4d ${st.ms}%6d ms ${st.tasks}%4d tasks  sr=${st.shufRead / 1024}%8d KB sw=${st.shufWrite / 1024}%8d KB  ${st.name.take(90)}")
       }
-      graft.Caches.release(blocking = true)
-      graft.operators.Similarity.clearTrainedState()
-      graft.operators.TrainOps5.clearIndexState()
-      System.gc()
     }
     spark.stop()
   }

@@ -272,14 +272,8 @@ object IvfPq {
           .select(col("vec_id"), col("s"), col("sv"), col("code_id"),
             cost.as("cost")),
         Seq("vec_id", "s"), Seq(("cost", false), ("code_id", false)), 1)
-      val next = assign
-        .select(col("s"), col("code_id"), posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy(col("s"), col("code_id"), col("dim"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
-        .withColumn("mean", expr("sx div c"))
-        .groupBy(col("s"), col("code_id"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("z"))
-        .select(col("s"), col("code_id"), transform(col("z"), t => t("mean")).as("cw"))
+      val next = Retrain.vecMean(assign, Seq("s", "code_id"), "sv",
+          Similarity.PQ_SUBD, "cw")
         .localCheckpoint(true)
       cb.unpersist()
       cb = next

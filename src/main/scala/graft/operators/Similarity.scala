@@ -838,6 +838,12 @@ object Similarity {
   private[graft] val PQ_SUBD = 8
   private[graft] val PQ_KMAX = 256
 
+  /** Fixed corpus embedding width (TESTDATA contract; the PQ slicing
+    * PQ_M × PQ_SUBD and the planted constant vectors already assume
+    * it). Lets aggregations address components statically.
+    */
+  private[graft] val EMB_DIM: Int = PQ_M * PQ_SUBD
+
   /** Donor-sampling modulus targeting K = min(256, floor(sqrt(n)))
     * codewords per subspace: K grows with the corpus until the
     * production-PQ codebook bound (256, one byte per code), after

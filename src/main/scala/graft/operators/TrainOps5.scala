@@ -57,11 +57,15 @@ object TrainOps5 {
     val terms = qterms.select(col("term")).distinct()
     // tf per (doc, matched term); dl rides the explode so no second
     // corpus join is needed to recover it.
-    val tf = docs
+    // cached: tf feeds both the document-frequency aggregate and the
+    // scoring join — uncached, each consumer re-tokenized the corpus
+    // (the scan+explode is the whole cost; tf itself is bounded by
+    // docs × matched query terms)
+    val tf = graft.Caches.cached(docs
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .join(broadcast(terms), col("token") === col("term"))
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // Identical IEEE operation sequence as the DuckDB oracle text:
     // idf = ln(1.0 + (N - df + 0.5) / (df + 0.5))

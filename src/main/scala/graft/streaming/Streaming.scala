@@ -597,10 +597,18 @@ object Streaming {
           x => x =!= lit(""))).as("term"))
       .distinct()
     val w = Window.partitionBy(col("in_id")).orderBy(col("df"), col("term"))
+    // one eager materialization: qterms feeds THREE consumers (the
+    // probed-term collect below, the per-term posting cap, and the
+    // scoring join) — uncheckpointed, each consumer replayed the
+    // batch explode + distinct + per-doc window (guide §2.4: repeated
+    // subtrees are shuffles you can remove). localCheckpoint rather
+    // than cache: a long-running gate stream must not accumulate one
+    // registry entry per trigger.
     val qterms = iterms.join(dfreq, col("term") === col("token"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= GATE_TERMS)
       .select(col("in_id"), col("term"), col("df"))
+      .localCheckpoint(true)
     // restrict postings to the batch's probed term set BEFORE the scan
     // runs: the probed terms are trigger-sized (≤ GATE_TERMS × |batch|
     // after the rarest-term cut), so collecting them to the driver is
@@ -625,12 +633,29 @@ object Streaming {
       else postings1).drop("bucket")
     // truncate each term's posting list to its top-GATE_POSTINGS_CAP
     // entries by impact (see the cap note above) via the bounded heap
+    // both join sides against the postings are trigger-bounded
+    // (≤ GATE_TERMS × |batch| rows): BROADCAST them explicitly so the
+    // postings side is never the build/shuffled side — AQE has been
+    // observed broadcasting the (small-looking) postings instead,
+    // which serializes the scan+cap into one task (guide §3.1: pick
+    // the side deliberately when you know the sizes)
     val pterms = qterms.select(col("term").as("pterm")).distinct()
     val capped = graft.plans.TopK.topKPerGroup(
-      postings.join(pterms, col("token") === col("pterm")).drop("pterm"),
+      postings.join(broadcast(pterms), col("token") === col("pterm")).drop("pterm"),
       Seq("token"), Seq(("tf", true), ("match_id", false)), GATE_POSTINGS_CAP)
+    // Re-spread the capped postings before the scoring join: capped is
+    // tiny by construction (≤ cap × |terms| rows), so AQE coalesces
+    // its exchange to one partition — but the scoring join fans out
+    // |batch|-fold and the pair aggregation below then runs inside
+    // that single task (measured: 0.9 s of a 2 s gate in one task on a
+    // closed-vocabulary corpus). An explicit width pins the exchange
+    // at the session's configured shuffle width — the parameterized
+    // cluster setting, not a local constant — so the fan-out lands on
+    // every core. Sums are order-independent; results unchanged.
+    val cappedW = capped.repartition(
+      s.sessionState.conf.numShufflePartitions, col("token"))
     // identical IEEE operation sequence as bm25_retrieval / the oracle
-    val scored = capped.join(qterms, col("token") === col("term"))
+    val scored = cappedW.join(broadcast(qterms), col("token") === col("term"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("t_tokens").cast("double") / col("n_docs"))
       .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
