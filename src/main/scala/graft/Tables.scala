@@ -41,4 +41,25 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Guard against under-parallelized inputs ahead of per-row kernel
+    * work (md5 grams, minhash signatures, sketch hashing): a corpus
+    * that arrives as one small parquet file yields ONE scan split
+    * (row-group granularity — `maxPartitionBytes` cannot split
+    * further), so a corpus-wide kernel pass runs on one core while the
+    * rest idle. When the scan is narrower than half the session's
+    * parallelism, redistribute to the session width — hash on `keys`
+    * when given (deterministic, no pre-sort), round-robin otherwise.
+    * At scale the input has >= width splits and this is a NO-OP (no
+    * shuffle inserted), so it is the guide's input-skew remedy
+    * (§2.5 "one huge unsplittable file ... repartition immediately
+    * after the read"), not a local-core-count tune. Project to the
+    * needed columns BEFORE widening so the exchange carries only them.
+    */
+  def wide(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
 }

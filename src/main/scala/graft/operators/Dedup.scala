@@ -62,10 +62,17 @@ object Dedup {
   /** MinHash signatures for any (doc_id, text) frame — works on batch
     * and streaming inputs (the signature expression is stateless).
     */
-  def signaturesOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+  def signaturesOf(docs: DataFrame): DataFrame = {
+    // widen batch inputs ahead of the signature kernel (64 hashes per
+    // shingle — pure per-row compute that a single-split local scan
+    // would serialize onto one core); streaming frames keep their
+    // trigger partitioning (wide() would materialize the plan)
+    val in = docs.select(col("doc_id"), col("text"))
+    val spread = if (docs.isStreaming) in else Tables.wide(in, col("doc_id"))
+    spread.select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("sig", Expr.minhashSignature(col("sh"), K))
       .select(col("doc_id"), col("sig"))
+  }
 
   /** Banded signature index of a corpus — the static side of the
     * stream-static near-dup gate (Streaming.streamDupCandidates).
@@ -191,8 +198,9 @@ object Dedup {
   // and the streaming dup gate all ride gains an oracle anchor (the
   // xxhash64 variant stays rows-only by nature).
   val dedupMinhashExact: Q = (s, d) => minhashPairsFromSigs(
-    Tables.documents(s, d).select(col("doc_id"),
-      Expr.md5MinhashSig(shingles(col("text")), K).as("sig")))
+    Tables.wide(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .select(col("doc_id"), Expr.md5MinhashSig(shingles(col("text")), K).as("sig")))
 
   val dedupMinhashExactSql: String =
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -295,7 +303,8 @@ object Dedup {
   }
 
   val dedupSimhash: Q = (s, d) =>
-    simhashPairs(Tables.documents(s, d)
+    simhashPairs(Tables.wide(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), Expr.simhash64(toks(col("text"))).as("sim")))
 
   // --- dedup_simhash_exact: md5-vote twin under the hash gate --------
@@ -315,7 +324,8 @@ object Dedup {
   // declarative shape (DuckDB has no kernel), computing the same
   // votes over DISTINCT (doc, token) md5 values.
   val dedupSimhashExact: Q = (s, d) =>
-    simhashPairs(Tables.documents(s, d)
+    simhashPairs(Tables.wide(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         Expr.md5Simhash60(split(normText(col("text")), " ")).as("sim")))
 
@@ -800,9 +810,13 @@ object Dedup {
     // cached: the self-join reads the shingle frame twice, and the
     // pushed-down IsNotNull(blk) filter would otherwise re-expand the
     // whole shingle pipeline a third time under the scan
-    val base = docs
+    // wide(): the shingle kernel is per-row compute a single-split
+    // local scan would serialize onto one core (no-op at scale);
+    // cached: the block-size aggregation, both split joins and the
+    // final cached materialization all re-expanded the kernel subtree
+    val base = cached(Tables.wide(docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), shingles(normText(col("text"))).as("sh"))
-      .withColumn("blk", array_min(col("sh")))
+      .withColumn("blk", array_min(col("sh"))))
     val sizes = base.groupBy(col("blk")).agg(count(lit(1)).as("__bsz"))
     val s1 = base.join(sizes, "blk")
       .withColumn("sub",
@@ -830,7 +844,12 @@ object Dedup {
   }
 
   private[graft] def jaccardBlockPairs(docs: DataFrame): DataFrame = {
-    val sh = jaccardBlockedDocs(docs)
+    // wide() on the join keys: the cached blocked frame is byte-small
+    // (AQE sizes caches by bytes) but the block self-join is
+    // CPU-per-row (set intersections) — spread it at session width,
+    // co-partitioned on the block keys so the join adds no exchange
+    val sh = Tables.wide(jaccardBlockedDocs(docs),
+      col("blk"), col("sub"), col("sub2"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"),
       col("blk"), col("sub"), col("sub2"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"),

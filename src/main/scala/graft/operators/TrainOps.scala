@@ -113,7 +113,11 @@ object TrainOps {
   // hundred distinct (N, df) inputs). Deterministic token tiebreak.
   val tfidfKeywords: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    // wide() so the tokenize+explode map work runs at session width on
+    // single-split local corpora (no-op at scale) and downstream
+    // branches share the explicit exchange
+    val tok = Tables.wide(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     // df derives from tf's group keys (distinct (doc,token) IS tf) — no
     // second explode+distinct shuffle of the raw token stream; Catalyst

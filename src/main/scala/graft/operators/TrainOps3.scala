@@ -32,9 +32,13 @@ object TrainOps3 {
   // must reproduce it; at 100 TB the key would be xxhash64(gram) —
   // same plan, 8-byte keys.
   val dedupSubstring: Q = (s, d) => {
-    val w = Tables.documents(s, d)
+    // wide(): the gram explode + aggregation is per-row kernel work;
+    // a single-split local corpus would otherwise run it on one core,
+    // and the explicit exchange is REUSED by the three sh consumers
+    // (one tokenize pass instead of three corpus scans)
+    val w = Tables.wide(Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("w"))
-      .filter(size(col("w")) >= 8)
+      .filter(size(col("w")) >= 8), col("doc_id"))
     val sh = w.select(col("doc_id"), explode(expr(
       "transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' '))"))
       .as("gram"))
@@ -98,11 +102,15 @@ object TrainOps3 {
 
   val dedupSpanApply: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val base = Tables.documents(s, d)
+    // wide(): the md5-gram explode (sh, computed for the keeper agg
+    // AND the removable join) plus the posexplode rebuild are per-row
+    // kernel passes — widened, the explicit exchange is shared by all
+    // consumers (one tokenize) and every pass runs at session width
+    val base = Tables.wide(Tables.documents(s, d)
       .select(col("doc_id"),
         filter(split(coalesce(col("text"), lit("")), " "),
           x => x =!= lit("")).as("toks"))
-      .withColumn("n", size(col("toks")))
+      .withColumn("n", size(col("toks"))), col("doc_id"))
     val sh = base.filter(col("n") >= SPAN_W)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, n - $SPAN_W),

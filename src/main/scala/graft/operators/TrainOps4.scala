@@ -202,21 +202,29 @@ object TrainOps4 {
       16, 10).cast("long"), lit(CMS_BUCKETS))
 
   val sketchCmsExact: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
+    // wide() BEFORE the explode, hashed on doc_id (hash repartition
+    // skips round-robin's deterministic pre-sort — sorting the
+    // exploded token stream cost more than the spread won): the truth
+    // aggregation and the CMS_ROWS union legs all REUSE the one
+    // explicit exchange and the md5 bucketing runs at session width
+    val toks = Tables.wide(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(explode(split(col("text"), " ")).as("w"))
-    val truth = toks.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
-    // fixed-size sketch: 4 independent hash rows, one scan per row.
-    // MEASURED, not assumed: the union form runs 0.7 s at sf0.1 vs
-    // 2.3 s for the "one scan" explode-the-salt form — the documents
-    // scan is tiny next to the hashing, each union leg constant-folds
-    // its salt into the md5 prefix inside one codegen stage, while
-    // chaining a second Generate after the token explode de-fuses the
-    // pipeline. At 100 TB the scan term grows, but so does Spark's
-    // scan-reuse; revisit only with a measurement in hand.
+    val truth = graft.Caches.cached(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("true_cnt")))
+    // Hash the VOCABULARY, not the token stream: a CMS cell is
+    // Σ occurrences over the words hashing into it, and `truth`
+    // already holds per-word occurrence counts — so each union leg
+    // md5-buckets the Heaps-bounded distinct-word frame weighted by
+    // true_cnt instead of re-hashing every corpus token occurrence
+    // (guide §2.3 "aggregate before you shuffle": the md5 count drops
+    // from CMS_ROWS × |tokens| to CMS_ROWS × |vocab|). Identical
+    // cells — sum of per-word longs in place of a row count.
     val sketch = (0 until CMS_ROWS).map { r =>
-      toks.select(lit(r.toLong).as("r"), cmsBucket(lit(r), col("w")).as("bucket"))
+      truth.select(lit(r.toLong).as("r"), cmsBucket(lit(r), col("w")).as("bucket"),
+        col("true_cnt"))
     }.reduce(_ unionByName _)
-      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cell"))
+      .groupBy(col("r"), col("bucket")).agg(sum(col("true_cnt")).as("cell"))
     val queried = truth
       .orderBy(col("true_cnt").desc, col("w")).limit(20)
     val est = (0 until CMS_ROWS).map { r =>
@@ -350,10 +358,19 @@ object TrainOps4 {
 
   val sketchQuantileExact: Q = (s, d) => {
     import org.apache.spark.sql.types.DecimalType
-    val v = Tables.lineitem(s, d)
-      .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
-    val statsDf = v.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
-      count(lit(1)).as("n"))
+    // wide() so the min/max/count pass and the binning pass share ONE
+    // projected scan via exchange reuse (measured: two concurrent
+    // 264 ms duplicate subtree stages at sf0.1) at session width;
+    // hashed on the value itself (near-unique) to skip round-robin's
+    // deterministic pre-sort
+    val v = Tables.wide(Tables.lineitem(s, d)
+      .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c")),
+      col("c"))
+    // cached: statsDf (one row) feeds both the binning pass and the
+    // percentile targets — uncached, the min/max/count pass ran twice
+    val statsDf = graft.Caches.cached(
+      v.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+        count(lit(1)).as("n")))
     val binned = v.crossJoin(broadcast(statsDf))
       .select(expr(s"((c - mn) * $QSKETCH_BINS) div (mx - mn + 1)").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))

@@ -597,18 +597,18 @@ object Streaming {
           x => x =!= lit(""))).as("term"))
       .distinct()
     val w = Window.partitionBy(col("in_id")).orderBy(col("df"), col("term"))
-    // one eager materialization: qterms feeds THREE consumers (the
+    // one materialization: qterms feeds THREE consumers (the
     // probed-term collect below, the per-term posting cap, and the
-    // scoring join) — uncheckpointed, each consumer replayed the
-    // batch explode + distinct + per-doc window (guide §2.4: repeated
-    // subtrees are shuffles you can remove). localCheckpoint rather
-    // than cache: a long-running gate stream must not accumulate one
-    // registry entry per trigger.
-    val qterms = iterms.join(dfreq, col("term") === col("token"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= GATE_TERMS)
-      .select(col("in_id"), col("term"), col("df"))
-      .localCheckpoint(true)
+    // scoring join) — uncached, each consumer replayed the batch
+    // explode + distinct + per-doc window (guide §2.4: repeated
+    // subtrees are shuffles you can remove). Cached via the registry
+    // (phase release / clearIndexState reclaims it), which also keeps
+    // the df_vN dictionary scan visible in the audited lazy plan.
+    val qterms = graft.Caches.cached(
+      iterms.join(dfreq, col("term") === col("token"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= GATE_TERMS)
+        .select(col("in_id"), col("term"), col("df")))
     // restrict postings to the batch's probed term set BEFORE the scan
     // runs: the probed terms are trigger-sized (≤ GATE_TERMS × |batch|
     // after the rarest-term cut), so collecting them to the driver is
