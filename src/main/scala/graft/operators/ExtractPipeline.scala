@@ -27,7 +27,11 @@ object ExtractPipeline {
     * independent calls.
     */
   private def visionRun(s: SparkSession, d: String): DataFrame = {
-    val reqs = Tables.documents(s, d)
+    // wide(): the inference kernel + JSON validation is per-row work a
+    // single-split local scan would serialize onto one core (the stub
+    // is a pure function of doc id, so partitioning cannot change it)
+    val reqs = Tables.wide(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id").as("id"),
         concat(lit("Extract part fields from: "),
           coalesce(substring(col("text"), 1, 256), lit(""))).as("prompt"))

@@ -142,10 +142,11 @@ object Retrain {
   }
 
   val kmeansTrain: Q = (s, d) => {
-    val v0 = Tables.embeddings(s, d)
+    val ss = s
+    import ss.implicits._
+    val v0 = graft.Caches.cached(Tables.embeddings(s, d)
       .select(col("vec_id"), kq(col("embedding")).as("kv"))
-      .withColumn("vv", Expr.longDot(col("kv"), col("kv")))
-      .localCheckpoint(true)
+      .withColumn("vv", Expr.longDot(col("kv"), col("kv"))))
     // TRAINING runs on the md5-bounded sample (Similarity.TRAIN_CAP):
     // per-round cost is ≤ cap×K at any corpus size — below the cap the
     // modulus is 1 and the sample is the whole corpus, so small-scale
@@ -153,16 +154,26 @@ object Retrain {
     // sample-as-seed geometry applied to the bounded set.
     val tm = Similarity.trainMod(v0.count())
     val v = (if (tm == 1L) v0
-             else v0.filter(Similarity.md5TrainMod(col("vec_id"), tm) === 0)
-               .localCheckpoint(true))
+             else graft.Caches.cached(
+               v0.filter(Similarity.md5TrainMod(col("vec_id"), tm) === 0)))
     val n = v.count()
     val m = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
-    var cents = v.filter(md5Mod(col("vec_id"), lit(m)) === 0)
+    // The centroid state is ≤ √TRAIN_CAP-ish rows BY CONSTRUCTION
+    // (sampling modulus √n over the capped sample), so it lives as a
+    // driver-local table: per round the ONLY distributed job is the
+    // means collect (which also materializes that round's cached
+    // assignment for its report) — the checkpoint + anti-join +
+    // collect + checkpoint chain per round collapses into one action
+    // (the bpe-argmax discipline). Values are the identical long sums
+    // and integer divisions; only where the K-row frame lives changed.
+    var centsLocal: Seq[(Long, Seq[Long])] = v
+      .filter(md5Mod(col("vec_id"), lit(m)) === 0)
       .select(col("vec_id").as("cent_id"), col("kv").as("cvec"))
-      .localCheckpoint(true)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
     var reports = Seq.empty[DataFrame]
     for (iter <- 1 to KM_ITERS) {
-      val assign = kmAssign(v, cents).localCheckpoint(true)
+      val cents = centsLocal.toDF("cent_id", "cvec")
+      val assign = graft.Caches.cached(kmAssign(v, cents))
       reports = reports :+ assign.groupBy(col("cent_id"))
         .agg(count(lit(1)).cast("long").as("n_vecs"),
           sum((col("vv") + col("cost")).cast(DecimalType(38, 0))).as("inertia_dec"))
@@ -172,20 +183,18 @@ object Retrain {
       if (iter < KM_ITERS) {
         val means = vecMean(assign, Seq("cent_id"), "kv",
           Similarity.EMB_DIM, "cvec")
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
         // deterministic FARTHEST-POINT RE-SEED for cells that emptied
         // this round: a production quantizer must not lose capacity on
         // a collapsed corpus (exactly the skew case ivf_skew_report
         // exists to catch). The i-th empty cell (by cent_id) takes the
         // i-th farthest vector's position (squared distance to its
-        // assigned centroid, ties to the lower vec_id). Both frames
-        // are ≤ K rows — metadata-sized driver scalars, the BPE-argmax
-        // discipline — and the farthest scan is the bounded-heap TopK,
-        // never a corpus sort; when no cell empties (the common case)
-        // nothing beyond the K-row anti-join count is paid.
-        val empties = cents.select(col("cent_id"))
-          .join(means.select(col("cent_id")), Seq("cent_id"), "left_anti")
-          .orderBy(col("cent_id")).collect().map(_.getLong(0))
-        val next =
+        // assigned centroid, ties to the lower vec_id); the farthest
+        // scan is the bounded-heap TopK, never a corpus sort. With the
+        // centroid state local, empty-cell detection is a set diff.
+        val meanIds = means.map(_._1).toSet
+        val empties = centsLocal.map(_._1).filterNot(meanIds).sorted
+        centsLocal =
           if (empties.isEmpty) means
           else {
             val far = TopK.topKPerGroup(
@@ -194,16 +203,8 @@ object Retrain {
                 Seq("g"), Seq(("dist", true), ("vec_id", false)), empties.length)
               .orderBy(col("dist").desc, col("vec_id"))
               .select(col("kv")).collect()
-            val ss = s
-            import ss.implicits._
-            val reseeded = empties.toSeq.zip(far.toSeq)
-              .map { case (cid, r) => (cid, r.getSeq[Long](0)) }
-              .toDF("cent_id", "cvec")
-            means.unionByName(reseeded)
+            means ++ empties.zip(far.toSeq.map(_.getSeq[Long](0)))
           }
-        val chk = next.localCheckpoint(true)
-        cents.unpersist()
-        cents = chk
       }
     }
     reports.reduce(_ union _)
@@ -305,7 +306,10 @@ object Retrain {
 
   val qualityPerceptronTrain: Q = (s, d) => {
     val dec = DecimalType(38, 0)
-    val raw = TrainOps5.scoreQuality(Tables.documents(s, d))
+    // wide(): the feature pass (tokenize + higher-order lambdas) is
+    // per-row compute; a single-split local scan serializes it
+    val raw = TrainOps5.scoreQuality(Tables.wide(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id")))
       .select(col("doc_id"), col("n_tokens").as("r1"),
         col("mean_len_micros").as("r2"), col("stop_ratio_micros").as("r3"),
         col("distinct_ratio_micros").as("r4"),
