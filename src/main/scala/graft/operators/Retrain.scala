@@ -446,12 +446,14 @@ object Retrain {
   val pipeIndexMaintain: Q = (s, d) => {
     val constKv = transform(sequence(lit(1), lit(64)),
       i => when(i === 1, lit(2000000L)).otherwise(lit(1000000L)))
-    val v = Tables.embeddings(s, d)
+    // registry caches instead of eager checkpoints throughout: each
+    // frame's first scalar job (count / collect) materializes it, so
+    // no standalone materialization actions remain
+    val v = graft.Caches.cached(Tables.embeddings(s, d)
       .select(col("vec_id"),
         when(col("vec_id") % 5 =!= 0, constKv)
           .otherwise(kq(col("embedding"))).as("kv"))
-      .withColumn("vv", Expr.longDot(col("kv"), col("kv")))
-      .localCheckpoint(true)
+      .withColumn("vv", Expr.longDot(col("kv"), col("kv"))))
     val n = v.count()
     // zero-row corpus: nothing to trigger on, rebuild, or regrade —
     // report the all-zero maintenance record instead of crashing on a
@@ -469,12 +471,12 @@ object Retrain {
         .orderBy(col("phase"), col("metric"))
     } else {
     val m = math.max(1L, math.floor(math.sqrt(n.toDouble) / 2.0).toLong)
-    val cents0 = v.filter(md5Mod(col("vec_id"), lit(m)) === 0)
-      .select(col("vec_id").as("cent_id"), col("kv").as("cvec"))
-      .localCheckpoint(true)
+    val cents0 = graft.Caches.cached(
+      v.filter(md5Mod(col("vec_id"), lit(m)) === 0)
+        .select(col("vec_id").as("cent_id"), col("kv").as("cvec")))
     val kBefore = cents0.count()
     // TRIGGER: assignment under the bootstrap quantizer + 8x-mean verdict
-    val a1 = kmAssign(v, cents0).localCheckpoint(true)
+    val a1 = graft.Caches.cached(kmAssign(v, cents0))
     val trig = a1.groupBy(col("cent_id")).agg(count(lit(1)).as("nv"))
       .agg(max(col("nv")).as("mx"), sum(col("nv")).as("tot")).collect()(0)
     val (mx, tot) = (trig.getLong(0), trig.getLong(1))
@@ -487,8 +489,8 @@ object Retrain {
     // quantizer re-training is bounded (the FAISS posture).
     val tm = Similarity.trainMod(n)
     val a1t = (if (tm == 1L) a1
-               else a1.filter(Similarity.md5TrainMod(col("vec_id"), tm) === 0)
-                 .localCheckpoint(true))
+               else graft.Caches.cached(
+                 a1.filter(Similarity.md5TrainMod(col("vec_id"), tm) === 0)))
     val means = vecMean(a1t, Seq("cent_id"), "kv", Similarity.EMB_DIM, "cvec")
     val empties = cents0.select(col("cent_id"))
       .join(means.select(col("cent_id")), Seq("cent_id"), "left_anti")
@@ -506,9 +508,10 @@ object Retrain {
         means.unionByName(empties.toSeq.zip(far.toSeq)
           .map { case (cid, r) => (cid, r.getSeq[Long](0)) }
           .toDF("cent_id", "cvec"))
-      }).localCheckpoint(true)
-    val kAfter = c1.count()
-    val a2 = kmAssign(v, c1).localCheckpoint(true)
+      })
+    val c1c = graft.Caches.cached(c1)
+    val kAfter = c1c.count()
+    val a2 = graft.Caches.cached(kmAssign(v, c1c))
     // REGRADE: recall@10 of the probed serve vs exact L2 truth, both
     // heads. The query set (≤5 rows) and the truth/candidate sets
     // (≤ queries×10 rows) are metadata-sized BY CONSTRUCTION, so they
@@ -551,7 +554,7 @@ object Retrain {
       (hits * 1000000L / math.max(1L, nTruth), nScanned)
     }
     val (rOld, scanOld) = regrade(cents0, a1)
-    val (rNew, scanNew) = regrade(c1, a2)
+    val (rNew, scanNew) = regrade(c1c, a2)
     Seq(
       ("trigger", "max_share_ppm", mx * 1000000L / tot),
       ("trigger", "rebuild_fired", if (fired) 1L else 0L),

@@ -696,7 +696,9 @@ object TrainOps3 {
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.Row
     val base = trainFilter.foldLeft(Tables.documents(s, d))((df, f) => df.filter(f))
-    val vocab = base
+    // wide(): the ONE corpus-scale pass of the loop (tokenize + word
+    // count) runs at session width instead of one task per split
+    val vocab = Tables.wide(base.select(col("doc_id"), col("text")), col("doc_id"))
       .select(explode(toks(col("text"))).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -792,10 +794,13 @@ object TrainOps3 {
     val (merges, fin) = bpeLoop(s, d, keepFinal = true,
       trainFilter = Some(col("doc_id") % 7 =!= 3))
     val vtoks = fin.select(explode(split(col("seq"), " ")).as("vtok")).distinct()
-    val words = Tables.documents(s, d)
+    // cached: words feeds the tokenized-batch aggregate AND the
+    // per-source word count — uncached, the held-out slice was
+    // re-tokenized (and the 12-deep replace fold re-planned) twice
+    val words = graft.Caches.cached(Tables.documents(s, d)
       .filter(col("doc_id") % 7 === 3)
       .select(col("source"), explode(toks(col("text"))).as("word"))
-      .filter(length(col("word")) >= 1)
+      .filter(length(col("word")) >= 1))
     val seq0 = array_join(filter(split(col("word"), ""), x => x =!= lit("")), " ")
     val applied = merges.foldLeft(seq0) { case (c, (_, pair, merged, _)) =>
       val (pat, rep) = (lit(s" $pair "), lit(s" $merged "))
