@@ -506,8 +506,27 @@ object Similarity {
     */
   def clearTrainedState(): Unit = {
     centCache.clear(); builtIndexes.clear(); builtIvfExact.clear()
+    chainFrames.clear()
     invalidationHooks.forEach(h => h())
   }
+
+  /** Memoized raw chain frame per (path, committed version): the
+    * per-root reads each pay a partition-DISCOVERY job (listing every
+    * cell directory), and a serve re-created all of them per call —
+    * metadata work, not data (guide §6: cache file listings). A new
+    * committed version changes the key; in-place rewrites go through
+    * clearTrainedState (the existing contract).
+    */
+  private val chainFrames =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+
+  private[graft] def ingestChainFrame(s: SparkSession, path: String, v: Int): DataFrame =
+    chainFrames.compute((path, v), { (_, cur) =>
+      if (cur != null && (cur.sparkSession eq s)) cur
+      else ingestReadRoots(s, path, v)
+        .map(r => s.read.schema(ivfxCorpusSchema).parquet(r))
+        .reduce(_ unionByName _)
+    })
 
   val annIvfIndex: Q = (s, d) => {
     // full sanitized path (no hashCode collisions) + process id (two
@@ -1195,10 +1214,11 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cent_id"))
     val probedCells = probes.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0))
-    val indexed = ingestReadRoots(s, path, v)
-      .map(r => s.read.schema(ivfxCorpusSchema).parquet(r)
-        .filter(col("cent_id").isin(probedCells: _*)))
-      .reduce(_ unionByName _)
+    // literal cent_id filter ON TOP of the memoized union: Catalyst
+    // pushes it through the Union into every root's scan, so each
+    // committed segment keeps its plan-time PartitionFilter
+    val indexed = ingestChainFrame(s, path, v)
+      .filter(col("cent_id").isin(probedCells: _*))
     val scored = indexed.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

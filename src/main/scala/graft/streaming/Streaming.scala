@@ -1006,10 +1006,11 @@ object Streaming {
       .select(col("in_id"), col("qv"), col("cent_id"))
     val probedCells = probes.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0))
-    val indexed = Similarity.ingestReadRoots(s, indexPath, v)
-      .map(r => s.read.schema(Similarity.ivfxCorpusSchema).parquet(r)
-        .filter(col("cent_id").isin(probedCells: _*)))
-      .reduce(_ unionByName _)
+    // memoized chain frame (one partition-discovery pass per committed
+    // version); the literal filter pushes through the union into every
+    // segment scan
+    val indexed = Similarity.ingestChainFrame(s, indexPath, v)
+      .filter(col("cent_id").isin(probedCells: _*))
     val scored = indexed.join(broadcast(probes), Seq("cent_id"))
       .select(col("in_id"), col("vec_id").as("match_id"),
         graft.functions.Expr.longDot(col("qv"), col("cv")).as("qdot"))
