@@ -512,18 +512,35 @@ object Dedup {
     // 200k-vector scale point, because the corpus side outgrows the
     // broadcast threshold). The dot is deterministic, so distinct()
     // over (pair, cosine) still collapses cross-band duplicates.
-    val perBand = (0 until bands).map { b =>
-      val capped = cappedBuckets(e, "embedding", n,
-        base = hyperplanes(nPlanes, EMB_DIM, seed = 101L + 2 * b))
-      capped.as("x").join(capped.as("y"),
+    // ALL bands in one pipeline: a vector's four band buckets are four
+    // independent projections of the same row, so posexplode them into
+    // (band, bucket) once and key everything by (band, bucket) — ONE
+    // size aggregation, ONE cap join and ONE self-join replace four
+    // copies of each (guide §2.4: operations keyed the same way share
+    // one exchange). Pair sets per band are identical to the per-band
+    // plan; the cross-band distinct below is unchanged.
+    val extra = hyperplanes(8, EMB_DIM, seed = 13L)
+    val banded = e.select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until bands).map(b =>
+          bucketOf(col("embedding"),
+            hyperplanes(nPlanes, EMB_DIM, seed = 101L + 2 * b))): _*))
+          .as(Seq("band", "bucket")))
+    val sizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+    val capped = banded.join(sizes, Seq("band", "bucket"))
+      .withColumn("sub",
+        when(col("__bsz") > MAX_BUCKET, bucketOf(col("embedding"), extra))
+          .otherwise(lit(0L)))
+      .drop("__bsz")
+    val cross = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") && col("x.sub") === col("y.sub") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-          Expr.dotProduct(col("x.embedding"), col("y.embedding")).as("cosine"))
-    }
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        Expr.dotProduct(col("x.embedding"), col("y.embedding")).as("cosine"))
     val starScored = star.select(col("vec_a"), col("vec_b"),
       Expr.dotProduct(col("embedding"), col("embedding")).as("cosine"))
-    perBand.reduce(_ unionByName _).unionByName(starScored).distinct()
+    cross.unionByName(starScored).distinct()
   }
 
   val dedupEmbedding: Q = (s, d) => {
@@ -584,25 +601,32 @@ object Dedup {
     val (e, star) = collapseIdentical(e0, "q")
     // The sub-split planes are band-independent (mirrors cappedBuckets'
     // fixed extra table), so the sub bucket is computed once per vector.
-    val withSub = cached(e.withColumn("xbucket", md5Bucket(col("q"), md5Planes("x", EMB_PLANES))))
-    val perBand = (0 until EMB_BANDS).map { b =>
-      val bk = withSub.withColumn("bucket", md5Bucket(col("q"), md5Planes(s"e$b", nPlanes)))
-      val sizes = bk.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
-      val capped = bk.join(sizes, "bucket")
-        .withColumn("sub", when(col("__bsz") > MAX_BUCKET, col("xbucket")).otherwise(lit(0L)))
-      capped.as("x").join(capped.as("y"),
+    // ALL bands fused into one (band, bucket) pipeline, exactly as in
+    // bandedEmbeddingPairs: one size aggregation, one cap join, one
+    // self-join; per-band pair sets unchanged, cross-band distinct as
+    // before. The sub-split table stays band-independent.
+    val banded = e.select(col("vec_id"), col("q"),
+        md5Bucket(col("q"), md5Planes("x", EMB_PLANES)).as("xbucket"),
+        posexplode(array((0 until EMB_BANDS).map(b =>
+          md5Bucket(col("q"), md5Planes(s"e$b", nPlanes))): _*))
+          .as(Seq("band", "bucket")))
+    val sizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+    val capped = banded.join(sizes, Seq("band", "bucket"))
+      .withColumn("sub", when(col("__bsz") > MAX_BUCKET, col("xbucket")).otherwise(lit(0L)))
+    val cross = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") && col("x.sub") === col("y.sub") &&
-            col("x.vec_id") < col("y.vec_id"))
-        // in-join scoring, same rationale as bandedEmbeddingPairs: no
-        // post-hoc corpus re-join shuffling 64-long arrays per pair
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-          Expr.longDot(col("x.q"), col("y.q")).as("qdot"))
-    }
+          col("x.vec_id") < col("y.vec_id"))
+      // in-join scoring, same rationale as bandedEmbeddingPairs: no
+      // post-hoc corpus re-join shuffling 64-long arrays per pair
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        Expr.longDot(col("x.q"), col("y.q")).as("qdot"))
     // star pairs are bit-identical vectors: the pair score is the
     // self-dot of the shared quantized vector
     val starScored = star.select(col("vec_a"), col("vec_b"),
       Expr.longDot(col("q"), col("q")).as("qdot"))
-    perBand.reduce(_ unionByName _).unionByName(starScored).distinct()
+    cross.unionByName(starScored).distinct()
       .orderBy(col("qdot").desc, col("vec_a"), col("vec_b"))
       .limit(50)
   }

@@ -119,7 +119,7 @@ object IvfPq {
     // elimination; the unprobed bulk of a 100 TB index is never read)
     val probedCells = probes.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0))
-    val codes = s.read.schema(pqCodesSchema).parquet(s"$path/pq/codes")
+    val codes = Similarity.partitionedFrame(s, s"$path/pq/codes", pqCodesSchema)
       .filter(col("cent_id").isin(probedCells: _*))
     val cb = s.read.schema(pqCbSchema).parquet(s"$path/pq/codebook")
     val lut = querySubvectors(s, d).join(broadcast(cb), Seq("s"))
@@ -464,7 +464,7 @@ object IvfPq {
         Similarity.IVFX_NPROBE)
     val probedCells = probes.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0))
-    val codes = s.read.schema(pqCodesSchema).parquet(s"$path/pqr/codes")
+    val codes = Similarity.partitionedFrame(s, s"$path/pqr/codes", pqCodesSchema)
       .filter(col("cent_id").isin(probedCells: _*))
     val cb = s.read.schema(pqCbSchema).parquet(s"$path/pqr/codebook")
     val lut = querySubvectors(s, d).join(broadcast(cb), Seq("s"))

@@ -82,7 +82,13 @@ object Relational2 {
 
   // --- TPC-H Q18-style: large-quantity orders -------------------------
   val q18Large: Q = (s, d) => {
-    val bigOrders = Tables.lineitem(s, d)
+    // wide() on the aggregation key: the per-orderkey quantity rollup
+    // was bounded by the scan's row-group split count locally (3
+    // tasks); hashing by l_orderkey up front IS the aggregation's own
+    // exchange, so the groupBy adds none (no-op once the scan has
+    // enough splits)
+    val bigOrders = Tables.wide(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity")), col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(sum(d2(col("l_quantity"))).cast("double").as("sum_qty"))
       .filter(col("sum_qty") > 250)

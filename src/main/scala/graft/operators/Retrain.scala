@@ -40,8 +40,8 @@ object Retrain {
     val path = Similarity.ensureIvfxIndex(s, d)
     val cents = s.read.schema(Similarity.ivfxCentSchema)
       .parquet(s"$path/centroids").select(col("cent_id"))
-    val corpus = s.read.schema(Similarity.ivfxCorpusSchema)
-      .parquet(Similarity.liveCorpusPath(s, path))
+    val corpus = Similarity.partitionedFrame(
+      s, Similarity.liveCorpusPath(s, path), Similarity.ivfxCorpusSchema)
     val counts = corpus.groupBy(col("cent_id"))
       .agg(count(lit(1)).cast("long").as("n_vecs"))
     val full = cents.join(counts, Seq("cent_id"), "left")

@@ -342,7 +342,7 @@ object Similarity {
     val corpusSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, embedding ARRAY<FLOAT>, cent_id BIGINT")
     val cents = s.read.schema(centSchema).parquet(s"$path/centroids")
-    val indexed = s.read.schema(corpusSchema).parquet(liveCorpusPath(s, path))
+    val indexed = partitionedFrame(s, liveCorpusPath(s, path), corpusSchema)
     val probes = TopK.topKPerGroup(
         queriesDf.crossJoin(broadcast(cents))
           .select(col("query_id"), col("qvec"), col("cent_id"),
@@ -506,7 +506,7 @@ object Similarity {
     */
   def clearTrainedState(): Unit = {
     centCache.clear(); builtIndexes.clear(); builtIvfExact.clear()
-    chainFrames.clear()
+    chainFrames.clear(); dirFrames.clear()
     invalidationHooks.forEach(h => h())
   }
 
@@ -519,6 +519,24 @@ object Similarity {
     */
   private val chainFrames =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+
+  /** Memoized cell-partitioned directory reads (corpus / PQ codes):
+    * every fresh `spark.read.parquet` of a partitionBy(cent_id) dir
+    * pays a partition-discovery listing job over all cell directories
+    * (measured 78-to-116-task jobs per serve call). Keyed by the
+    * resolved dir — versioned dirs change key on commit; write-once
+    * layers (pq/, pqr/) invalidate through clearTrainedState with the
+    * memo that built them. Metadata caching only (guide §6).
+    */
+  private val dirFrames =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def partitionedFrame(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    dirFrames.compute(dir, { (_, cur) =>
+      if (cur != null && (cur.sparkSession eq s)) cur
+      else s.read.schema(schema).parquet(dir)
+    })
 
   private[graft] def ingestChainFrame(s: SparkSession, path: String, v: Int): DataFrame =
     chainFrames.compute((path, v), { (_, cur) =>
@@ -810,7 +828,7 @@ object Similarity {
   private[graft] def queryIvfExactIndex(s: SparkSession, path: String,
       qs: DataFrame): DataFrame = {
     val cents = s.read.schema(ivfxCentSchema).parquet(s"$path/centroids")
-    val indexed = s.read.schema(ivfxCorpusSchema).parquet(liveCorpusPath(s, path))
+    val indexed = partitionedFrame(s, liveCorpusPath(s, path), ivfxCorpusSchema)
     val probes = TopK.topKPerGroup(
         qs.crossJoin(broadcast(cents))
           .select(col("query_id"), col("qv"), col("cent_id"),
