@@ -58,8 +58,26 @@ object Tables {
     */
   def wide(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= target) df
+    if (scanWidth(df) * 2 >= target) df
     else if (keys.nonEmpty) df.repartition(target, keys: _*)
     else df.repartition(target)
+  }
+
+  /** Partition count of `df`'s scan, memoized per (session, semantic
+    * plan): `df.rdd` pays a full physical planning pass per call, and
+    * every bench invocation of an operator re-built its frames — the
+    * probe was costing 50-150 ms of plan-construction per wide() site
+    * per run (measured via graft.Profile plan-construction time). The
+    * memo key is the analyzed plan's semanticHash — a collision only
+    * mis-sizes a repartition decision, never affects results. Static
+    * inputs per process; partition counts for a given plan are stable.
+    */
+  private val widthMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Integer]()
+  private def scanWidth(df: DataFrame): Int = {
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash())
+    widthMemo.computeIfAbsent(key,
+      _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue()
   }
 }

@@ -62,14 +62,18 @@ object Dedup {
   /** MinHash signatures for any (doc_id, text) frame — works on batch
     * and streaming inputs (the signature expression is stateless).
     */
-  def signaturesOf(docs: DataFrame): DataFrame = {
+  def signaturesOf(docs: DataFrame, spread: Boolean = true): DataFrame = {
     // widen batch inputs ahead of the signature kernel (64 hashes per
     // shingle — pure per-row compute that a single-split local scan
     // would serialize onto one core); streaming frames keep their
-    // trigger partitioning (wide() would materialize the plan)
+    // trigger partitioning (wide() would materialize the plan), and
+    // callers with trigger-SIZED batch inputs (the dup-gate incoming
+    // side) pass spread=false — an exchange of a few hundred rows
+    // costs more than the kernel it parallelizes
     val in = docs.select(col("doc_id"), col("text"))
-    val spread = if (docs.isStreaming) in else Tables.wide(in, col("doc_id"))
-    spread.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val widened =
+      if (docs.isStreaming || !spread) in else Tables.wide(in, col("doc_id"))
+    widened.select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("sig", Expr.minhashSignature(col("sh"), K))
       .select(col("doc_id"), col("sig"))
   }

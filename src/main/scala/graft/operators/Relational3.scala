@@ -209,10 +209,20 @@ object Relational3 {
 
   val qApprox: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
-    val sk = li.groupBy(col("l_returnflag")).agg(
-      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"))
-    val ex = li.groupBy(col("l_returnflag")).agg(
-      countDistinct(col("l_partkey")).as("exact_parts"))
+    // ONE distinct pass feeds both cardinality heads: HLL registers are
+    // set-semantic (re-adding an element is a no-op), so
+    // approx_count_distinct over the deduped (flag, partkey) frame is
+    // bit-identical to running it over the raw stream — and the exact
+    // count is just count(*) of that frame. This replaces two separate
+    // lineitem scans+aggregations (plus their join) with one
+    // (flag, partkey) exchange shared by both outputs (guide §2.4).
+    // The countDistinct rewrite built this same (flag, partkey)
+    // partial aggregate anyway; now the HLL rides it instead of
+    // re-scanning.
+    val dist = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+    val cards = dist.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+      count(lit(1)).as("exact_parts"))
     val b = li.select(col("l_returnflag"),
         floor(log(col("l_extendedprice").cast("double")) / math.log(QA_GAMMA))
           .cast("long").as("bkt"))
@@ -227,7 +237,7 @@ object Relational3 {
       .groupBy(col("l_returnflag")).agg(min(col("bkt")).as("mbkt"))
       .select(col("l_returnflag"),
         pow(lit(QA_GAMMA), col("mbkt")).as("approx_med_price"))
-    sk.join(ex, Seq("l_returnflag")).join(med, Seq("l_returnflag"))
+    cards.join(med, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
         col("approx_med_price"))
       .orderBy(col("l_returnflag"))

@@ -118,10 +118,18 @@ object TrainOps {
     // branches share the explicit exchange
     val tok = Tables.wide(docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // cached: tf feeds BOTH the document-frequency aggregate and the
+    // scoring join. Exchange reuse was supposed to share the
+    // (doc, token) aggregation between the branches but does not fire
+    // here (measured: two ~300 ms 32-task stages each re-reading the
+    // text exchange and re-exploding, graft.Profile stages 234/235);
+    // the cache makes the tokenize+aggregate run once. tf is bounded
+    // by docs × distinct-tokens-per-doc — far smaller than the token
+    // stream (the bm25Pairs discipline).
+    val tf = graft.Caches.cached(
+      tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
     // df derives from tf's group keys (distinct (doc,token) IS tf) — no
-    // second explode+distinct shuffle of the raw token stream; Catalyst
-    // reuses tf's exchange for both branches of the self-join.
+    // second explode+distinct shuffle of the raw token stream.
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))

@@ -528,7 +528,12 @@ object TrainOps3 {
   // dataflow is exactly this one aggregation, so the shape is the
   // interesting part.) The rank window is bounded post-limit.
   val bpePairCounts: Q = (s, d) => {
-    val cnt = Tables.documents(s, d)
+    // wide(): the double explode (tokens, then character pairs per
+    // token) is pure per-row kernel work — unwidened it ran as ONE
+    // 661 ms task on the single-split sf0.1 scan (graft.Profile);
+    // no-op once the input has enough splits
+    val cnt = Tables.wide(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(explode(toks(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 2)
       .select(explode(expr(

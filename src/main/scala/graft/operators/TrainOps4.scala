@@ -358,14 +358,16 @@ object TrainOps4 {
 
   val sketchQuantileExact: Q = (s, d) => {
     import org.apache.spark.sql.types.DecimalType
-    // wide() so the min/max/count pass and the binning pass share ONE
-    // projected scan via exchange reuse (measured: two concurrent
-    // 264 ms duplicate subtree stages at sf0.1) at session width;
-    // hashed on the value itself (near-unique) to skip round-robin's
-    // deterministic pre-sort
-    val v = Tables.wide(Tables.lineitem(s, d)
-      .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c")),
-      col("c"))
+    // NO wide() here, deliberately: the repartition's shuffle WRITE
+    // runs at the scan's own (narrow) split count, so for this
+    // one-long-column projection it costs more than the second parquet
+    // scan it would save (measured: wide() version 0.89-1.04 s vs
+    // 0.55 s baseline at sf0.1 — the 3-task exchange write alone was
+    // 438 ms). Columnar re-scans of a single long column are cheaper
+    // than a row-oriented shuffle round-trip; guide §1.2 — fix the
+    // algorithm only where the per-row work dominates.
+    val v = Tables.lineitem(s, d)
+      .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
     // cached: statsDf (one row) feeds both the binning pass and the
     // percentile targets — uncached, the min/max/count pass ran twice
     val statsDf = graft.Caches.cached(

@@ -68,7 +68,8 @@ object Streaming {
     * the flagged set itself is unbounded).
     */
   def streamDupCandidates(newDocs: DataFrame, corpusIndex: DataFrame): DataFrame =
-    graft.operators.Dedup.banded(graft.operators.Dedup.signaturesOf(newDocs))
+    graft.operators.Dedup.banded(
+        graft.operators.Dedup.signaturesOf(newDocs, spread = false))
       .join(corpusIndex, Seq("band_idx", "band_hash"), "left_semi")
       .select(col("doc_id"))
       .dropDuplicates("doc_id")
@@ -275,7 +276,8 @@ object Streaming {
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       .unionByName(head.select((col("doc_id") + 2000000L).as("doc_id"),
         concat(lit("novel "), reverse(col("text"))).as("text")))
-    graft.operators.Dedup.banded(graft.operators.Dedup.signaturesOf(incoming))
+    graft.operators.Dedup.banded(
+        graft.operators.Dedup.signaturesOf(incoming, spread = false))
       .join(graft.operators.Dedup.bandedIndex(corpus),
         Seq("band_idx", "band_hash"), "left_semi")
       .select(col("doc_id")).dropDuplicates("doc_id")
