@@ -10,8 +10,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * touches.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred schema per (session, file), memoized: a bare
+    * `spark.read.parquet(path)` runs a footer-reading schema-inference
+    * JOB on every call — graft.Profile showed one ~30-50 ms
+    * "parquet at Tables.scala" stage per table per query invocation
+    * (q7_volume alone paid five). Passing the memoized schema skips
+    * the inference job; the DATA is still scanned by every query
+    * (this caches metadata only, guide §6 file-listing discipline).
+    * Keyed by session identity so a fresh session (new process, test
+    * suite) re-infers.
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaMemo.computeIfAbsent(
+      (System.identityHashCode(spark), path),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
