@@ -92,7 +92,7 @@ object Tables {
     */
   private val widthMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Integer]()
-  private def scanWidth(df: DataFrame): Int = {
+  private[graft] def scanWidth(df: DataFrame): Int = {
     val key = (System.identityHashCode(df.sparkSession),
       df.queryExecution.analyzed.semanticHash())
     widthMemo.computeIfAbsent(key,

@@ -96,9 +96,11 @@ object Inference {
     val typed = requests.select(col("id").cast("long").as("id"), col("prompt")).as[Request]
     // stream-safe: a streaming Dataset has no rdd to count partitions
     // on, so the budget share falls back to the session's parallelism
+    // memoized probe (Tables.scanWidth): a bare typed.rdd paid a full
+    // physical-planning pass per invocation just to size the budget
     val nParts = math.max(1,
       if (requests.isStreaming) s.sparkContext.defaultParallelism
-      else typed.rdd.getNumPartitions)
+      else graft.Tables.scanWidth(typed.toDF()))
     val budgetShare = cfg.budgetUsd / nParts
     val out = typed.mapPartitions { it =>
       var localSpend = 0.0

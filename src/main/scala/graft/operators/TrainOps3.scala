@@ -111,17 +111,22 @@ object TrainOps3 {
         filter(split(coalesce(col("text"), lit("")), " "),
           x => x =!= lit("")).as("toks"))
       .withColumn("n", size(col("toks"))), col("doc_id"))
-    // cached: the keeper aggregation and the removable join both
-    // consume sh — uncached, each re-ran the md5-gram explode (the
-    // operator's dominant map work, measured as two ~10 MB-writing
-    // twin stages at sf0.1)
+    // cached AND pre-partitioned by gkey: the keeper aggregation and
+    // the removable join are BOTH keyed by gkey, so one explicit
+    // exchange ahead of the cache serves them co-partitioned — without
+    // it each consumer shuffled the gram frame separately (two ~10 MB
+    // twin exchange-write stages at sf0.1, graft.Profile 173/174);
+    // with it the groupBy needs no exchange and the join is
+    // zero-exchange co-partitioned (guide §2.4: operations keyed the
+    // same way share one exchange)
     val sh = graft.Caches.cached(base.filter(col("n") >= SPAN_W)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, n - $SPAN_W),
            |  i -> struct(CAST(i AS BIGINT) AS start,
            |              md5(array_join(slice(toks, i + 1, $SPAN_W), ' ')) AS gkey))""".stripMargin))
         .as("c"))
-      .select(col("doc_id"), col("c.start").as("start"), col("c.gkey").as("gkey")))
+      .select(col("doc_id"), col("c.start").as("start"), col("c.gkey").as("gkey"))
+      .repartition(col("gkey")))
     val dupKeepers = sh.groupBy(col("gkey"))
       .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("start"))).as("k"))
       .filter(col("c") >= 2)
