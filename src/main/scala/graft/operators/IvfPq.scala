@@ -265,10 +265,11 @@ object IvfPq {
   private[graft] def pqTrain(sub: DataFrame, cb0: DataFrame): DataFrame = {
     var cb = cb0.localCheckpoint(true)
     for (_ <- 1 to PQT_ITERS) {
-      val cost = Expr.longDot(col("cw"), col("cw")) -
-        lit(2L) * Expr.longDot(col("sv"), col("cw"))
+      // |cw|² once per codeword on the broadcast side (see kmAssign)
+      val cb2 = cb.withColumn("__c2", Expr.longDot(col("cw"), col("cw")))
+      val cost = col("__c2") - lit(2L) * Expr.longDot(col("sv"), col("cw"))
       val assign = TopK.topKPerGroup(
-        sub.join(broadcast(cb), Seq("s"))
+        sub.join(broadcast(cb2), Seq("s"))
           .select(col("vec_id"), col("s"), col("sv"), col("code_id"),
             cost.as("cost")),
         Seq("vec_id", "s"), Seq(("cost", false), ("code_id", false)), 1)
@@ -300,11 +301,12 @@ object IvfPq {
                 else sub.filter(Similarity.md5TrainMod(col("vec_id"), tm) === 0)
                   .localCheckpoint(true))
     val cb = pqTrain(subT, seeds)
-    // encode in offset space (assignment is translation-invariant)
-    val cost = Expr.longDot(col("cw"), col("cw")) -
-      lit(2L) * Expr.longDot(col("sv"), col("cw"))
+    // encode in offset space (assignment is translation-invariant);
+    // |cw|² once per codeword on the broadcast side (see kmAssign)
+    val cbE = cb.withColumn("__c2", Expr.longDot(col("cw"), col("cw")))
+    val cost = col("__c2") - lit(2L) * Expr.longDot(col("sv"), col("cw"))
     val codes = TopK.topKPerGroup(
-        sub.join(broadcast(cb), Seq("s"))
+        sub.join(broadcast(cbE), Seq("s"))
           .select(col("vec_id"), col("s"), col("code_id"), cost.as("cost")),
         Seq("vec_id", "s"), Seq(("cost", false), ("code_id", false)), 1)
       .select(col("vec_id"), col("s"), col("code_id"))

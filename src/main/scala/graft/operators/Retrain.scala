@@ -132,10 +132,14 @@ object Retrain {
     * shape (broadcast + TopK reduction, no cartesian sort).
     */
   private[graft] def kmAssign(v: DataFrame, cents: DataFrame): DataFrame = {
-    val cost = Expr.longDot(col("cvec"), col("cvec")) -
-      lit(2L) * Expr.longDot(col("kv"), col("cvec"))
+    // |c|² computed ONCE per centroid on the broadcast side, not per
+    // (vector, centroid) candidate — the assignment loop evaluates the
+    // cost n×K times and the self-dot is half its multiply-adds
+    // (guide §1.2 per-task work). Same integers, same argmin.
+    val c2 = cents.withColumn("__c2", Expr.longDot(col("cvec"), col("cvec")))
+    val cost = col("__c2") - lit(2L) * Expr.longDot(col("kv"), col("cvec"))
     TopK.topKPerGroup(
-      v.crossJoin(broadcast(cents))
+      v.crossJoin(broadcast(c2))
         .select(col("vec_id"), col("kv"), col("vv"), col("cent_id"),
           cost.as("cost")),
       Seq("vec_id"), Seq(("cost", false), ("cent_id", false)), 1)

@@ -904,10 +904,11 @@ object Similarity {
         expr(s"slice(cv, s * $PQ_SUBD + 1, $PQ_SUBD)").as("sv"))
     val cb = sub.filter(md5Mod(col("vec_id"), m) === 0)
       .select(col("s"), col("vec_id").as("code_id"), col("sv").as("cw"))
-    val cost = Expr.longDot(col("cw"), col("cw")) -
-      lit(2L) * Expr.longDot(col("sv"), col("cw"))
+    // |cw|² once per codeword on the broadcast side (see kmAssign)
+    val cb2 = cb.withColumn("__c2", Expr.longDot(col("cw"), col("cw")))
+    val cost = col("__c2") - lit(2L) * Expr.longDot(col("sv"), col("cw"))
     val codes = TopK.topKPerGroup(
-        sub.join(broadcast(cb), Seq("s"))
+        sub.join(broadcast(cb2), Seq("s"))
           .select(col("vec_id"), col("s"), col("code_id"), cost.as("cost")),
         Seq("vec_id", "s"), Seq(("cost", false), ("code_id", false)), 1)
       .select(col("vec_id"), col("s"), col("code_id"))
