@@ -256,6 +256,13 @@ object MultiModal {
         shiftrightunsigned(b, 4 * i).bitwiseAND(lit(15L)), lit(1)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  // NO wide() here, deliberately: the signature kernel hashes the FULL
+  // payload, so spreading it means shuffling the heavy bytes to
+  // parallelize 15 md5 digests — measured LOSS at sf0.1 (0.93-1.44 s
+  // unwidened vs 1.35-2.1 s widened; the guide §8 rule: move decisions
+  // to lightweight proxies, never move heavy bytes to spread cheap
+  // compute). At scale the scan has many splits and the kernel
+  // parallelizes for free.
   val mmPhashDedup: Q = (s, d) =>
     phashPairs(Tables.documents(s, d).select(col("doc_id"),
       coalesce(col("text"), lit("")).cast("binary").as("content")))

@@ -45,6 +45,10 @@ object TrainOps2 {
   val EVAL_MOD = 97L
 
   val decontamOverlap: Q = (s, d) => {
+    // NO wide(), deliberately: measured 0.58 s unwidened vs 0.84-1.18 s
+    // widened at sf0.1 — the exchange disturbs the join's broadcast
+    // sizing for the tiny eval side and costs more than the shingle
+    // explode it would spread
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), explode(GExpr.trigramShingles(col("text"))).as("sh"))
     val eval = sh.filter(col("doc_id") % EVAL_MOD === 0)
@@ -80,7 +84,11 @@ object TrainOps2 {
   // with a final snapped division; per-doc groupBy is the only
   // shuffle and map-side combine does most of the counting.
   val textRepetition: Q = (s, d) => {
-    val w = Tables.documents(s, d)
+    // wide(): the bigram explode + per-doc partial aggregation ran as
+    // ONE 491 ms task on the single-split sf0.1 scan (graft.Profile);
+    // the text exchange is far cheaper than the kernel it spreads
+    val w = Tables.wide(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     // Guard the bigram comprehension on size(w) >= 2: sequence(0, -1)
     // (a 1-token doc) would step BACKWARDS to [0, -1] and element_at(w, 0)

@@ -47,6 +47,25 @@ class Relational3Spec extends AnyFunSuite {
     }
   }
 
+  test("q_approx fused distinct pass bit-matches the naive two-scan formulation") {
+    // r15 optimization: ONE distinct (flag, partkey) exchange feeds
+    // both cardinality heads. HLL registers are set-semantic, so the
+    // sketch over the deduped frame must equal the sketch over the raw
+    // stream EXACTLY (not within tolerance), and count(*) of the
+    // distinct frame must equal countDistinct of the raw one.
+    val li = Tables.lineitem(spark, sf)
+    val naive = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("a"),
+        countDistinct(col("l_partkey")).as("e"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Relational3.qApprox(spark, sf).collect().foreach { r =>
+      val (a, e) = naive(r.getString(0))
+      assert(r.getAs[Long]("approx_parts") == a,
+        s"fused HLL diverged from raw-stream HLL for ${r.getString(0)}")
+      assert(r.getAs[Long]("exact_parts") == e)
+    }
+  }
+
   test("custom functions are callable from SQL after registration") {
     Registry.registerAll(spark)
     val row = spark.sql(
