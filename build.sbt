@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Per-test durations in the report (-oD): the suite must fit the
+// driver's verification budget, so slow legs need to be visible.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

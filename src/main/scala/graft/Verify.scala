@@ -15,9 +15,18 @@ object Verify {
     // Bench — run the whole dump against local-cluster executors so the
     // oracle gate itself proves the library serializes across JVMs.
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // Engine confs mirror graft.Bench exactly: the driver re-times the
+    // same queries it verifies here, and a conf set only in the timed
+    // session would mean the oracle never exercises the engine the
+    // bench measures (round-15 verdict flagged exactly that skew for
+    // canChangeCachedPlanOutputPartitioning).
     val b0 = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = sys.env.get("SPARK_GRAFT_JAR")

@@ -335,6 +335,69 @@ object Kernels {
     acc
   }
 
+  /** Argmin codeword assignment of one long (sub)vector against a
+    * driver-local codebook — the codegen'd replacement for the
+    * broadcast-join + bounded-TopK assignment pass (one joined row per
+    * (vector, codeword) candidate through join machinery and a heap,
+    * for what is a pure per-row reduction). Semantics are bit-identical
+    * to TopK over cost = |cw|² − 2·sv·cw ordered (cost ASC, code_id
+    * ASC): same long arithmetic in the same element order as
+    * [[longDot]], `ids(s)` sorted ascending so the strict `<` keeps the
+    * lowest code_id on ties. `c2s` carries the per-codeword self-dot
+    * (computed once driver-side — the round-15 broadcast-side hoist,
+    * kept). Returns (code_id, cost); null when the subspace is out of
+    * range or has no codewords (the join produced no row there).
+    */
+  def quantAssign(s: Int, sv: ArrayData, ids: Array[Array[Long]],
+      cws: Array[Array[Long]], c2s: Array[Array[Long]],
+      subd: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    if (s < 0 || s >= ids.length || ids(s).length == 0) return null
+    val id = ids(s); val cw = cws(s); val c2 = c2s(s)
+    val d = math.min(subd, sv.numElements())
+    var best = Long.MaxValue; var bestId = 0L; var first = true
+    var k = 0
+    while (k < id.length) {
+      val off = k * subd
+      var dot = 0L
+      var j = 0
+      while (j < d) { dot += sv.getLong(j) * cw(off + j); j += 1 }
+      val cost = c2(k) - 2L * dot
+      if (first || cost < best) { best = cost; bestId = id(k); first = false }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, best))
+  }
+
+  /** Argmax float-dot assignment of one embedding against a
+    * driver-local centroid table — the cosine twin of [[quantAssign]]
+    * for the IVF cell-assignment passes. Bit-identical to TopK over
+    * cdist = dot(vec, cvec) ordered (cdist DESC, cent_id ASC): the dot
+    * accumulates in the same element order as [[dotProduct]], ids
+    * sorted ascending, and the comparison uses Double.compare so NaN
+    * and -0.0 order exactly like Spark's double ordering. Returns
+    * (cent_id, cdist); null when the centroid table is empty.
+    */
+  def dotArgmax(vec: ArrayData, ids: Array[Long], cvs: Array[Float],
+      dim: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    if (ids.length == 0) return null
+    val d = math.min(dim, vec.numElements())
+    var best = 0.0; var bestId = 0L; var first = true
+    var k = 0
+    while (k < ids.length) {
+      val off = k * dim
+      var dot = 0.0
+      var j = 0
+      while (j < d) { dot += vec.getFloat(j) * cvs(off + j); j += 1 }
+      if (first || java.lang.Double.compare(dot, best) > 0) {
+        best = dot; bestId = ids(k); first = false
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, best))
+  }
+
   def rollingHash(arr: ArrayData): Long = {
     var acc = 1469598103934665603L // FNV offset basis
     var i = 0

@@ -227,6 +227,94 @@ object Expr {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Argmin codeword assignment against a driver-local codebook — the
+    * per-row codegen'd form of `sub.join(broadcast(cb)) → TopK k=1`
+    * (see Kernels.quantAssign for the bit-equivalence contract). The
+    * codebook rides the expression as plain arrays (indexed by
+    * subspace, code ids sorted ascending, codewords flattened k×subd,
+    * self-dots precomputed) and reaches generated code via
+    * addReferenceObj — no join, no shuffle, no heap. Output struct
+    * (code_id, cost); null for an empty subspace.
+    */
+  case class QuantAssign(left: Expression, right: Expression,
+      ids: Array[Array[Long]], cws: Array[Array[Long]],
+      c2s: Array[Array[Long]], subd: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def nullable: Boolean = true
+    override def dataType: DataType = StructType(Seq(
+      StructField("code_id", LongType, nullable = false),
+      StructField("cost", LongType, nullable = false)))
+    override def inputTypes = Seq(IntegerType, ArrayType(LongType))
+    override def prettyName: String = "quant_assign"
+    override def nullSafeEval(s: Any, sv: Any): Any =
+      Kernels.quantAssign(s.asInstanceOf[Int], sv.asInstanceOf[ArrayData],
+        ids, cws, c2s, subd)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idsRef = ctx.addReferenceObj("ids", ids, "long[][]")
+      val cwsRef = ctx.addReferenceObj("cws", cws, "long[][]")
+      val c2sRef = ctx.addReferenceObj("c2s", c2s, "long[][]")
+      nullSafeCodeGen(ctx, ev, (s, sv) => s"""
+        ${ev.value} = $K.quantAssign($s, $sv, $idsRef, $cwsRef, $c2sRef, $subd);
+        ${ev.isNull} = (${ev.value} == null);
+      """)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    // Structural equality over the embedded codebook: the case-class
+    // default compares arrays by REFERENCE, so two invocations of the
+    // same operator would never canonicalize equal — CacheManager
+    // plan-matching (graft.Caches.cached) and codegen subexpression
+    // elimination both depend on this.
+    override def equals(o: Any): Boolean = o match {
+      case q: QuantAssign => q.left == left && q.right == right &&
+        q.subd == subd &&
+        java.util.Arrays.deepEquals(ids.asInstanceOf[Array[AnyRef]],
+          q.ids.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.deepEquals(cws.asInstanceOf[Array[AnyRef]],
+          q.cws.asInstanceOf[Array[AnyRef]])
+      case _ => false
+    }
+    override def hashCode: Int = java.util.Objects.hash(left, right,
+      Integer.valueOf(subd),
+      Integer.valueOf(java.util.Arrays.deepHashCode(ids.asInstanceOf[Array[AnyRef]])))
+  }
+
+  /** Argmax float-dot assignment against a driver-local centroid table
+    * — the cosine twin of [[QuantAssign]] for IVF cell assignment (see
+    * Kernels.dotArgmax). Output struct (cent_id, cdist); null when the
+    * table is empty.
+    */
+  case class DotArgmax(child: Expression, ids: Array[Long],
+      cvs: Array[Float], dim: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def nullable: Boolean = true
+    override def dataType: DataType = StructType(Seq(
+      StructField("cent_id", LongType, nullable = false),
+      StructField("cdist", DoubleType, nullable = false)))
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def prettyName: String = "dot_argmax"
+    override def nullSafeEval(v: Any): Any =
+      Kernels.dotArgmax(v.asInstanceOf[ArrayData], ids, cvs, dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+      val cvsRef = ctx.addReferenceObj("cvs", cvs, "float[]")
+      nullSafeCodeGen(ctx, ev, v => s"""
+        ${ev.value} = $K.dotArgmax($v, $idsRef, $cvsRef, $dim);
+        ${ev.isNull} = (${ev.value} == null);
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    // structural equality — see QuantAssign
+    override def equals(o: Any): Boolean = o match {
+      case q: DotArgmax => q.child == child && q.dim == dim &&
+        java.util.Arrays.equals(ids, q.ids) &&
+        java.util.Arrays.equals(cvs, q.cvs)
+      case _ => false
+    }
+    override def hashCode: Int = java.util.Objects.hash(child,
+      Integer.valueOf(dim), Integer.valueOf(java.util.Arrays.hashCode(ids)))
+  }
+
   /** Resolve the k argument of SQL `minhash_signature(tokens, k)`:
     * any foldable integral expression (INT or BIGINT literal, or a
     * constant-foldable tree). Non-foldable or non-integral k is an
@@ -267,6 +355,44 @@ object Expr {
   def hyperplaneBucket(vec: Column, planes: Array[Array[Float]]): Column = {
     val dim = planes.head.length
     c(HyperplaneBucket(e(vec), planes.flatten, dim))
+  }
+
+  /** [[QuantAssign]] over a driver-local codebook given as
+    * (subspace → sorted (code_id, codeword)) — precomputes the flat
+    * arrays and self-dots once. `s` may be any integral column.
+    */
+  def quantAssign(s: Column, sv: Column,
+      codebook: Array[Array[(Long, Array[Long])]], subd: Int): Column = {
+    val ids = codebook.map(_.map(_._1))
+    val cws = codebook.map { cs =>
+      val flat = new Array[Long](cs.length * subd)
+      var k = 0
+      while (k < cs.length) {
+        System.arraycopy(cs(k)._2, 0, flat, k * subd, math.min(subd, cs(k)._2.length))
+        k += 1
+      }
+      flat
+    }
+    val c2s = codebook.map(_.map(cw => {
+      var acc = 0L; var j = 0
+      while (j < cw._2.length) { acc += cw._2(j) * cw._2(j); j += 1 }
+      acc
+    }))
+    c(QuantAssign(e(s.cast(IntegerType)), e(sv), ids, cws, c2s, subd))
+  }
+
+  /** [[DotArgmax]] over a driver-local centroid table given as sorted
+    * (cent_id, centroid-float-vector).
+    */
+  def dotArgmax(vec: Column, cents: Array[(Long, Array[Float])], dim: Int): Column = {
+    val ids = cents.map(_._1)
+    val flat = new Array[Float](cents.length * dim)
+    var k = 0
+    while (k < cents.length) {
+      System.arraycopy(cents(k)._2, 0, flat, k * dim, math.min(dim, cents(k)._2.length))
+      k += 1
+    }
+    c(DotArgmax(e(vec), ids, flat, dim))
   }
 
   /** Clamped ×1e6 int64 embedding quantizer, shared by every

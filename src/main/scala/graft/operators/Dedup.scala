@@ -80,8 +80,16 @@ object Dedup {
 
   /** Banded signature index of a corpus — the static side of the
     * stream-static near-dup gate (Streaming.streamDupCandidates).
+    * `spread=false` for one-shot consumers that immediately broadcast
+    * the index (the batch dup-gate twin): the wide() exchange feeds a
+    * BroadcastExchange, so nothing downstream runs at the widened
+    * partitioning and the exchange is pure per-run overhead (measured:
+    * driver bench 0.428 → 0.519 s with the spread). The incremental
+    * streaming gate builds its index once per stream and keeps the
+    * default.
     */
-  def bandedIndex(docs: DataFrame): DataFrame = banded(signaturesOf(docs))
+  def bandedIndex(docs: DataFrame, spread: Boolean = true): DataFrame =
+    banded(signaturesOf(docs, spread))
 
   /** LSH banding: (band_idx, the band's raw signature slice). The key
     * is the 4-long slice itself, not a 32-bit hash of it: a murmur

@@ -261,58 +261,94 @@ object IvfPq {
 
   /** PQT_ITERS deterministic Lloyd rounds over all subspaces at once
     * (keyed (s, code_id)); input and output codebooks in offset space.
+    *
+    * The per-round assignment was a broadcast join on s + bounded-TopK
+    * argmin (n×M×K joined rows per round); the codebook is
+    * metadata-sized (≤ PQ_KMAX per subspace — it was already collected
+    * into each round's BroadcastExchange), so it now lives driver-local
+    * between rounds and assignment is one codegen'd argmin expression
+    * over the subvector pass (guide §2.4/§1.2; the kmeans_train
+    * driver-local-state discipline). Each round's only distributed job
+    * is the vecMean collect — the per-round localCheckpoint
+    * materializations disappear. Same long arithmetic, same tie rule —
+    * bit-identical codebooks.
     */
   private[graft] def pqTrain(sub: DataFrame, cb0: DataFrame): DataFrame = {
-    var cb = cb0.localCheckpoint(true)
+    val spark = sub.sparkSession
+    var rows = cb0.select(col("s"), col("code_id"), col("cw")).collect()
+    var schema = cb0.select(col("s"), col("code_id"), col("cw")).schema
     for (_ <- 1 to PQT_ITERS) {
-      // |cw|² once per codeword on the broadcast side (see kmAssign)
-      val cb2 = cb.withColumn("__c2", Expr.longDot(col("cw"), col("cw")))
-      val cost = col("__c2") - lit(2L) * Expr.longDot(col("sv"), col("cw"))
-      val assign = TopK.topKPerGroup(
-        sub.join(broadcast(cb2), Seq("s"))
-          .select(col("vec_id"), col("s"), col("sv"), col("code_id"),
-            cost.as("cost")),
-        Seq("vec_id", "s"), Seq(("cost", false), ("code_id", false)), 1)
+      val local = Similarity.localCodebook(rows, Similarity.PQ_M)
+      // empty-codebook edge decided driver-side — an isNotNull filter
+      // under the project would run the argmin kernel twice per row
+      // (guide §4.4 duplication); see pqEncode
+      val assigned = sub.select(col("vec_id"), col("s"), col("sv"),
+        Expr.quantAssign(col("s"), col("sv"), local, Similarity.PQ_SUBD)
+          .getField("code_id").as("code_id"))
+      val assign = if (rows.isEmpty) assigned.filter(lit(false)) else assigned
       val next = Retrain.vecMean(assign, Seq("s", "code_id"), "sv",
-          Similarity.PQ_SUBD, "cw")
-        .localCheckpoint(true)
-      cb.unpersist()
-      cb = next
+        Similarity.PQ_SUBD, "cw")
+      schema = next.schema
+      rows = next.collect()
     }
-    cb
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Memoized trained-PQ state per (session, corpus dir): the
+    * checkpointed subvector frame and the Lloyd-trained codebook
+    * (driver-local, ≤ PQ_KMAX×PQ_M codewords). Training is a
+    * write-once artifact of the corpus exactly like the trained IVF
+    * quantizer (Similarity.centCache) and the persisted PQ layers
+    * (builtPq) — serve calls don't re-run Lloyd. Invalidated with the
+    * rest of the trained state (the bench clears per query).
+    */
+  private val trainedPqState = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (DataFrame, Array[Array[(Long, Array[Long])]])]()
+
   val annPqTrained: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), Expr.quantVec(col("embedding")).as("cv"))
-      .localCheckpoint(true)
-    val n = e.count()
-    val m = Similarity.pqModulus(n)
-    val sub = pqtSubvectors(e).localCheckpoint(true)
-    val seeds = sub.filter(Similarity.md5Mod(col("vec_id"), m) === 0)
-      .select(col("s"), col("vec_id").as("code_id"), col("sv").as("cw"))
-    // Lloyd TRAINING runs on the md5-bounded vector sample
-    // (Similarity.TRAIN_CAP — per-round cost ≤ cap×M×K at any corpus
-    // size; modulus 1 below the cap, so small-scale codebooks are
-    // unchanged); the ENCODE pass below still assigns the full corpus
-    // — that is the one-shot index build, linear by nature.
-    val tm = Similarity.trainMod(n)
-    val subT = (if (tm == 1L) sub
-                else sub.filter(Similarity.md5TrainMod(col("vec_id"), tm) === 0)
-                  .localCheckpoint(true))
-    val cb = pqTrain(subT, seeds)
-    // encode in offset space (assignment is translation-invariant);
-    // |cw|² once per codeword on the broadcast side (see kmAssign)
-    val cbE = cb.withColumn("__c2", Expr.longDot(col("cw"), col("cw")))
-    val cost = col("__c2") - lit(2L) * Expr.longDot(col("sv"), col("cw"))
-    val codes = TopK.topKPerGroup(
-        sub.join(broadcast(cbE), Seq("s"))
-          .select(col("vec_id"), col("s"), col("code_id"), cost.as("cost")),
-        Seq("vec_id", "s"), Seq(("cost", false), ("code_id", false)), 1)
+    val (sub, cbLocal) = trainedPqState.computeIfAbsent(
+      (System.identityHashCode(s), d), { _ =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), Expr.quantVec(col("embedding")).as("cv"))
+        val n = graft.operators.Dedup.corpusSize(
+          Tables.embeddings(s, d), s"$d/embeddings")
+        val m = Similarity.pqModulus(n)
+        // ONE eager materialization: the subvector frame (e itself is
+        // consumed only by this checkpoint, so checkpointing it too
+        // was a second full pass for nothing)
+        val subF = pqtSubvectors(e).localCheckpoint(true)
+        val seeds = subF.filter(Similarity.md5Mod(col("vec_id"), m) === 0)
+          .select(col("s"), col("vec_id").as("code_id"), col("sv").as("cw"))
+        // Lloyd TRAINING runs on the md5-bounded vector sample
+        // (Similarity.TRAIN_CAP — per-round cost ≤ cap×M×K at any
+        // corpus size; modulus 1 below the cap, so small-scale
+        // codebooks are unchanged); the ENCODE pass below still
+        // assigns the full corpus — the one-shot index build.
+        val tm = Similarity.trainMod(n)
+        val subT = (if (tm == 1L) subF
+                    else subF.filter(Similarity.md5TrainMod(col("vec_id"), tm) === 0)
+                      .localCheckpoint(true))
+        val cb = pqTrain(subT, seeds)
+        (subF, Similarity.localCodebook(
+          cb.select(col("s"), col("code_id"), col("cw")).collect(),
+          Similarity.PQ_M))
+      })
+    // encode in offset space (assignment is translation-invariant):
+    // the trained codebook is driver-local, so the full-corpus encode
+    // is the codegen'd argmin expression pass — no join, no TopK
+    val assigned = sub.select(col("vec_id"), col("s"),
+        Expr.quantAssign(col("s"), col("sv"), cbLocal, Similarity.PQ_SUBD)
+          .getField("code_id").as("code_id"))
+    val codes = (if (cbLocal.forall(_.isEmpty)) assigned.filter(lit(false))
+                 else assigned)
       .select(col("vec_id"), col("s"), col("code_id"))
     // ADC LUT in RAW space: translate the trained codewords back
-    val cbRaw = cb.select(col("s"), col("code_id"),
-      transform(col("cw"), x => x - lit(PQT_OFF)).as("cw"))
+    val ss = s
+    import ss.implicits._
+    val cbRaw = cbLocal.iterator.zipWithIndex.flatMap { case (cs, sIdx) =>
+      cs.iterator.map { case (cid, cw) =>
+        (sIdx.toLong, cid, cw.map(_ - PQT_OFF).toSeq) }
+    }.toSeq.toDF("s", "code_id", "cw")
     val lut = querySubvectors(s, d).join(broadcast(cbRaw), Seq("s"))
       .select(col("query_id"), col("s"), col("code_id"),
         Expr.longDot(col("qsv"), col("cw")).as("qdot"))
@@ -549,7 +585,9 @@ object IvfPq {
   // a stale PQ layer over a rebuilt assignment would serve codes
   // against the wrong cells — drop the write-once records whenever the
   // base index's memo is invalidated (in-process corpus rewrites)
-  Similarity.onClearTrainedState { () => builtPq.clear(); builtPqr.clear() }
+  Similarity.onClearTrainedState { () =>
+    builtPq.clear(); builtPqr.clear(); trainedPqState.clear()
+  }
 
   val queries: Map[String, Q] = Map(
     "ann_ivfpq_exact" -> annIvfpqExact,

@@ -125,24 +125,31 @@ object Retrain {
         (0 until dim).map(i => expr(s"__s$i div __c")): _*).as(out)): _*)
   }
 
-  /** One Lloyd assignment pass: broadcast the centroid frame against
-    * the quantized corpus, argmin of |c|²−2v·c on the long-dot kernel
-    * via the bounded-heap TopKPerGroup (k=1 — never a corpus sort).
-    * Factored out so PlanAuditSpec can assert the pass's physical
-    * shape (broadcast + TopK reduction, no cartesian sort).
+  /** One Lloyd assignment pass: argmin of |c|²−2v·c against the
+    * driver-local centroid table as ONE codegen'd expression over the
+    * corpus — no join, no TopK heap, no exchange (guide §2.4/§1.2).
+    * The centroid frame is metadata-sized by construction (every
+    * caller previously collected it into a BroadcastExchange; the
+    * collect here moves the same bytes). Same long arithmetic in the
+    * same element order, same (cost ASC, cent_id ASC) tie rule as the
+    * broadcast-join + bounded-TopK pass it replaces — bit-identical
+    * assignments (kmeans_train / pipe_index_maintain stay hash-gated).
     */
   private[graft] def kmAssign(v: DataFrame, cents: DataFrame): DataFrame = {
-    // |c|² computed ONCE per centroid on the broadcast side, not per
-    // (vector, centroid) candidate — the assignment loop evaluates the
-    // cost n×K times and the self-dot is half its multiply-adds
-    // (guide §1.2 per-task work). Same integers, same argmin.
-    val c2 = cents.withColumn("__c2", Expr.longDot(col("cvec"), col("cvec")))
-    val cost = col("__c2") - lit(2L) * Expr.longDot(col("kv"), col("cvec"))
-    TopK.topKPerGroup(
-      v.crossJoin(broadcast(c2))
-        .select(col("vec_id"), col("kv"), col("vv"), col("cent_id"),
-          cost.as("cost")),
-      Seq("vec_id"), Seq(("cost", false), ("cent_id", false)), 1)
+    val local = cents.select(col("cent_id"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    if (local.isEmpty)
+      return v.filter(lit(false))
+        .select(col("vec_id"), col("kv"), col("vv"),
+          lit(null).cast("long").as("cent_id"),
+          lit(null).cast("long").as("cost"))
+    val a = Expr.quantAssign(lit(0), col("kv"), Array(local),
+      Similarity.EMB_DIM)
+    v.select(col("vec_id"), col("kv"), col("vv"), a.as("__a"))
+      .select(col("vec_id"), col("kv"), col("vv"),
+        col("__a").getField("code_id").as("cent_id"),
+        col("__a").getField("cost").as("cost"))
   }
 
   val kmeansTrain: Q = (s, d) => {

@@ -506,7 +506,7 @@ object Similarity {
     */
   def clearTrainedState(): Unit = {
     centCache.clear(); builtIndexes.clear(); builtIvfExact.clear()
-    chainFrames.clear(); dirFrames.clear()
+    chainFrames.clear(); dirFrames.clear(); pqCodebookMemo.clear()
     invalidationHooks.forEach(h => h())
   }
 
@@ -893,33 +893,86 @@ object Similarity {
     math.max(1L, n / k)
   }
 
+  /** Rows of a (s, code_id, cw) codebook frame regrouped as the
+    * driver-local structure [[Expr.quantAssign]] rides: per subspace,
+    * code ids sorted ascending (the argmin tie rule). Codebooks are
+    * metadata-sized BY CONSTRUCTION (≤ PQ_KMAX codewords per subspace)
+    * — the pre-rewrite plans collected the same rows into a
+    * BroadcastExchange, so no new driver traffic class is introduced.
+    */
+  private[graft] def localCodebook(rows: Array[org.apache.spark.sql.Row],
+      nSub: Int): Array[Array[(Long, Array[Long])]] = {
+    val bySub = Array.fill(nSub)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])])
+    rows.foreach { r =>
+      val s = r.get(0) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case other => other.toString.toInt
+      }
+      if (s >= 0 && s < nSub)
+        bySub(s) += ((r.getLong(1), r.getSeq[Long](2).toArray))
+    }
+    bySub.map(_.sortBy(_._1).toArray)
+  }
+
   /** Per-subspace codebooks + per-vector codes for a quantized corpus
     * frame (vec_id, cv). Returned as (codebook, codes).
+    *
+    * Encode was a broadcast join on s + bounded-TopK argmin — one
+    * joined row per (subvector, codeword) candidate (n×M×K rows of
+    * join machinery and heap updates for a pure per-row reduction).
+    * The codebook is metadata-sized (≤ PQ_KMAX×PQ_M rows — the plan
+    * already collected it for the BroadcastExchange), so it now rides
+    * a codegen'd argmin expression over the subvector pass: no join,
+    * no TopK, no exchange on the encode path (guide §2.4/§1.2). Same
+    * long arithmetic, same (cost, code_id) tie rule — bit-identical
+    * codes (hash-gated by the 9 PQ family keys).
     */
-  private[graft] def pqEncode(e: DataFrame, m: Long): (DataFrame, DataFrame) = {
+  /** Memoized sampled-bootstrap codebook rows per (session, corpus
+    * key, modulus) — the codebook is a write-once artifact of the
+    * corpus exactly like the trained IVF quantizer (centCache), so
+    * serve calls don't re-pay the sampling scan. Invalidated by
+    * clearTrainedState (the bench clears per query, so every bench
+    * query's warmup re-computes it from parquet).
+    */
+  private val pqCodebookMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Long), Array[org.apache.spark.sql.Row]]()
+
+  private[graft] def pqEncode(e: DataFrame, m: Long,
+      memoKey: Option[String] = None): (DataFrame, DataFrame) = {
     val sub = e
       .select(col("vec_id"), col("cv"),
         explode(sequence(lit(0), lit(PQ_M - 1))).as("s"))
       .select(col("vec_id"), col("s"),
         expr(s"slice(cv, s * $PQ_SUBD + 1, $PQ_SUBD)").as("sv"))
-    val cb = sub.filter(md5Mod(col("vec_id"), m) === 0)
+    val cbF = sub.filter(md5Mod(col("vec_id"), m) === 0)
       .select(col("s"), col("vec_id").as("code_id"), col("sv").as("cw"))
-    // |cw|² once per codeword on the broadcast side (see kmAssign)
-    val cb2 = cb.withColumn("__c2", Expr.longDot(col("cw"), col("cw")))
-    val cost = col("__c2") - lit(2L) * Expr.longDot(col("sv"), col("cw"))
-    val codes = TopK.topKPerGroup(
-        sub.join(broadcast(cb2), Seq("s"))
-          .select(col("vec_id"), col("s"), col("code_id"), cost.as("cost")),
-        Seq("vec_id", "s"), Seq(("cost", false), ("code_id", false)), 1)
-      .select(col("vec_id"), col("s"), col("code_id"))
+    val rows = memoKey match {
+      case Some(k) => pqCodebookMemo.computeIfAbsent(
+        (System.identityHashCode(e.sparkSession), k, m), _ => cbF.collect())
+      case None => cbF.collect()
+    }
+    val local = localCodebook(rows, PQ_M)
+    val cb = cbF.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cbF.schema)
+    // empty-codebook edge decided DRIVER-side (rows are in hand): an
+    // isNotNull filter under the project would evaluate the argmin
+    // kernel twice per row (filter + project — the guide §4.4
+    // duplication), and a non-empty sample populates every subspace
+    // by construction, so the expression never returns null here
+    val assigned = sub.select(col("vec_id"), col("s"),
+      Expr.quantAssign(col("s"), col("sv"), local, PQ_SUBD)
+        .getField("code_id").as("code_id"))
+    val codes = if (rows.isEmpty) assigned.filter(lit(false)) else assigned
     (cb, codes)
   }
 
   val annPqExact: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), Expr.quantVec(col("embedding")).as("cv"))
-    val m = pqModulus(e.count())
-    val (cb, codes) = pqEncode(e, m)
+    val m = pqModulus(Dedup.corpusSize(Tables.embeddings(s, d), s"$d/embeddings"))
+    val (cb, codes) = pqEncode(e, m, Some(s"$d/embeddings"))
     val qs = e.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("cv"),
         explode(sequence(lit(0), lit(PQ_M - 1))).as("s"))

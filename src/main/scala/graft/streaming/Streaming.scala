@@ -278,7 +278,7 @@ object Streaming {
         concat(lit("novel "), reverse(col("text"))).as("text")))
     graft.operators.Dedup.banded(
         graft.operators.Dedup.signaturesOf(incoming, spread = false))
-      .join(graft.operators.Dedup.bandedIndex(corpus),
+      .join(graft.operators.Dedup.bandedIndex(corpus, spread = false),
         Seq("band_idx", "band_hash"), "left_semi")
       .select(col("doc_id")).dropDuplicates("doc_id")
       .orderBy(col("doc_id"))
