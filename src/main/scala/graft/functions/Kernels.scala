@@ -398,6 +398,30 @@ object Kernels {
       Array[Any](bestId, best))
   }
 
+  /** Argmax long-dot assignment — the exact-arithmetic twin of
+    * [[dotArgmax]] for the quantized (cv ARRAY<BIGINT>) IVF heads.
+    * Bit-identical to TopK over cdot = longDot(cv, cvec) ordered
+    * (cdot DESC, cent_id ASC). Returns (cent_id, cdot); null when the
+    * centroid table is empty.
+    */
+  def longDotArgmax(vec: ArrayData, ids: Array[Long], cvs: Array[Long],
+      dim: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    if (ids.length == 0) return null
+    val d = math.min(dim, vec.numElements())
+    var best = 0L; var bestId = 0L; var first = true
+    var k = 0
+    while (k < ids.length) {
+      val off = k * dim
+      var dot = 0L
+      var j = 0
+      while (j < d) { dot += vec.getLong(j) * cvs(off + j); j += 1 }
+      if (first || dot > best) { best = dot; bestId = ids(k); first = false }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, best))
+  }
+
   def rollingHash(arr: ArrayData): Long = {
     var acc = 1469598103934665603L // FNV offset basis
     var i = 0

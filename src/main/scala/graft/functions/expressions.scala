@@ -315,6 +315,42 @@ object Expr {
       Integer.valueOf(dim), Integer.valueOf(java.util.Arrays.hashCode(ids)))
   }
 
+  /** Argmax long-dot assignment against a driver-local quantized
+    * centroid table — the exact-arithmetic twin of [[DotArgmax]] (see
+    * Kernels.longDotArgmax). Output struct (cent_id, cdot); null when
+    * the table is empty.
+    */
+  case class LongDotArgmax(child: Expression, ids: Array[Long],
+      cvs: Array[Long], dim: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def nullable: Boolean = true
+    override def dataType: DataType = StructType(Seq(
+      StructField("cent_id", LongType, nullable = false),
+      StructField("cdot", LongType, nullable = false)))
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def prettyName: String = "long_dot_argmax"
+    override def nullSafeEval(v: Any): Any =
+      Kernels.longDotArgmax(v.asInstanceOf[ArrayData], ids, cvs, dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+      val cvsRef = ctx.addReferenceObj("cvs", cvs, "long[]")
+      nullSafeCodeGen(ctx, ev, v => s"""
+        ${ev.value} = $K.longDotArgmax($v, $idsRef, $cvsRef, $dim);
+        ${ev.isNull} = (${ev.value} == null);
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    // structural equality — see QuantAssign
+    override def equals(o: Any): Boolean = o match {
+      case q: LongDotArgmax => q.child == child && q.dim == dim &&
+        java.util.Arrays.equals(ids, q.ids) &&
+        java.util.Arrays.equals(cvs, q.cvs)
+      case _ => false
+    }
+    override def hashCode: Int = java.util.Objects.hash(child,
+      Integer.valueOf(dim), Integer.valueOf(java.util.Arrays.hashCode(ids)))
+  }
+
   /** Resolve the k argument of SQL `minhash_signature(tokens, k)`:
     * any foldable integral expression (INT or BIGINT literal, or a
     * constant-foldable tree). Non-foldable or non-integral k is an
@@ -393,6 +429,20 @@ object Expr {
       k += 1
     }
     c(DotArgmax(e(vec), ids, flat, dim))
+  }
+
+  /** [[LongDotArgmax]] over a driver-local quantized centroid table
+    * given as sorted (cent_id, centroid-long-vector).
+    */
+  def longDotArgmax(vec: Column, cents: Array[(Long, Array[Long])], dim: Int): Column = {
+    val ids = cents.map(_._1)
+    val flat = new Array[Long](cents.length * dim)
+    var k = 0
+    while (k < cents.length) {
+      System.arraycopy(cents(k)._2, 0, flat, k * dim, math.min(dim, cents(k)._2.length))
+      k += 1
+    }
+    c(LongDotArgmax(e(vec), ids, flat, dim))
   }
 
   /** Clamped ×1e6 int64 embedding quantizer, shared by every

@@ -117,21 +117,32 @@ object EtlOps {
     when(mx === 0.0, lit(0.0)).otherwise(abs(a - b) / mx)
   }
 
-  val etlDoubleVerify: Q = (s, d) => {
+  /** The double-verify comparison with caller-chosen extra order
+    * columns carried through the ONE orders⋈charge join — so consumers
+    * keyed by another orders column (etl_confidence on o_custkey)
+    * don't pay a second orders scan + join to re-attach it
+    * (guide §2.4). Same join, same per-row expressions.
+    */
+  private def doubleVerifyWith(s: SparkSession, d: String,
+      extra: Seq[String]): DataFrame = {
     val charge = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sum(d2(col("l_extendedprice")) * (one - col("l_discount").cast(DecimalType(4, 2)))
         * (one + col("l_tax").cast(DecimalType(4, 2)))).cast("double").as("secondary_value"))
     val rd = relDiff(col("primary_value"), col("secondary_value"))
     Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_totalprice").as("primary_value"))
+      .select(col("o_orderkey") +: col("o_totalprice").as("primary_value") +:
+        extra.map(col): _*)
       .join(charge, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_orderkey"), col("primary_value"), col("secondary_value"),
+      .select(Seq(col("o_orderkey"), col("primary_value"), col("secondary_value"),
         rd.as("rel_diff"),
         when(rd <= 0.01, "verified").otherwise("conflict").as("status"),
         when(rd > 0.1, "high").when(rd > 0.05, "medium").otherwise("low").as("severity"))
-      .orderBy(col("o_orderkey"))
+        ++ extra.map(col): _*)
   }
+
+  val etlDoubleVerify: Q = (s, d) =>
+    doubleVerifyWith(s, d, Nil).orderBy(col("o_orderkey"))
 
   private val doubleVerifySqlBody =
     """SELECT o_orderkey, primary_value, secondary_value, rel_diff,
@@ -157,14 +168,16 @@ object EtlOps {
   // (low .02 / medium .05 / high .10), halved when resolved; clamped
   // to [0,1]. Penalties summed in DECIMAL for engine parity.
   val etlConfidence: Q = (s, d) => {
-    val verified = etlDoubleVerify(s, d)
+    // o_custkey rides the doubleVerify join itself instead of a second
+    // orders scan + join to re-attach it (the verified frame is keyed
+    // o_orderkey, unique in orders — same rows either way)
+    val verified = doubleVerifyWith(s, d, Seq("o_custkey"))
     val penalty = when(col("status") === "conflict",
         when(col("severity") === "high", lit(BigDecimal("0.050")))
           .when(col("severity") === "medium", lit(BigDecimal("0.025")))
           .otherwise(lit(BigDecimal("0.010"))))
       .otherwise(lit(BigDecimal("0.000"))).cast(DecimalType(6, 3))
-    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(verified, Seq("o_orderkey"))
+    verified
       .groupBy(col("o_custkey"))
       .agg(
         count(lit(1)).as("n_checks"),
@@ -404,21 +417,27 @@ object EtlOps {
   // 3% perturbation sits strictly between the 1% tolerance and the 5%
   // severity tier).
   val etlFieldVerify: Q = (s, d) => {
-    def longForm(perturbed: Boolean) = {
-      val p = Tables.part(s, d)
-      val value =
-        if (!perturbed) col("p_retailprice").cast("string")
-        else when(pmod(col("p_partkey"), lit(5)) === 0,
-            (col("p_retailprice") * 1.03).cast("string"))
-          .otherwise(col("p_retailprice").cast("string"))
-      val unit = if (!perturbed) lit("mV") else lit("millivolt")
-      p.select(col("p_partkey").as("doc"), col("p_brand").as("param"),
-          value.as("v"), unit.as("u"))
-        .select(col("doc"), col("param"),
-          explode(map(lit("Value"), col("v"), lit("Unit"), col("u"))).as(Seq("field", "value")))
-    }
+    // Both comparator sides derive row-for-row from the SAME part row
+    // (the "rule" side is a deterministic perturbation of the "vision"
+    // side), so the (doc, param, field) self-join that re-associated
+    // them is removable: build the pair in ONE scan and explode the
+    // two fields with both values side by side (guide §2.4). Same
+    // (vision_value, rule_value) pairs — the comparator and summary
+    // are byte-identical.
+    val p = Tables.part(s, d)
+    val vValue = col("p_retailprice").cast("string")
+    val rValue = when(pmod(col("p_partkey"), lit(5)) === 0,
+        (col("p_retailprice") * 1.03).cast("string"))
+      .otherwise(col("p_retailprice").cast("string"))
+    val paired = p.select(col("p_partkey").as("doc"), col("p_brand").as("param"),
+        explode(map(
+          lit("Value"), struct(vValue.as("v"), rValue.as("r")),
+          lit("Unit"), struct(lit("mV").as("v"), lit("millivolt").as("r"))))
+          .as(Seq("field", "vr")))
+      .select(col("doc"), col("param"), col("field"),
+        col("vr.v").as("vision_value"), col("vr.r").as("rule_value"))
     FieldVerify.verifySummary(
-        FieldVerify.fieldConflicts(longForm(false), longForm(true), Seq("doc")),
+        FieldVerify.conflictsFromPaired(paired, Seq("doc")),
         Seq("doc"))
       .orderBy(col("doc"))
   }

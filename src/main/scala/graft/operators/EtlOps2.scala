@@ -270,24 +270,26 @@ object EtlOps2 {
   // number of parameter KINDS, not rows — the same driver-side
   // metadata a pivot always materializes) and become the column set.
   val etlExportCsv: Q = (s, d) => {
-    val p = Tables.part(s, d)
-    val params = p.filter(col("p_size") > 40)
-        .select(col("p_partkey"), lit("switching_frequency_typ").as("param"),
-          (col("p_size") * 10).cast("long").cast("string").as("value"))
-      .unionByName(p.filter(col("p_retailprice") > 970)
-        .select(col("p_partkey"), lit("efficiency_typ").as("param"),
-          lit("0.9").as("value")))
-      .unionByName(p.filter(col("p_brand").startsWith("Brand#1"))
-        .select(col("p_partkey"), lit("quiescent_current_typ").as("param"),
-          (col("p_size") * 3).cast("long").cast("string").as("value")))
     // The flatten columns are the RULE SET (static), not the keys
     // observed in this corpus: a defined-but-unmatched rule emits an
     // all-'' column. A data-driven schema would silently diverge from
     // the static oracle on any corpus where a rule matches zero rows
     // (and would need a driver-side distinct-collect to discover).
+    //
+    // p_partkey is UNIQUE in part and each rule emits at most one row
+    // per key, so the union-of-three-scans → pivot → first() pipeline
+    // is just a conditional projection of ONE part scan: same
+    // (key, value-or-null) table the pivot produced, without three
+    // scans, a union, and a groupBy exchange (guide §2.4; the
+    // src_zorder one-scan discipline). Values are the identical
+    // expressions; unmatched rules are null → coalesce '' as before.
     val keys = Seq("efficiency_typ", "quiescent_current_typ", "switching_frequency_typ")
-    val wide = params.groupBy(col("p_partkey").as("doc"))
-      .pivot("param", keys).agg(first(col("value")))
+    val wide = Tables.part(s, d).select(col("p_partkey").as("doc"),
+      when(col("p_retailprice") > 970, lit("0.9")).as("efficiency_typ"),
+      when(col("p_brand").startsWith("Brand#1"),
+        (col("p_size") * 3).cast("long").cast("string")).as("quiescent_current_typ"),
+      when(col("p_size") > 40,
+        (col("p_size") * 10).cast("long").cast("string")).as("switching_frequency_typ"))
     EtlOps.etlFieldVerify(s, d).select(col("doc"), col("confidence"), col("status"))
       .join(wide, Seq("doc"), "left")
       .select(Seq(concat(lit("P"), col("doc"), lit(".pdf")).as("source_file"),

@@ -132,12 +132,27 @@ object FieldVerify {
     val joinCols = keys ++ Seq("param", "field")
     val v = vision.withColumnRenamed("value", "vision_value")
     val r = rule.withColumnRenamed("value", "rule_value")
+    conflictsFromPaired(v.join(r, joinCols), keys, tolerance, criticalParams)
+  }
+
+  /** The comparator over an ALREADY-PAIRED frame
+    * (keys, param, field, vision_value, rule_value) — callers whose
+    * two sides derive row-for-row from the SAME source (e.g.
+    * etl_field_verify compares a column against its own perturbation)
+    * build the pair in one scan instead of paying a self-join on
+    * (keys, param, field) (guide §2.4 shuffle removal). fieldConflicts
+    * above is unchanged: join, then this.
+    */
+  private[graft] def conflictsFromPaired(paired: DataFrame, keys: Seq[String],
+      tolerance: Double = 0.01,
+      criticalParams: Seq[String] = DefaultCriticalParams): DataFrame = {
+    val joinCols = keys ++ Seq("param", "field")
     // Materialize every expensive shared subexpression exactly once.
     // Inlining them (the old shape) duplicated the regexp parse ~10x
     // per row, blew whole-stage codegen past the 64 KB method limit and
     // dropped the whole comparator stage to interpreted execution.
     // CollapseProject keeps non-cheap aliases from being re-inlined.
-    val staged = v.join(r, joinCols)
+    val staged = paired
       .withColumn("__vv", coalesce(col("vision_value"), lit("")))
       .withColumn("__rv", coalesce(col("rule_value"), lit("")))
       .withColumn("__vnum", extractNumber(col("__vv")))

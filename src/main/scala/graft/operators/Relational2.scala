@@ -50,12 +50,20 @@ object Relational2 {
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   // --- TPC-H Q10-style: top returners ---------------------------------
+  // Revenue aggregates by o_custkey BEFORE the customer join:
+  // c_custkey is unique in customer (c_name is functionally dependent),
+  // so grouping the lineitem⋈orders rows first and then attaching
+  // (c_custkey, c_name) 1:1 yields the identical decimal sums with the
+  // customer join probing one row per customer instead of one per
+  // lineitem, and the wide (custkey, name) aggregation disappears
+  // (guide §2.3 aggregate-before-shuffle).
   val q10Returns: Q = (s, d) =>
     Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_custkey"), col("c_name"))
+      .groupBy(col("o_custkey"))
       .agg(sum(discPrice()).cast("double").as("revenue"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 

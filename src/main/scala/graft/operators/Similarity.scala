@@ -183,11 +183,7 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
       .localCheckpoint(true)
     for (_ <- 0 until KMEANS_ITERS) {
-      val assigned = TopK.topKPerGroup(
-        sample.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("cent_id"),
-            Expr.dotProduct(col("embedding"), col("cvec")).as("cdist")),
-        Seq("vec_id"), Seq(("cdist", true), ("cent_id", false)), 1)
+      val assigned = assignCell(sample, "vec_id", "embedding", localCents(cents))
       val means = assigned
         .select(col("cent_id"), posexplode(col("embedding")))
         .groupBy(col("cent_id"), col("pos")).agg(avg(col("col")).as("m"))
@@ -201,6 +197,50 @@ object Similarity {
         .localCheckpoint(true)
     }
     cents
+  }
+
+  /** Driver-local image of a (cent_id, cvec ARRAY<FLOAT>) centroid
+    * table, sorted by cent_id (the argmax tie rule). Centroid tables
+    * are metadata-sized by construction and every assignment pass
+    * already collected them into a BroadcastExchange — same bytes,
+    * new home (see Expr.dotArgmax).
+    */
+  private[graft] def localCents(cents: DataFrame): Array[(Long, Array[Float])] =
+    cents.select(col("cent_id"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+  /** Nearest-cell assignment of a vector frame against the
+    * driver-local quantizer as ONE codegen'd argmax expression — the
+    * replacement for crossJoin(broadcast(cents)) + bounded-TopK k=1
+    * (one joined row per (vector, centroid) candidate through join
+    * machinery and a heap, for a per-row reduction; guide §2.4/§1.2).
+    * Same float-dot accumulation order and the same
+    * (cdist DESC, cent_id ASC) tie rule — bit-identical cells. Keeps
+    * (idCol, vecCol, cent_id); an empty quantizer assigns nothing,
+    * exactly like the join it replaces.
+    */
+  private[graft] def assignCell(df: DataFrame, idCol: String, vecCol: String,
+      local: Array[(Long, Array[Float])]): DataFrame = {
+    val a = df.select(col(idCol), col(vecCol),
+      Expr.dotArgmax(col(vecCol), local, EMB_DIM)
+        .getField("cent_id").as("cent_id"))
+    if (local.isEmpty) a.filter(lit(false)) else a
+  }
+
+  /** Exact-arithmetic twins of localCents/assignCell for the quantized
+    * (cv ARRAY<BIGINT>) IVF heads — argmax of the long-dot kernel,
+    * same tie rule as the TopK pass they replace.
+    */
+  private[graft] def localCentsExact(cents: DataFrame): Array[(Long, Array[Long])] =
+    cents.select(col("cent_id"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+
+  private[graft] def assignCellExact(df: DataFrame, idCol: String, vecCol: String,
+      local: Array[(Long, Array[Long])]): DataFrame = {
+    val a = df.select(col(idCol), col(vecCol),
+      Expr.longDotArgmax(col(vecCol), local, EMB_DIM)
+        .getField("cent_id").as("cent_id"))
+    if (local.isEmpty) a.filter(lit(false)) else a
   }
 
   /** The trained quantizer is a write-once artifact of the corpus (at
@@ -225,22 +265,18 @@ object Similarity {
         // calibration's assignment pass reuses the trained quantizer;
         // the (lazy) assignment dataflow below recomputes it per query,
         // matching write-once-index semantics where assignment is I/O
-        val assigned = TopK.topKPerGroup(
-          corpus.crossJoin(broadcast(trained))
-            .select(col("vec_id"), col("cent_id"),
-              Expr.dotProduct(col("embedding"), col("cvec")).as("cdist")),
-          Seq("vec_id"), Seq(("cdist", true), ("cent_id", false)), 1)
+        val assigned = assignCell(corpus, "vec_id", "embedding",
+          localCents(trained))
         (trained, calibrateNProbe(corpus, trained, assigned, n, nCent))
       })
-    def assign(df: DataFrame, idCol: String, vecCol: String, probes: Int): DataFrame =
-      TopK.topKPerGroup(
-        df.crossJoin(broadcast(cents))
-          .select(col(idCol), col(vecCol),
-            col("cent_id"), Expr.dotProduct(col(vecCol), col("cvec")).as("cdist")),
-        Seq(idCol), Seq(("cdist", true), ("cent_id", false)), probes)
-    val indexed = assign(corpus, "vec_id", "embedding", 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
-    val probes = assign(queriesDf(s, d), "query_id", "qvec", nProbe)
+    // corpus side: per-row argmax expression; query side keeps the
+    // bounded TopK (top-nProbe over a queries-sized frame)
+    val indexed = assignCell(corpus, "vec_id", "embedding", localCents(cents))
+    val probes = TopK.topKPerGroup(
+        queriesDf(s, d).crossJoin(broadcast(cents))
+          .select(col("query_id"), col("qvec"),
+            col("cent_id"), Expr.dotProduct(col("qvec"), col("cvec")).as("cdist")),
+        Seq("query_id"), Seq(("cdist", true), ("cent_id", false)), nProbe)
       .select(col("query_id"), col("qvec"), col("cent_id"))
     val scored = indexed.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -304,12 +340,7 @@ object Similarity {
     // parquet files, and schema inference over an empty directory
     // throws — the index of an empty corpus must be a valid empty index
     val trained = s.read.schema(cents.schema).parquet(s"$path/centroids")
-    val toWrite = TopK.topKPerGroup(
-        corpus.crossJoin(broadcast(trained))
-          .select(col("vec_id"), col("embedding"), col("cent_id"),
-            Expr.dotProduct(col("embedding"), col("cvec")).as("cdist")),
-        Seq("vec_id"), Seq(("cdist", true), ("cent_id", false)), 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val toWrite = assignCell(corpus, "vec_id", "embedding", localCents(trained))
     // a rebuild replaces the whole index: retire every prior corpus
     // version so a stale root cannot shadow the new assignment
     val root = new org.apache.hadoop.fs.Path(path)
@@ -397,12 +428,7 @@ object Similarity {
     val centSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "cent_id BIGINT, cvec ARRAY<FLOAT>")
     val cents = s.read.schema(centSchema).parquet(s"$path/centroids")
-    val assigned = TopK.topKPerGroup(
-        newVecs.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("cent_id"),
-            Expr.dotProduct(col("embedding"), col("cvec")).as("cdist")),
-        Seq("vec_id"), Seq(("cdist", true), ("cent_id", false)), 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val assigned = assignCell(newVecs, "vec_id", "embedding", localCents(cents))
     // first append into a centroids-only root bootstraps corpus_v0
     // (append into an empty index IS the assignment pass — IndexSpec's
     // losslessness reference path builds its index exactly this way)
@@ -804,12 +830,7 @@ object Similarity {
     val s = batch.sparkSession
     val cents = s.read.schema(ivfxCentSchema).parquet(s"$path/centroids")
     val q = batch.select(col("vec_id"), Expr.quantVec(col("embedding")).as("cv"))
-    val assigned = TopK.topKPerGroup(
-        q.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cv"), col("cent_id"),
-            Expr.longDot(col("cv"), col("cvec")).as("cdot")),
-        Seq("vec_id"), Seq(("cdot", true), ("cent_id", false)), 1)
-      .select(col("vec_id"), col("cv"), col("cent_id"))
+    val assigned = assignCellExact(q, "vec_id", "cv", localCentsExact(cents))
     // versioned corpus root, uniform with the float head: first append
     // bootstraps corpus_v0 (its parquet _SUCCESS is the commit), later
     // appends land inside the newest committed version, and
@@ -1139,12 +1160,7 @@ object Similarity {
     val s = batch.sparkSession
     val cents = s.read.schema(ivfxCentSchema).parquet(s"$path/centroids")
     val q = batch.select(col("vec_id"), Expr.quantVec(col("embedding")).as("cv"))
-    val assigned = TopK.topKPerGroup(
-        q.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cv"), col("cent_id"),
-            Expr.longDot(col("cv"), col("cvec")).as("cdot")),
-        Seq("vec_id"), Seq(("cdot", true), ("cent_id", false)), 1)
-      .select(col("vec_id"), col("cv"), col("cent_id"))
+    val assigned = assignCellExact(q, "vec_id", "cv", localCentsExact(cents))
     assigned.repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/vdelta_$k")
     val n = s.read.schema(ivfxCorpusSchema).parquet(s"$path/vdelta_$k").count()

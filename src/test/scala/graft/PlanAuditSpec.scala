@@ -542,7 +542,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the 1-row totals frame must broadcast:\n${plan.take(1500)}")
   }
 
-  test("kmeans assignment pass: broadcast centroids + bounded-heap TopK, no corpus sort") {
+  test("kmeans assignment pass: one codegen'd argmin projection — no join, no shuffle, no sort") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -1D), 1D) * 1e6) AS BIGINT) + 1000000L)").as("kv"))
@@ -550,11 +550,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val cents = e.limit(20).select(col("vec_id").as("cent_id"), col("kv").as("cvec"))
     val plan = graft.operators.Retrain.kmAssign(e, cents)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"centroid frame must broadcast into the assignment pass:\n${plan.take(1500)}")
-    assert(plan.contains("TopKPerGroup"),
-      "per-vector argmin must be the bounded-heap TopK, not a window sort")
-    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
-    assert(plan.contains("long_dot_product"), "cost must be the codegen'd kernel")
+    // the centroid table rides the expression driver-local: the pass
+    // must be a pure per-row projection — any join/exchange/sort means
+    // the n×K candidate materialization crept back in
+    assert(plan.contains("quant_assign"),
+      s"assignment must be the codegen'd argmin expression:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"), s"no join in the assignment pass:\n${plan.take(1200)}")
+    assert(!plan.contains("Exchange"), "assignment must not shuffle the corpus")
+    assert(!plan.contains("Sort"), "assignment must not sort the corpus")
+    // the struct is computed ONCE and both fields extracted from it
+    assert("quant_assign".r.findAllIn(plan).size == 1,
+      s"argmin kernel must be evaluated once per row:\n${plan.take(1500)}")
   }
 }
