@@ -276,11 +276,21 @@ object Dedup {
     val sigs = cached(sigFrame.select(col("doc_id"), col("sim")))
     val reps = cached(sigs.groupBy(col("sim"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt")))
-    val chunked = reps.select(col("sim"),
+    // wide(): the cached reps frame materializes at AQE-coalesced
+    // width (ONE partition at local scale under
+    // canChangeCachedPlanOutputPartitioning), so the chunk self-join's
+    // pair generation + hamming ran on one core regardless of core
+    // count (graft.Profile: a 257 ms 1-task stage; the round-15
+    // scaling block's ratio-1.02 finding). Spreading the exploded
+    // chunk frame on the join keys is a ~KB exchange that parallelizes
+    // the quadratic-in-bucket work; no-op at scale where reps has
+    // >= width partitions (guide §2.5).
+    val chunked = Tables.wide(reps.select(col("sim"),
         posexplode(array((0 until CHUNKS).map(ch =>
           shiftrightunsigned(col("sim"), ch * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "chunk_idx")
-      .withColumnRenamed("col", "chunk_val")
+      .withColumnRenamed("col", "chunk_val"),
+      col("chunk_idx"), col("chunk_val"))
     // Distinct-hash pairs sharing a chunk, within hamming budget. The
     // hamming test runs INSIDE the join (before the pair distinct):
     // hamming is a function of the pair, so filter-then-distinct is

@@ -213,7 +213,14 @@ object TextOps {
     val pred = scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, sc)) =>
       when(acc.isNull && sc === best, lang).otherwise(acc)
     }
-    Tables.documents(s, d)
+    // wide(): the tokenize + 5-profile intersect + md5 chain is pure
+    // per-row compute that a single-split local scan serializes onto
+    // one core (graft.Profile: a 357 ms 1-task stage); no-op at scale
+    // where the corpus has >= width splits (guide §2.5). Projected to
+    // the two referenced columns BEFORE the spread so the exchange
+    // carries only them.
+    Tables.wide(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("stop_ratio", stopHits / col("n_tokens"))
       .filter(col("n_tokens") >= 30 && col("stop_ratio") > 0)
