@@ -422,6 +422,46 @@ object Kernels {
       Array[Any](bestId, best))
   }
 
+  /** Blocked byte-domain fingerprint (mm_phash_dedup): the payload
+    * splits into `blocks` equal byte ranges, each contributes the
+    * HIGH NIBBLE of its md5's first byte (= the first hex char, the
+    * oracle's substr(md5(block),1,1)), packed little-nibble-first.
+    * Bit-identical to the declarative 15 × md5(substr(...)) expression
+    * chain it replaces: same ceil-division block length, same
+    * substr clamping (greatest(blen,1); past-end slice = empty bytes,
+    * md5 of empty), same shift/sum packing — one kernel call instead
+    * of 15 substring copies + 15 md5 expressions per row.
+    */
+  def phashSig(content: Array[Byte], blocks: Int): Long = {
+    val md = md5Digest.get()
+    val n = content.length
+    val blen = (n + blocks - 1) / blocks
+    var sig = 0L
+    var i = 0
+    while (i < blocks) {
+      val start = i * blen
+      val len = math.max(blen, 1)
+      val from = math.min(start, n)
+      val until = math.max(from, math.min(start + len, n))
+      md.reset()
+      val dig = md.digest(java.util.Arrays.copyOfRange(content, from, until))
+      sig += ((dig(0) >> 4) & 0xf).toLong << (4 * i)
+      i += 1
+    }
+    sig
+  }
+
+  /** Count of differing nibble blocks between two packed signatures —
+    * the codegen'd form of the 15-term when-sum (same count).
+    */
+  def nibbleDiff(a: Long, b: Long, blocks: Int): Int = {
+    var x = a ^ b
+    var c = 0
+    var i = 0
+    while (i < blocks) { if ((x & 0xfL) != 0L) c += 1; x >>>= 4; i += 1 }
+    c
+  }
+
   def rollingHash(arr: ArrayData): Long = {
     var acc = 1469598103934665603L // FNV offset basis
     var i = 0

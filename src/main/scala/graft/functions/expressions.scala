@@ -351,6 +351,33 @@ object Expr {
       Integer.valueOf(dim), Integer.valueOf(java.util.Arrays.hashCode(ids)))
   }
 
+  /** Blocked md5-nibble payload fingerprint (see Kernels.phashSig). */
+  case class PhashSig(child: Expression, blocks: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = LongType
+    override def inputTypes = Seq(BinaryType)
+    override def prettyName: String = "phash_sig"
+    override def nullSafeEval(v: Any): Any =
+      Kernels.phashSig(v.asInstanceOf[Array[Byte]], blocks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"$K.phashSig($a, $blocks)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Differing-nibble-block count (see Kernels.nibbleDiff). */
+  case class NibbleDiff(left: Expression, right: Expression, blocks: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = IntegerType
+    override def inputTypes = Seq(LongType, LongType)
+    override def prettyName: String = "nibble_diff"
+    override def nullSafeEval(l: Any, r: Any): Any =
+      Kernels.nibbleDiff(l.asInstanceOf[Long], r.asInstanceOf[Long], blocks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.nibbleDiff($a, $b, $blocks)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Resolve the k argument of SQL `minhash_signature(tokens, k)`:
     * any foldable integral expression (INT or BIGINT literal, or a
     * constant-foldable tree). Non-foldable or non-integral k is an
@@ -388,6 +415,8 @@ object Expr {
   def charEntropy(chars: Column): Column = c(CharEntropy(e(chars)))
   def md5Simhash60(tokens: Column): Column = c(Md5Simhash60(e(tokens)))
   def md5MinhashSig(tokens: Column, k: Int): Column = c(Md5MinhashSig(e(tokens), k))
+  def phashSig(content: Column, blocks: Int): Column = c(PhashSig(e(content), blocks))
+  def nibbleDiff(a: Column, b: Column, blocks: Int): Column = c(NibbleDiff(e(a), e(b), blocks))
   def hyperplaneBucket(vec: Column, planes: Array[Array[Float]]): Column = {
     val dim = planes.head.length
     c(HyperplaneBucket(e(vec), planes.flatten, dim))

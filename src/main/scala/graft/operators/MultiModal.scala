@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Expr
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -239,22 +240,23 @@ object MultiModal {
   private[graft] val PHASH_BANDS = 3 // 5 nibbles each
   private[graft] val PHASH_MAXDIFF = 2 // ≤ 2 of 15 blocks differ
 
-  /** The 60-bit blocked fingerprint of a BINARY payload. */
-  private[graft] def phashSig(content: Column): Column = {
-    val blen = floor((length(content) + lit(PHASH_BLOCKS - 1)) / lit(PHASH_BLOCKS))
-      .cast("long")
-    (0 until PHASH_BLOCKS).map { i =>
-      val block = content.substr(lit(i.toLong) * blen + lit(1L), greatest(blen, lit(1L)))
-      shiftleft(conv(substring(md5(block), 1, 1), 16, 10).cast("long"), 4 * i)
-    }.reduce(_ + _)
-  }
+  /** The 60-bit blocked fingerprint of a BINARY payload — ONE codegen
+    * kernel call (Kernels.phashSig) instead of 15 md5(substr(...))
+    * expressions per row: the declarative chain paid 15 substring
+    * copies + 15 digest expressions per row AND a ~0.5 s analysis pass
+    * per invocation for the resulting expression tree (graft.Profile:
+    * plan-construction 506 ms). Same ceil-division blocks, same substr
+    * clamping, same nibble packing — bit-identical signatures (the key
+    * is hash-gated).
+    */
+  private[graft] def phashSig(content: Column): Column =
+    Expr.phashSig(content, PHASH_BLOCKS)
 
-  /** Count of differing nibble blocks between two signatures. */
+  /** Count of differing nibble blocks between two signatures
+    * (codegen'd; was a 15-term when-sum inside the band join).
+    */
   private def blockDiff(a: Column, b: Column): Column =
-    (0 until PHASH_BLOCKS).map { i =>
-      when(shiftrightunsigned(a, 4 * i).bitwiseAND(lit(15L)) =!=
-        shiftrightunsigned(b, 4 * i).bitwiseAND(lit(15L)), lit(1)).otherwise(lit(0))
-    }.reduce(_ + _)
+    Expr.nibbleDiff(a, b, PHASH_BLOCKS)
 
   // NO wide() here, deliberately: the signature kernel hashes the FULL
   // payload, so spreading it means shuffling the heavy bytes to
@@ -271,12 +273,15 @@ object MultiModal {
     * — factored so specs can sweep adversarial payload corpora.
     */
   private[graft] def phashPairs(media: DataFrame): DataFrame = {
-    val sigs = media
-      .select(col("doc_id"), phashSig(col("content")).as("sig"))
-      .localCheckpoint(true)
-    val reps = sigs.groupBy(col("sig"))
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+    // registry caches instead of standalone eager checkpoints: each
+    // frame is materialized by the first job that consumes it, so the
+    // two plan-construction-time materialization jobs disappear (the
+    // pipe_index_maintain discipline; lineage here is two nodes deep,
+    // so checkpoint's truncation bought nothing)
+    val sigs = graft.Caches.cached(media
+      .select(col("doc_id"), phashSig(col("content")).as("sig")))
+    val reps = graft.Caches.cached(sigs.groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt")))
     val banded = reps.select(col("sig"),
         posexplode(array((0 until PHASH_BANDS).map(b =>
           shiftrightunsigned(col("sig"), b * 20).bitwiseAND(lit(0xFFFFFL))): _*)))
