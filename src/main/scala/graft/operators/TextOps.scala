@@ -213,14 +213,14 @@ object TextOps {
     val pred = scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, sc)) =>
       when(acc.isNull && sc === best, lang).otherwise(acc)
     }
-    // wide(): the tokenize + 5-profile intersect + md5 chain is pure
-    // per-row compute that a single-split local scan serializes onto
-    // one core (graft.Profile: a 357 ms 1-task stage); no-op at scale
-    // where the corpus has >= width splits (guide §2.5). Projected to
-    // the two referenced columns BEFORE the spread so the exchange
-    // carries only them.
-    Tables.wide(Tables.documents(s, d).select(col("doc_id"), col("text")),
-        col("doc_id"))
+    // NO wide() here, deliberately: the tokenize + intersect + md5
+    // chain is a single-task map at local scale (357 ms profiled), but
+    // spreading it was MEASURED a net loss twice (back-to-back A/B
+    // 0.651 s unwidened vs 0.767 s widened) — the exchange write runs
+    // at the scan's own 1-task width and costs more than the kernel
+    // serialization it removes. At scale the scan has >= width splits
+    // and the kernel parallelizes for free (the mm_phash_dedup rule).
+    Tables.documents(s, d)
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("stop_ratio", stopHits / col("n_tokens"))
       .filter(col("n_tokens") >= 30 && col("stop_ratio") > 0)
