@@ -62,7 +62,10 @@ Test / testGrouping := {
         s"-Dspark.sql.warehouse.dir=$dir/warehouse"))))
   }.toSeq
 }
-Global / concurrentRestrictions := Seq(Tags.limit(Tags.ForkedTestGroup, 4))
+// 6 groups in flight: each fork is a local[4] session (~24 cores
+// peak on the 32-core sandbox, ~48 GB heap ceiling in 128 GB); the
+// wall clock is then bounded by the single heaviest suite
+Global / concurrentRestrictions := Seq(Tags.limit(Tags.ForkedTestGroup, 6))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
